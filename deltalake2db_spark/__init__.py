@@ -1,0 +1,27 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of ``bmsuisse/deltalake2db``: a driver-side Delta-protocol
+planner (log replay, protocol gate, partition/stats pruning, column
+mapping) executing on Spark DataFrames, plus scale-out extensions for
+LLM-data pipelines (dedup, similarity search, text analysis, multimodal
+columns)."""
+
+from .plans.filters import FilterType, decode_partition_value, serialize_partition_value
+from .plans.meta import MetaState, get_meta
+from .plans.protocol import DeltaProtocolError, check_is_supported, is_protocol_supported
+from .session import get_spark
+from .sources.delta import create_view_for_delta, get_spark_schema, scan_delta
+
+__all__ = [
+    "FilterType",
+    "MetaState",
+    "DeltaProtocolError",
+    "get_meta",
+    "get_spark",
+    "scan_delta",
+    "get_spark_schema",
+    "create_view_for_delta",
+    "check_is_supported",
+    "is_protocol_supported",
+    "decode_partition_value",
+    "serialize_partition_value",
+]

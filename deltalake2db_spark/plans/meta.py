@@ -1,0 +1,264 @@
+"""Delta transaction-log replay -> table snapshot (``MetaState``).
+
+Reference parity (semantics, not code):
+ - action folding (metaData / protocol / add / remove / commitInfo,
+   last-writer-wins keyed by file path) —
+   ``deltalake2db/delta_meta_retrieval.py:203-216``
+ - checkpoint bootstrap via ``_last_checkpoint`` with ``v - v % 10``
+   rounding for time travel — ``deltalake2db/delta_meta_retrieval.py:406-455``
+ - ``update_incremental`` snapshot advancement —
+   ``deltalake2db/delta_meta_retrieval.py:183-201``
+ - table metadata getters — ``deltalake2db/delta_meta_retrieval.py:153-181``
+
+Design note: metadata is tiny relative to data (a 100 TB table has ~1e5
+add-actions ≈ tens of MB of JSON), so the log is replayed on the driver
+with plain ``json.loads`` / pyarrow — never ``spark.read.json`` per
+commit, which would pay a JVM round trip per log file.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from collections.abc import Mapping, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime, timezone
+from typing import Any, Optional
+
+from pyspark.sql import types as T
+
+from .filters import (
+    FilterType,
+    iter_add_actions_filtered,
+    normalize_partition_values,
+)
+from .types import parse_schema_string, physical_name
+
+_LOG_DIR = "_delta_log"
+
+
+def _commit_name(version: int) -> str:
+    return f"{version:020d}"
+
+
+class MetadataIO:
+    """Driver-side metadata reader. Local filesystem by default; paths
+    with a URI scheme go through ``pyarrow.fs`` (S3/ABFS/GCS/HDFS)."""
+
+    def __init__(self, storage_options: Optional[Mapping[str, Any]] = None):
+        self.storage_options = storage_options or {}
+
+    def _open(self, path: str):
+        if "://" in path and not path.startswith("file://"):
+            import pyarrow.fs as pafs
+
+            fs, rel = pafs.FileSystem.from_uri(path)
+            return fs.open_input_file(rel)
+        return open(path.removeprefix("file://"), "rb")
+
+    def read_jsonl(self, path: str) -> list[dict]:
+        try:
+            with self._open(path) as fh:
+                raw = fh.read()
+        except (FileNotFoundError, OSError) as exc:
+            raise FileNotFoundError(path) from exc
+        return [json.loads(line) for line in raw.splitlines() if line.strip()]
+
+    def read_parquet_actions(self, path: str) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        try:
+            with self._open(path) as fh:
+                table = pq.read_table(fh)
+        except (FileNotFoundError, OSError) as exc:
+            raise FileNotFoundError(path) from exc
+        return table.to_pylist()
+
+    def parquet_schema_names(self, path: str) -> list[str]:
+        """Top-level physical column names present in a parquet footer."""
+        import pyarrow.parquet as pq
+
+        with self._open(path) as fh:
+            return list(pq.read_schema(fh).names)
+
+
+class MetaState:
+    """Resolved snapshot of a Delta table at a version."""
+
+    def __init__(
+        self,
+        delta_path: str,
+        storage_options: Optional[Mapping[str, Any]] = None,
+    ) -> None:
+        self.delta_path = str(delta_path).rstrip("/")
+        self.storage_options = storage_options
+        self.last_metadata: Optional[dict] = None
+        self.protocol: Optional[dict] = None
+        self.add_actions: dict[str, dict] = {}
+        self.last_commit_info: Optional[dict] = None
+        self.version: int = 0
+        self._io = MetadataIO(storage_options)
+
+    # -- folding -----------------------------------------------------
+    def apply_action(self, action: Mapping, version: int) -> None:
+        if action.get("metaData"):
+            self.last_metadata = dict(action["metaData"])
+        if action.get("protocol"):
+            self.protocol = dict(action["protocol"])
+        if action.get("add"):
+            add = action["add"]
+            self.add_actions[add["path"]] = dict(add)
+        if action.get("remove"):
+            self.add_actions.pop(action["remove"]["path"], None)
+        if action.get("commitInfo"):
+            self.last_commit_info = dict(action["commitInfo"])
+        self.version = version
+
+    # -- metadata getters (delta_meta_retrieval.py:153-181) -----------
+    @property
+    def configuration(self) -> dict:
+        if self.last_metadata:
+            return normalize_partition_values(self.last_metadata.get("configuration", {}))
+        return {}
+
+    @property
+    def partition_columns(self) -> Sequence[str]:
+        if self.last_metadata:
+            return self.last_metadata.get("partitionColumns", [])
+        return []
+
+    @property
+    def last_write_time(self) -> datetime:
+        assert self.last_commit_info is not None, "no commitInfo replayed"
+        ts = self.last_commit_info["timestamp"]
+        return datetime.fromtimestamp(ts / 1000.0, timezone.utc)
+
+    @property
+    def schema_json(self) -> Optional[dict]:
+        if self.last_metadata and self.last_metadata.get("schemaString"):
+            return json.loads(self.last_metadata["schemaString"])
+        return None
+
+    @property
+    def schema(self) -> Optional[T.StructType]:
+        if self.last_metadata and self.last_metadata.get("schemaString"):
+            return parse_schema_string(self.last_metadata["schemaString"])
+        return None
+
+    def type_maps(self) -> tuple[dict[str, str], dict[str, str]]:
+        """(logical name -> delta type string, logical -> physical name)."""
+        sj = self.schema_json or {"fields": []}
+        type_map: dict[str, str] = {}
+        l2p: dict[str, str] = {}
+        for f in sj["fields"]:
+            t = f["type"]
+            type_map[f["name"]] = t if isinstance(t, str) else t.get("type", "string")
+            l2p[f["name"]] = f.get("metadata", {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+        return type_map, l2p
+
+    def get_add_actions_filtered(
+        self, conditions: Optional[FilterType] = None, limit: Optional[int] = None
+    ):
+        from .filters import normalize_conditions
+
+        type_map, l2p = self.type_maps()
+        yield from iter_add_actions_filtered(
+            self.add_actions.values(), normalize_conditions(conditions),
+            type_map, l2p, limit
+        )
+
+    def file_uri(self, add_action: Mapping) -> str:
+        path = add_action["path"]
+        if "://" in path:
+            return path  # absolute path add-action
+        from urllib.parse import unquote
+
+        return self.delta_path + "/" + unquote(path)
+
+    # -- incremental advancement (delta_meta_retrieval.py:183-201) ----
+    def update_incremental(self, up_to_version: Optional[int] = None) -> None:
+        current = self.version + 1
+        while up_to_version is None or current <= up_to_version:
+            commit = f"{self.delta_path}/{_LOG_DIR}/{_commit_name(current)}.json"
+            try:
+                actions = self._io.read_jsonl(commit)
+            except FileNotFoundError:
+                break
+            for action in actions:
+                self.apply_action(action, current)
+            current += 1
+
+    # -- parallel footer probe (replaces the reference's serial
+    #    per-file `parquet_schema` roundtrips, duckdb.py:457-459) ------
+    def probe_file_columns(self, paths: Sequence[str], max_workers: int = 16) -> dict[str, tuple[str, ...]]:
+        result: dict[str, tuple[str, ...]] = {}
+        lock = threading.Lock()
+
+        def probe(p: str) -> None:
+            names = tuple(self._io.parquet_schema_names(p))
+            with lock:
+                result[p] = names
+
+        if len(paths) <= 1:
+            for p in paths:
+                probe(p)
+        else:
+            with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+                list(ex.map(probe, paths))
+        return result
+
+
+def get_meta(
+    delta_path: str,
+    storage_options: Optional[Mapping[str, Any]] = None,
+    version: Optional[int] = None,
+) -> MetaState:
+    """Replay the log into a MetaState, optionally time-traveling.
+
+    Bootstrap order: ``_last_checkpoint`` JSON -> ``N.checkpoint.parquet``
+    -> remaining JSON commits.  Time travel to a version older than the
+    last checkpoint restarts at ``v - v % 10`` (most engines write
+    checkpoints every 10 versions); a missing checkpoint parquet falls
+    back to full replay from version 0.
+    """
+    state = MetaState(delta_path, storage_options)
+    io = state._io
+    base = state.delta_path
+    try:
+        last_cp = io.read_jsonl(f"{base}/{_LOG_DIR}/_last_checkpoint")[0]
+    except (FileNotFoundError, IndexError):
+        last_cp = None
+
+    start_version = 0
+    if last_cp:
+        cp_version = last_cp.get("version", 0)
+        if version is not None and version < cp_version:
+            cp_version = version - version % 10
+        try:
+            cp_file = f"{base}/{_LOG_DIR}/{_commit_name(cp_version)}.checkpoint.parquet"
+            for action in io.read_parquet_actions(cp_file):
+                state.apply_action(action, cp_version)
+            start_version = cp_version + 1
+        except FileNotFoundError:
+            start_version = 0
+
+    current = start_version
+    while version is None or current <= version:
+        commit = f"{base}/{_LOG_DIR}/{_commit_name(current)}.json"
+        try:
+            actions = io.read_jsonl(commit)
+        except FileNotFoundError:
+            break
+        for action in actions:
+            state.apply_action(action, current)
+        current += 1
+    if state.protocol is None and state.last_metadata is None:
+        raise FileNotFoundError(
+            f"no Delta log found at {base}/{_LOG_DIR} (not a Delta table?)"
+        )
+    return state
+
+
+__all__ = ["MetaState", "MetadataIO", "get_meta", "physical_name"]

@@ -1,0 +1,49 @@
+"""Delta reader-protocol feature gate.
+
+Reference parity: ``deltalake2db/protocol_check.py:7-44`` — tables with
+``minReaderVersion <= 3`` are always accepted; above that, every entry in
+``readerFeatures`` must be in the supported list (notably absent:
+``deletionVectors``, ``v2Checkpoint``).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .meta import MetaState
+
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
+    {
+        "columnMapping",
+        "timestampNtz",
+        "typeWidening",
+        "vacuumProtocolCheck",
+    }
+)
+
+
+class DeltaProtocolError(Exception):
+    """Raised when a table requires reader features we do not implement."""
+
+
+def unsupported_features(state: "MetaState") -> list[str]:
+    protocol = state.protocol
+    if protocol is None:
+        raise DeltaProtocolError("table has no protocol action")
+    if protocol.get("minReaderVersion", 1) <= 3:
+        return []
+    features = protocol.get("readerFeatures") or []
+    return [f for f in features if f not in SUPPORTED_READER_FEATURES]
+
+
+def is_protocol_supported(state: "MetaState") -> bool:
+    return not unsupported_features(state)
+
+
+def check_is_supported(state: "MetaState") -> None:
+    bad = unsupported_features(state)
+    if bad:
+        raise DeltaProtocolError(
+            "Delta table requires unsupported reader features: " + ", ".join(sorted(bad))
+        )

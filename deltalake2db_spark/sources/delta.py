@@ -1,0 +1,245 @@
+"""``scan_delta`` — Delta Lake table -> PySpark DataFrame.
+
+The Spark-first replacement for the reference's two execution backends
+(``deltalake2db/duckdb.py:374-623`` / ``deltalake2db/polars.py:361-559``).
+Same public surface: ``conditions`` / ``select`` / ``exclude`` /
+``distinct`` / ``limit`` / ``version`` / ``action_filter`` /
+``storage_options``.
+
+Scale design (vs the reference's one-SELECT-per-file UNION ALL,
+``deltalake2db/sql_utils.py:33-43``):
+
+ * files are grouped by **partition tuple**, one ``spark.read.parquet``
+   per group — missing columns (schema evolution) come back as typed
+   NULLs from the explicit read schema, so per-file select lists are
+   unnecessary and the plan is O(distinct partition tuples), not O(files);
+ * above ``JOIN_STRATEGY_THRESHOLD`` distinct tuples the scan switches to
+   a single multi-path read + ``input_file_name()`` broadcast-joined
+   against a driver-built file->partition-values map — plan size O(1) in
+   file count, which is what survives 1e5 files / 100 TB;
+ * row-level predicates are applied with ``df.filter`` so Catalyst pushes
+   them into the parquet scan (min/max row-group skipping stacks on top
+   of the driver-side add-action pruning).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Any, Callable, Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.exprs import (
+    compile_conditions,
+    partition_tuple,
+    quote_name,
+    select_exprs_for_group,
+)
+from ..plans.filters import (
+    FilterType,
+    FilterTypeOld,
+    decode_partition_value,
+    normalize_conditions,
+    normalize_partition_values,
+)
+from ..plans.meta import MetaState, get_meta
+from ..plans.protocol import check_is_supported
+from ..plans.types import delta_type_name, to_physical_schema
+
+JOIN_STRATEGY_THRESHOLD = 64
+
+PathOrState = Union[str, MetaState]
+
+
+def _resolve_state(
+    table: PathOrState,
+    storage_options: Optional[Mapping[str, Any]],
+    version: Optional[int],
+) -> MetaState:
+    if isinstance(table, MetaState):
+        return table
+    return get_meta(str(table), storage_options=storage_options, version=version)
+
+
+def get_spark_schema(
+    table: PathOrState,
+    physical: bool = False,
+    storage_options: Optional[Mapping[str, Any]] = None,
+    version: Optional[int] = None,
+) -> T.StructType:
+    """Logical (or physical) schema of a Delta table.
+
+    Parity: ``get_polars_schema`` (``deltalake2db/polars.py:226-263``).
+    """
+    state = _resolve_state(table, storage_options, version)
+    check_is_supported(state)
+    schema = state.schema
+    if schema is None:
+        raise ValueError(f"no metaData action found in {state.delta_path}")
+    return to_physical_schema(schema) if physical else schema
+
+
+def scan_delta(
+    spark: SparkSession,
+    table: PathOrState,
+    conditions: Union[FilterType, FilterTypeOld, None] = None,
+    select: Optional[Sequence[str]] = None,
+    exclude: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+    limit: Optional[int] = None,
+    version: Optional[int] = None,
+    storage_options: Optional[Mapping[str, Any]] = None,
+    action_filter: Optional[Callable[[dict], bool]] = None,
+) -> DataFrame:
+    """Scan a Delta table into a DataFrame honoring the Delta protocol:
+    column mapping, schema evolution, partition-value typing, stats
+    skipping, time travel, protocol gating.
+
+    Parity: ``scan_delta_union`` (``deltalake2db/polars.py:361-559``) and
+    ``get_sql_for_delta_expr`` (``deltalake2db/duckdb.py:374-557``).
+    """
+    state = _resolve_state(table, storage_options, version)
+    check_is_supported(state)
+    logical_schema = state.schema
+    if logical_schema is None:
+        raise ValueError(f"no metaData action found in {state.delta_path}")
+
+    conds = normalize_conditions(conditions)
+    _, l2p = state.type_maps()
+    partition_cols = list(state.partition_columns)
+    partition_phys = [l2p.get(c, c) for c in partition_cols]
+
+    actions = list(state.get_add_actions_filtered(conds, limit))
+    if action_filter is not None:
+        actions = [a for a in actions if action_filter(a)]
+
+    # physical read schema: table columns as stored in parquet, minus
+    # partition columns (those live only in partitionValues metadata)
+    phys_schema = to_physical_schema(logical_schema)
+    phys_partition = set(partition_phys)
+    read_schema = T.StructType(
+        [f for f in phys_schema.fields if f.name not in phys_partition]
+    )
+
+    if not actions:
+        # C7: zero live files => typed empty relation
+        df = spark.createDataFrame([], schema=logical_schema)
+    else:
+        groups: dict[tuple, list[dict]] = {}
+        for a in actions:
+            groups.setdefault(partition_tuple(a, partition_phys), []).append(a)
+        if not partition_cols or len(groups) <= JOIN_STRATEGY_THRESHOLD:
+            df = _scan_grouped(spark, state, groups, read_schema, logical_schema,
+                               partition_cols, l2p)
+        else:
+            df = _scan_filejoin(spark, state, actions, read_schema, logical_schema,
+                                partition_cols, partition_phys, l2p)
+
+    pred = compile_conditions(conds)
+    if pred is not None:
+        df = df.filter(pred)
+    if select:
+        df = df.select(*[quote_name(c) for c in select])
+    if exclude:
+        df = df.drop(*list(exclude))
+    if distinct:
+        df = df.distinct()
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def _scan_grouped(
+    spark: SparkSession,
+    state: MetaState,
+    groups: Mapping[tuple, list[dict]],
+    read_schema: T.StructType,
+    logical_schema: T.StructType,
+    partition_cols: Sequence[str],
+    l2p: Mapping[str, str],
+) -> DataFrame:
+    """One multi-path read per distinct partition tuple; unionByName.
+
+    ``unionByName`` of scans introduces no shuffle — the plan stays
+    embarrassingly parallel exactly like the reference's UNION ALL.
+    """
+    parts: list[DataFrame] = []
+    for ptuple, acts in groups.items():
+        paths = [state.file_uri(a) for a in acts]
+        pv = normalize_partition_values(acts[0].get("partitionValues", {}))
+        raw = spark.read.schema(read_schema).parquet(*paths)
+        exprs = select_exprs_for_group(logical_schema, partition_cols, pv, l2p)
+        parts.append(raw.select(*exprs))
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _scan_filejoin(
+    spark: SparkSession,
+    state: MetaState,
+    actions: Sequence[dict],
+    read_schema: T.StructType,
+    logical_schema: T.StructType,
+    partition_cols: Sequence[str],
+    partition_phys: Sequence[str],
+    l2p: Mapping[str, str],
+) -> DataFrame:
+    """Single read of all files + broadcast join on basename to attach
+    typed partition values — O(1) plan size in file count."""
+    FILE_KEY = "__dl2db_file_key"
+    map_fields = [T.StructField(FILE_KEY, T.StringType(), False)]
+    logical_by_name = {f.name: f for f in logical_schema.fields}
+    for c in partition_cols:
+        map_fields.append(
+            T.StructField(c, logical_by_name[c].dataType, True)
+        )
+    rows = []
+    for a in actions:
+        pv = normalize_partition_values(a.get("partitionValues", {}))
+        basename = state.file_uri(a).rsplit("/", 1)[-1]
+        decoded = [
+            decode_partition_value(
+                pv.get(p), delta_type_name(logical_by_name[c].dataType)
+            )
+            for c, p in zip(partition_cols, partition_phys)
+        ]
+        rows.append((basename, *decoded))
+    part_map = spark.createDataFrame(rows, schema=T.StructType(map_fields))
+
+    paths = [state.file_uri(a) for a in actions]
+    raw = spark.read.schema(read_schema).parquet(*paths).withColumn(
+        FILE_KEY, F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    joined = raw.join(F.broadcast(part_map), FILE_KEY, "left")
+    exprs: list[Column] = []
+    for field in logical_schema.fields:
+        if field.name in partition_cols:
+            exprs.append(F.col(quote_name(field.name)))
+        else:
+            phys = l2p.get(field.name, field.name)
+            from ..plans.exprs import rewrite_expr
+
+            exprs.append(
+                rewrite_expr(F.col(quote_name(phys)), field.dataType).alias(field.name)
+            )
+    return joined.select(*exprs)
+
+
+def create_view_for_delta(
+    spark: SparkSession,
+    table: PathOrState,
+    view_name: str,
+    storage_options: Optional[Mapping[str, Any]] = None,
+    version: Optional[int] = None,
+    **scan_kwargs: Any,
+) -> None:
+    """Register the scan as a temp view (parity:
+    ``duckdb_create_view_for_delta``, ``deltalake2db/duckdb.py:340-371``,
+    including the quote-injection rejection at line 367)."""
+    if '"' in view_name or "`" in view_name:
+        raise ValueError("view name must not contain quote characters")
+    df = scan_delta(
+        spark, table, storage_options=storage_options, version=version, **scan_kwargs
+    )
+    df.createOrReplaceTempView(view_name)

@@ -1,0 +1,96 @@
+"""Metadata planner tests — goldens mirror the reference's
+``tests/test_meta.py`` (pruning counts, stats skipping, limit pushdown)."""
+
+from __future__ import annotations
+
+from datetime import date, timezone
+
+from deltalake2db_spark import get_meta
+from deltalake2db_spark.plans.protocol import is_protocol_supported
+
+
+def test_meta_basics(user_table):
+    m = get_meta(user_table)
+    assert m.version == 0
+    assert len(m.add_actions) == 1
+    assert m.partition_columns == []
+    assert m.last_write_time.tzinfo == timezone.utc
+    assert is_protocol_supported(m)
+    schema = m.schema
+    assert schema is not None
+    assert [f.name for f in schema.fields][:3] == ["User - iD", "FirstName", "LastName"]
+
+
+def test_filtering_partition_values(partition_values_table):
+    """Golden pruning counts from the reference tests/test_meta.py:31-79."""
+    m = get_meta(partition_values_table)
+
+    def n(conds=None):
+        return len(list(m.get_add_actions_filtered(conds)))
+
+    assert n() == 3
+    assert n([("as_date", "=", date.fromisoformat("2021-09-08"))]) == 2
+    assert n([("as_date", "<>", date.fromisoformat("2021-09-08"))]) == 1
+    assert n([("as_date", "=", date.fromisoformat("2025-09-08"))]) == 0
+    assert n([("as_string", "=", None)]) == 1
+    assert n([("as_string", "in", [None, "0asdf2"])]) == 1
+    assert n([("as_string", "=", "0asfd")]) == 0
+    assert n([("as_string", "<>", "0asfd")]) == 3
+    assert n([("as_string", "<>", None)]) == 2
+    assert n([("as_int", ">=", "-1")]) == 2  # string coercion keeps non-null files
+    assert n([("as_int", ">", 0)]) == 1
+    assert n([("as_int", ">", 1)]) == 0
+    assert n([("as_int", ">=", 1)]) == 1
+    # legacy dict form
+    assert n({"as_string": "1"}) == 1
+
+
+def test_stats_skipping(stats_table):
+    m = get_meta(stats_table)
+    # orphan parquet file on disk must not appear in table state
+    assert len(m.add_actions) == 1
+    assert len(list(m.get_add_actions_filtered())) == 1
+    assert len(list(m.get_add_actions_filtered([("as_int", "=", 0)]))) == 1
+    assert len(list(m.get_add_actions_filtered([("as_int", "=", 2)]))) == 0
+
+
+def test_limit_pushdown(stats_table):
+    m = get_meta(stats_table)
+    # limit accumulator checks AFTER yielding => at least one file
+    assert len(list(m.get_add_actions_filtered(None, limit=0))) == 1
+    assert len(list(m.get_add_actions_filtered([], limit=0))) == 1
+
+
+def test_checkpoint_replay_and_time_travel(cluster_table):
+    m = get_meta(cluster_table)
+    assert m.version == 14
+    # v0 file removed at v5; adds at v0..v14 => 15 adds - 1 remove
+    assert len(m.add_actions) == 14
+    assert m.configuration["delta.columnMapping.mode"] == "name"
+
+    # time travel past the checkpoint (replays cp@10 + commits 11..12)
+    m12 = get_meta(cluster_table, version=12)
+    assert m12.version == 12
+    assert len(m12.add_actions) == 12
+
+    # time travel before the checkpoint: v-v%10=0 checkpoint missing
+    # => full JSON replay from 0
+    m5 = get_meta(cluster_table, version=5)
+    assert m5.version == 5
+    assert len(m5.add_actions) == 5  # 6 adds, 1 removed
+
+    # update_incremental advances a stale snapshot to head
+    m5.update_incremental()
+    assert m5.version == 14
+    assert len(m5.add_actions) == 14
+
+
+def test_checkpoint_entry_list_partition_values(cluster_table):
+    m = get_meta(cluster_table, version=10)
+    # checkpoint-era adds carry partitionValues as {key,value} lists;
+    # normalization must expose them as dicts
+    from deltalake2db_spark.plans.filters import normalize_partition_values
+
+    for a in m.add_actions.values():
+        pv = normalize_partition_values(a.get("partitionValues"))
+        assert isinstance(pv, dict) and len(pv) == 1

@@ -1,0 +1,193 @@
+"""End-to-end scan tests — goldens mirror the reference's
+``tests/test_duckdb.py`` / ``tests/test_polars.py`` fixture expectations."""
+
+from __future__ import annotations
+
+import decimal
+from datetime import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from deltalake2db_spark import get_spark_schema, scan_delta, create_view_for_delta
+
+USER_COLS = [
+    "User - iD", "FirstName", "LastName", "Age", "companyid", "time stämp",
+    "__timestamp", "__is_deleted", "__is_full_load",
+]
+
+
+def test_user_golden(spark, user_table):
+    df = scan_delta(spark, user_table)
+    assert df.columns == USER_COLS
+    rows = sorted(df.collect(), key=lambda r: r["User - iD"])
+    assert [r["FirstName"] for r in rows] == ["John", "Peter", "Petra"]
+    assert rows[1]["Age"] == decimal.Decimal("23.000")
+    assert rows[0]["__timestamp"] == datetime(2024, 3, 13, 13, 11, 25, 423333)
+    # schema types incl. unicode name + decimal + ntz
+    st = {f.name: f.dataType for f in df.schema.fields}
+    assert st["Age"] == T.DecimalType(15, 3)
+    assert st["time stämp"] == T.LongType()
+    assert st["__timestamp"] == T.TimestampNTZType()
+
+
+def test_user_filters(spark, user_table):
+    df = scan_delta(spark, user_table, conditions=[("Age", "=", decimal.Decimal("23.0"))])
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["FirstName"] == "Peter"
+
+    df = scan_delta(spark, user_table,
+                    conditions=[("FirstName", "in", ["Peter", "Hans-Jürg"])])
+    assert df.count() == 1
+    df = scan_delta(spark, user_table,
+                    conditions=[("FirstName", "not in", ["Peter", "Petra"])])
+    assert {r["FirstName"] for r in df.collect()} == {"John"}
+
+    # filtered-empty result keeps identical schema
+    df = scan_delta(spark, user_table, conditions=[("Age", "=", decimal.Decimal("99.0"))])
+    assert df.count() == 0
+    assert df.columns == USER_COLS
+
+    # legacy dict conditions
+    df = scan_delta(spark, user_table, conditions={"FirstName": "Petra"})
+    assert df.count() == 1
+
+    # select / exclude / limit / distinct
+    df = scan_delta(spark, user_table, select=["FirstName", "time stämp"])
+    assert df.columns == ["FirstName", "time stämp"]
+    df = scan_delta(spark, user_table, exclude=["__timestamp"])
+    assert "__timestamp" not in df.columns
+    assert scan_delta(spark, user_table, limit=2).count() == 2
+    df = scan_delta(spark, user_table, select=["companyid"], distinct=True)
+    assert df.count() == 1
+
+
+def test_empty_table(spark, user_empty_table):
+    df = scan_delta(spark, user_empty_table)
+    assert df.count() == 0
+    assert df.columns == USER_COLS
+    st = {f.name: f.dataType for f in df.schema.fields}
+    assert st["Age"] == T.DecimalType(15, 3)
+
+
+def test_view(spark, user_table):
+    create_view_for_delta(spark, user_table, "user_v")
+    assert spark.sql("select count(*) n from user_v").collect()[0]["n"] == 3
+    with pytest.raises(ValueError):
+        create_view_for_delta(spark, user_table, 'bad"name')
+
+
+def test_faker2_schema_and_rows(spark, faker2_table):
+    df = scan_delta(spark, faker2_table)
+    assert df.columns == [
+        "Super Name", "Company Very Short", "main_coord", "coords", "age", "new_name",
+    ]
+    st = {f.name: f.dataType for f in df.schema.fields}
+    assert st["main_coord"] == T.StructType([
+        T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType()),
+    ])
+    assert isinstance(st["coords"], T.ArrayType)
+    assert st["coords"].elementType.fieldNames() == ["lat", "lon"]
+    rows = df.collect()
+    assert len(rows) == 6
+    by_company: dict = {}
+    for r in rows:
+        by_company.setdefault(r["Company Very Short"], []).append(r)
+    assert len(by_company["BMS"]) == 4
+    assert len(by_company["Other Inc"]) == 1
+    assert len(by_company[None]) == 1
+
+
+def test_faker2_null_struct_preserved(spark, faker2_table):
+    """NULL struct must stay NULL, not become a struct of NULLs
+    (reference tests/test_duckdb.py:217-239)."""
+    df = scan_delta(spark, faker2_table, conditions=[("new_name", "=", "Hans Heiri")])
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["Super Name"] == "hans"
+    assert r["main_coord"] is None
+    assert r["coords"] is None
+    assert r["age"] is None
+
+
+def test_faker2_schema_evolution_backfill(spark, faker2_table):
+    # files written before v2 lack new_name -> typed NULL backfill
+    df = scan_delta(spark, faker2_table, conditions=[("Company Very Short", "=", "Other Inc")])
+    rows = df.collect()
+    assert rows[0]["new_name"] is None
+
+
+def test_faker2_partition_pruning_matches_rows(spark, faker2_table):
+    df = scan_delta(spark, faker2_table, conditions=[("Company Very Short", "=", "BMS")])
+    assert df.count() == 4
+    df = scan_delta(spark, faker2_table, conditions=[("Company Very Short", "=", None)])
+    assert df.count() == 1
+
+
+def test_faker2_time_travel(spark, faker2_table):
+    df0 = scan_delta(spark, faker2_table, version=0)
+    assert "new_name" not in df0.columns
+    assert df0.count() == 3
+    df2 = scan_delta(spark, faker2_table, version=2)
+    assert "new_name" in df2.columns
+    assert df2.count() == 3
+
+
+def test_get_spark_schema(spark, faker2_table):
+    logical = get_spark_schema(faker2_table)
+    assert logical.fieldNames()[0] == "Super Name"
+    physical = get_spark_schema(faker2_table, physical=True)
+    assert all(n.startswith("col-") for n in physical.fieldNames())
+
+
+def test_partition_values_typed(spark, partition_values_data_table):
+    df = scan_delta(spark, partition_values_data_table)
+    st = {f.name: f.dataType for f in df.schema.fields}
+    assert st["as_int"] == T.IntegerType()
+    assert st["as_date"] == T.DateType()
+    assert st["as_big_decimal"] == T.DecimalType(1, 0)
+    rows = {r["value"]: r for r in df.collect()}
+    assert rows["0"]["as_int"] == 0 and rows["2"]["as_int"] == 1
+    assert rows["1"]["as_int"] is None  # genuinely-null partition
+    assert rows["0"]["as_string_lit_null"] == "null"  # literal string survives
+    assert rows["0"]["as_date"].isoformat() == "2021-09-08"
+    # session tz pinned to UTC => collected naive datetime IS the UTC instant
+    assert rows["0"]["as_timestamp"] == datetime.fromisoformat("2021-09-08 11:11:11")
+    assert rows["0"]["as_nested_struct"]["ac"]["acb"] == 0
+
+    # pruning + row filter agree
+    df = scan_delta(spark, partition_values_data_table, conditions=[("as_int", ">", 0)])
+    assert df.count() == 1
+
+
+def test_cluster_scan_after_checkpoint(spark, cluster_table):
+    df = scan_delta(spark, cluster_table)
+    assert df.count() == 14
+    assert {r["Cluster Nr"] for r in df.select("`Cluster Nr`").collect()} == {
+        f"N{i}" for i in range(1, 15)
+    }
+    nested = df.select("__metadata.inserted").first()
+    assert nested[0] is not None
+
+
+def test_protocol_gate(spark, user_table, tmp_path):
+    import json, shutil
+
+    bad = tmp_path / "bad_proto"
+    shutil.copytree(user_table, bad)
+    log = bad / "_delta_log" / "00000000000000000000.json"
+    lines = log.read_text().splitlines()
+    out = []
+    for ln in lines:
+        d = json.loads(ln)
+        if "protocol" in d:
+            d["protocol"]["minReaderVersion"] = 4
+            d["protocol"]["readerFeatures"] = ["deletionVectors"]
+        out.append(json.dumps(d))
+    log.write_text("\n".join(out))
+
+    from deltalake2db_spark import DeltaProtocolError
+
+    with pytest.raises(DeltaProtocolError):
+        scan_delta(spark, str(bad))

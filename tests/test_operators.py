@@ -1,0 +1,208 @@
+"""Extension-operator tests: dedup, similarity, text, as-of, multimodal,
+incremental streaming."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from deltalake2db_spark.operators import dedup as D
+from deltalake2db_spark.operators import similarity as S
+from deltalake2db_spark.operators import text as X
+from deltalake2db_spark.operators.asof import asof_join, asof_join_union
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),   # near dup of 1
+        (4, "completely different text about spark engines"),
+        (5, "  The   quick brown fox jumps over the lazy dog "),  # ws/case dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    groups = D.exact_dedup_groups(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert by_keep[1] == 3  # 1, 2, 5 normalize identically
+    assert by_keep[3] == 1 and by_keep[4] == 1
+    survivors = D.exact_dedup(docs)
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3, 4]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0 and pairs[(2, 5)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             D.minhash_lsh_pairs(docs, n=2, num_hashes=32, bands=16, threshold=0.5).collect()}
+    # exact dups collide in every band; near dup should appear too
+    assert (1, 2) in pairs and (1, 5) in pairs
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+    h13 = bin((fp[1] ^ fp[3]) & ((1 << 64) - 1)).count("1")
+    h14 = bin((fp[1] ^ fp[4]) & ((1 << 64) - 1)).count("1")
+    assert h13 < h14  # near dup closer than unrelated text
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_pairs(docs, max_hamming=20).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_similarity_topk_matches_bruteforce(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)], i % 2) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = emb.filter(F.col("vec_id") < 3)
+    arrow = S.brute_force_topk(emb, q, k=4, impl="arrow").collect()
+    column = S.brute_force_topk(emb, q, k=4, impl="column").collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([(r["query_id"], r["rank"], r["vec_id"], r["sim"]) for r in arrow]) == sorted(
+        [(r["query_id"], r["rank"], r["vec_id"], r["sim"]) for r in column]
+    )
+
+
+def test_neardup_blocked_impls_agree(spark):
+    import random
+
+    rnd = random.Random(9)
+    base = [rnd.gauss(0, 1) for _ in range(8)]
+    rows = []
+    for i in range(30):
+        if i % 10 == 0:
+            v = [x + rnd.gauss(0, 0.01) for x in base]  # near-dup cluster
+        else:
+            v = [rnd.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v, i % 3))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    a = {(r["id_a"], r["id_b"]) for r in
+         S.neardup_pairs_blocked(emb, threshold=0.9, block_col="label", impl="arrow").collect()}
+    c = {(r["id_a"], r["id_b"]) for r in
+         S.neardup_pairs_blocked(emb, threshold=0.9, block_col="label", impl="column").collect()}
+    assert a == c
+    assert (0, 30 - 30 % 10) not in a  # sanity: only same-label pairs
+    assert all(x % 3 == y % 3 for x, y in a)
+
+
+def test_ivf_index(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, centroids = S.ivf_index(emb, n_centroids=4, iters=2)
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells.issubset(set(range(4))) and len(cells) > 1
+    assert len(centroids) == 4 and len(centroids[0]) == 8
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox."), (2, ""), (3, "der die das und ist")],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("tc"),
+        X.lang_id(F.col("text")).alias("lang"),
+        X.quality_score(F.col("text")).alias("q"),
+        X.doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["tc"] == 4
+    assert rows[2]["tc"] == 0
+    assert rows[1]["lang"] == "en"
+    assert rows[3]["lang"] == "de"
+    assert rows[2]["q"] == 0
+    assert isinstance(rows[1]["fp"], int)
+
+
+def test_asof_join_impls_agree(spark):
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 5), "e1"), (1, datetime(2024, 1, 1), "e2"),
+         (2, datetime(2024, 1, 3), "e3"), (3, datetime(2024, 1, 3), "e4")],
+        ["key", "lts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2), 10.0), (1, datetime(2024, 1, 4), 20.0),
+         (2, datetime(2024, 1, 3), 30.0)],
+        ["key", "rts", "val"],
+    )
+    u = asof_join_union(left, right, "key", "lts", "rts", ["val"], right_tiebreak="val")
+    j = asof_join(left, right, "key", "lts", "rts", ["val"])
+    ru = {(r["key"], r["lts"]): r["val"] for r in u.collect()}
+    rj = {(r["key"], r["lts"]): r["val"] for r in j.collect()}
+    assert ru == rj
+    from datetime import datetime as dt
+
+    assert ru[(1, dt(2024, 1, 5))] == 20.0
+    assert ru[(1, dt(2024, 1, 1))] is None      # no right row yet
+    assert ru[(2, dt(2024, 1, 3))] == 30.0      # <= includes equal ts
+    assert ru[(3, dt(2024, 1, 3))] is None      # key never appears right
+
+
+def test_multimodal_features(spark):
+    from deltalake2db_spark.operators import multimodal as M
+
+    media = M.make_fake_media(spark, 30)
+    stats = {(r["kind"], r["mime"]): r["n"] for r in M.media_stats(media).collect()}
+    assert stats[("image", "image/png")] == 10
+    feats = M.extract_image_features(media).collect()
+    assert len(feats) == 10
+    assert all(f["n_px"] > 0 for f in feats)
+    # deterministic across runs
+    feats2 = M.extract_image_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+
+
+def test_incremental_stream(spark, tmp_path):
+    import pyarrow as pa
+
+    from deltalake2db_spark.sources.delta_writer import DeltaWriter, write_simple_delta
+    from deltalake2db_spark.streaming.incremental import DeltaSnapshotStream
+
+    t = pa.table({"id": [1, 2, 3], "v": ["a", "b", "c"]})
+    w = write_simple_delta(str(tmp_path / "t"), t)
+    stream = DeltaSnapshotStream(spark, str(tmp_path / "t"))
+    assert stream.initial().count() == 3
+    assert stream.poll() is None
+    w.commit([w.add_data_file(pa.table({"id": [4, 5], "v": ["d", "e"]}))])
+    delta = stream.poll()
+    assert delta is not None
+    assert sorted(r["id"] for r in delta.collect()) == [4, 5]
+    assert stream.poll() is None
+
+
+def test_windowed_event_counts_batch(spark):
+    from datetime import datetime
+
+    from deltalake2db_spark.streaming.incremental import windowed_event_counts
+
+    events = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10, 15), "click", 1.0),
+         (datetime(2024, 1, 1, 10, 45), "click", 2.0),
+         (datetime(2024, 1, 1, 11, 5), "view", 3.0)],
+        ["ts", "event_type", "value"],
+    )
+    out = {(str(r["window_start"]), r["event_type"]): r["n_events"]
+           for r in windowed_event_counts(events).collect()}
+    assert out[("2024-01-01 10:00:00", "click")] == 2
+    assert out[("2024-01-01 11:00:00", "view")] == 1

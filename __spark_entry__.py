@@ -280,6 +280,64 @@ def _roundtrip_path(sf_dir: str) -> str:
     return path
 
 
+def _versioned_path(sf_dir: str) -> str:
+    """Two-commit Delta table: v0 = lineitem rows with l_linenumber=1,
+    v1 appends the rest — the time-travel gate."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/lineitem_versions"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from deltalake2db_spark.sources.delta_writer import (
+            DeltaWriter,
+            write_simple_delta,
+        )
+
+        table = pq.read_table(f"{sf_dir}/lineitem.parquet")
+        first = table.filter(pc.equal(table.column("l_linenumber"), 1))
+        rest = table.filter(pc.not_equal(table.column("l_linenumber"), 1))
+        w = write_simple_delta(path, first)
+        w.commit([w.add_data_file(rest)])
+    return path
+
+
+def _mapped_path(sf_dir: str) -> str:
+    """customer table re-written with delta.columnMapping.mode=name:
+    parquet stores col-NN physical names; the scan must restore the
+    logical names — the column-mapping gate."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/customer_mapped"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        import pyarrow.parquet as pq
+
+        from deltalake2db_spark.sources.delta_writer import (
+            DeltaWriter,
+            make_column_mapped_schema,
+        )
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        table = pq.read_table(f"{sf_dir}/customer.parquet")
+        schema_json = make_column_mapped_schema(
+            from_arrow_schema(table.schema).jsonValue()
+        )
+        phys_names = [
+            f["metadata"]["delta.columnMapping.physicalName"]
+            for f in schema_json["fields"]
+        ]
+        w = DeltaWriter(path)
+        w.commit([
+            w.protocol_action(2, 5),
+            w.metadata_action(
+                schema_json,
+                configuration={"delta.columnMapping.mode": "name",
+                               "delta.columnMapping.maxColumnId": str(len(phys_names))},
+            ),
+            w.add_data_file(table.rename_columns(phys_names)),
+        ])
+    return path
+
+
 def q_delta_scan_roundtrip(spark, sf_dir):
     """lineitem -> our Delta writer (partitioned) -> scan_delta with a
     partition-pruning condition -> aggregate.  Exercises log replay,
@@ -292,6 +350,32 @@ def q_delta_scan_roundtrip(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
+    )
+
+
+def q_delta_time_travel(spark, sf_dir):
+    """scan_delta(version=0) must see only the first commit's rows."""
+    path = _versioned_path(sf_dir)
+    df = scan_delta(spark, path, version=0)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_delta_column_mapping(spark, sf_dir):
+    """Column-mapped table (physical col-NN parquet names) scanned back
+    to logical names, with select + row filter through the mapping."""
+    path = _mapped_path(sf_dir)
+    df = scan_delta(
+        spark, path,
+        conditions=[("c_mktsegment", "in", ["BUILDING", "MACHINERY"])],
+        select=["c_custkey", "c_name", "c_mktsegment", "c_acctbal"],
+    )
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        F.min("c_name").alias("first_name"),
     )
 
 
@@ -353,9 +437,18 @@ def q_cosine_neardup(spark, sf_dir):
 
 # rows-only (non-SQL-expressible approximations): LSH family
 def q_minhash_lsh(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    """MinHash-LSH at its design point (j >= 0.5): the corpus has no
+    natural near-dups, so plant one per doc (doc_id+10^6, first word
+    dropped) and recover the planted pairs.  4-row bands keep noise
+    candidates ~zero while catching j~0.9 pairs with high probability."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = d.unionByName(perturbed)
     return D.minhash_lsh_pairs(
-        d, n=2, num_hashes=32, bands=16, threshold=0.05, max_bucket=200
+        corpus, n=2, num_hashes=64, bands=16, threshold=0.5, max_bucket=200
     )
 
 
@@ -386,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_events_orders": q_asof_events_orders,
         "q_json_props": q_json_props,
         "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
+        "q_delta_time_travel": q_delta_time_travel,
+        "q_delta_column_mapping": q_delta_column_mapping,
         "q_dedup_exact": q_dedup_exact,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -627,6 +722,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_returnflag = 'R'
             GROUP BY l_linestatus
+        """,
+        "q_delta_time_travel": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_linenumber = 1
+            GROUP BY l_returnflag
+        """,
+        "q_delta_column_mapping": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(sum(c_acctbal), 2) AS sum_bal,
+                   min(c_name) AS first_name
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+            GROUP BY c_mktsegment
         """,
         "q_dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

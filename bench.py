@@ -53,6 +53,10 @@ def main() -> None:
         print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    oracle_names = set(entry.oracle_sql())
+    oracle_total = round(
+        sum(t for n, t in times.items() if t >= 0 and n in oracle_names), 3
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -62,6 +66,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # subtotal of the queries the DuckDB oracle also runs —
+                # the apples-to-apples number vs a DuckDB baseline
+                "oracle_subtotal_sec": oracle_total,
             }
         )
     )

@@ -153,7 +153,31 @@ def can_skip_file(
             part_values = normalize_partition_values(action.get("partitionValues", {}))
             if phys in part_values:
                 pv = part_values.get(phys)
-                if op == "=":
+                # float/double partitions compare NUMERICALLY: the
+                # serialized string form is writer-dependent ("1e-07" vs
+                # "1.0E-7"), and a string mismatch would wrongly prune a
+                # matching file (deliberate fix over the reference, which
+                # passes floats through serialization unchanged)
+                numeric = delta_type in ("float", "double")
+                if numeric and pv is not None and op in ("=", "<>", "in", "not in"):
+                    decoded_pv = float(pv)
+                    if op == "=":
+                        if value is None or decoded_pv != float(value):
+                            return True
+                    elif op == "<>":
+                        if value is not None and decoded_pv == float(value):
+                            return True
+                    elif op == "in":
+                        if not any(
+                            v is not None and decoded_pv == float(v) for v in value
+                        ):
+                            return True
+                    elif op == "not in":
+                        if any(
+                            v is not None and decoded_pv == float(v) for v in value
+                        ):
+                            return True
+                elif op == "=":
                     if pv != serialize_partition_value(value, delta_type):
                         return True
                 elif op == "<>":

@@ -57,10 +57,16 @@ def _resolve_state(
     table: PathOrState,
     storage_options: Optional[Mapping[str, Any]],
     version: Optional[int],
+    spark: Optional[SparkSession] = None,
 ) -> MetaState:
     if isinstance(table, MetaState):
         return table
-    return get_meta(str(table), storage_options=storage_options, version=version)
+    path = str(table)
+    if storage_options and spark is not None:
+        from .storage import apply_storage_options
+
+        path = apply_storage_options(spark, path, storage_options)
+    return get_meta(path, storage_options=storage_options, version=version)
 
 
 def get_spark_schema(
@@ -79,6 +85,9 @@ def get_spark_schema(
     if schema is None:
         raise ValueError(f"no metaData action found in {state.delta_path}")
     return to_physical_schema(schema) if physical else schema
+
+
+# scan_delta resolves with the session so cloud confs land on it
 
 
 def scan_delta(
@@ -100,7 +109,7 @@ def scan_delta(
     Parity: ``scan_delta_union`` (``deltalake2db/polars.py:361-559``) and
     ``get_sql_for_delta_expr`` (``deltalake2db/duckdb.py:374-557``).
     """
-    state = _resolve_state(table, storage_options, version)
+    state = _resolve_state(table, storage_options, version, spark)
     check_is_supported(state)
     logical_schema = state.schema
     if logical_schema is None:

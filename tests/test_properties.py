@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) for the pure-Python planner.
+
+The key invariant from the reference (filter_by_meta.py:196-198):
+pruning may only change WHICH FILES are read, never the query result —
+every row matching the conditions must live in a surviving file.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import date, datetime, timezone
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+
+from deltalake2db_spark.plans.filters import (
+    can_skip_file,
+    decode_partition_value,
+    serialize_partition_value,
+)
+
+PRIMS = {
+    "integer": st.integers(-(2**31), 2**31 - 1),
+    "long": st.integers(-(2**63), 2**63 - 1),
+    "short": st.integers(-(2**15), 2**15 - 1),
+    "byte": st.integers(-128, 127),
+    "double": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "float": st.floats(allow_nan=False, allow_infinity=False, width=32),
+    "boolean": st.booleans(),
+    "string": st.text(max_size=20),
+    "date": st.dates(date(1900, 1, 1), date(2100, 1, 1)),
+}
+
+
+@given(st.one_of([st.tuples(st.just(t), s) for t, s in sorted(PRIMS.items())]))
+def test_partition_value_codec_roundtrip(tv):
+    """decode(serialize(v)) == v for every primitive partition type."""
+    delta_type, value = tv
+    s = serialize_partition_value(value, delta_type)
+    # reference parity: float/double pass through unserialized
+    # (filter_by_meta.py final `return value`); pruning compares those
+    # numerically instead (see filters.can_skip_file)
+    if delta_type in ("float", "double"):
+        assert s == value
+        return
+    assert s is None or isinstance(s, str)
+    out = decode_partition_value(s, delta_type)
+    assert out == value
+
+
+@given(
+    value=st.integers(-50, 50),
+    op=st.sampled_from(["<", "=", ">", ">=", "<=", "<>"]),
+    rows=st.lists(st.integers(-30, 30) | st.none(), min_size=0, max_size=8),
+)
+@settings(max_examples=300)
+def test_stats_skipping_never_loses_rows(value, op, rows):
+    """If can_skip_file says skip, NO row in the file matches the
+    condition (prune(Q) ≡ Q)."""
+    non_null = [r for r in rows if r is not None]
+    stats = {
+        "numRecords": len(rows),
+        "minValues": {"x": min(non_null)} if non_null else {},
+        "maxValues": {"x": max(non_null)} if non_null else {},
+        "nullCount": {"x": sum(1 for r in rows if r is None)},
+    }
+    action = {"partitionValues": {}, "stats": json.dumps(stats)}
+    skipped = can_skip_file(action, [("x", op, value)], {"x": "integer"}, {"x": "x"})
+
+    def matches(r):
+        if r is None:
+            return False  # SQL comparison semantics: NULL never matches
+        return {
+            "<": r < value, "=": r == value, ">": r > value,
+            ">=": r >= value, "<=": r <= value, "<>": r != value,
+        }[op]
+
+    if skipped:
+        assert not any(matches(r) for r in rows)
+
+
+@given(
+    part=st.integers(-20, 20) | st.none(),
+    value=st.integers(-20, 20),
+    op=st.sampled_from(["<", "=", ">", ">=", "<=", "<>"]),
+)
+@settings(max_examples=300)
+def test_partition_pruning_never_loses_rows(part, value, op):
+    """A file whose partition value matches the condition must survive."""
+    pv = serialize_partition_value(part, "integer") if part is not None else None
+    action = {"partitionValues": {"p": pv}}
+    skipped = can_skip_file(action, [("p", op, value)], {"p": "integer"}, {"p": "p"})
+    if part is None:
+        matches = False
+    else:
+        matches = {
+            "<": part < value, "=": part == value, ">": part > value,
+            ">=": part >= value, "<=": part <= value, "<>": part != value,
+        }[op]
+    if matches:
+        assert not skipped
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.booleans()), max_size=20))
+def test_log_replay_last_writer_wins(ops):
+    """add/remove folding is last-writer-wins keyed by path."""
+    from deltalake2db_spark.plans.meta import MetaState
+
+    state = MetaState("/tmp/x")
+    live = set()
+    for version, (file_id, is_add) in enumerate(ops):
+        path = f"f{file_id}.parquet"
+        if is_add:
+            state.apply_action({"add": {"path": path}}, version)
+            live.add(path)
+        else:
+            state.apply_action({"remove": {"path": path}}, version)
+            live.discard(path)
+    assert set(state.add_actions) == live

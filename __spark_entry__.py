@@ -245,6 +245,33 @@ def q_asof_events_orders(spark, sf_dir):
     )
 
 
+def q_event_gaps(spark, sf_dir):
+    """lag() window: per-user inter-event gap statistics."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # integer microseconds: exact on both engines (seconds would differ —
+    # Spark's cast truncates, DuckDB's rounds)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    per_event = e.select("user_id", gap.alias("gap_us")).filter(F.col("gap_us").isNotNull())
+    return per_event.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles (percentile) per event type."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+    )
+
+
 def q_json_props(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -477,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_pivot": q_events_pivot,
         "q_rollup_orders": q_rollup_orders,
         "q_asof_events_orders": q_asof_events_orders,
+        "q_event_gaps": q_event_gaps,
+        "q_quantiles": q_quantiles,
         "q_json_props": q_json_props,
         "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
         "q_delta_time_travel": q_delta_time_travel,
@@ -707,6 +736,28 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN orders o
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
+        """,
+        "q_event_gaps": """
+            SELECT user_id, count(*) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ) AS gap_us
+                FROM events
+            ) WHERE gap_us IS NOT NULL
+            GROUP BY user_id
+        """,
+        "q_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(min(value), 2) AS min_v,
+                   round(max(value), 2) AS max_v
+            FROM events
+            GROUP BY event_type
         """,
         "q_json_props": """
             SELECT event_type, count(*) AS n,

@@ -245,6 +245,45 @@ def q_asof_events_orders(spark, sf_dir):
     )
 
 
+def q_cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string-function surface: lower/upper/substr/concat/like/
+    length/replace — identical semantics on both engines."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .select(
+            F.col("p_partkey"),
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_name", 1, 5).alias("name5"),
+            F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_replace(F.col("p_type"), " ", "_").alias("type_u"),
+        )
+    )
+
+
+def q_date_parts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 def q_event_gaps(spark, sf_dir):
     """lag() window: per-user inter-event gap statistics."""
     e = _t(spark, sf_dir, "events")
@@ -504,6 +543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_pivot": q_events_pivot,
         "q_rollup_orders": q_rollup_orders,
         "q_asof_events_orders": q_asof_events_orders,
+        "q_cube_orders": q_cube_orders,
+        "q_string_funcs": q_string_funcs,
+        "q_date_parts": q_date_parts,
         "q_event_gaps": q_event_gaps,
         "q_quantiles": q_quantiles,
         "q_json_props": q_json_props,
@@ -736,6 +778,31 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN orders o
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
             ) WHERE rn = 1
+        """,
+        "q_cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 6) AS avg_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_string_funcs": """
+            SELECT p_partkey,
+                   upper(p_brand) AS brand_u,
+                   substr(p_name, 1, 5) AS name5,
+                   concat_ws('-', p_brand, p_type) AS brand_type,
+                   length(p_name) AS name_len,
+                   regexp_replace(p_type, ' ', '_', 'g') AS type_u
+            FROM part
+            WHERE p_name LIKE '%a%'
+        """,
+        "q_date_parts": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY 1, 2
         """,
         "q_event_gaps": """
             SELECT user_id, count(*) AS n_gaps,

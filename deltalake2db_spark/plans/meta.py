@@ -74,6 +74,20 @@ class MetadataIO:
             raise FileNotFoundError(path) from exc
         return table.to_pylist()
 
+    def list_files(self, path: str) -> list[str]:
+        """List a directory (reference S4 — reserved for time-travel
+        improvements; ``MetadataEngine.list_files`` parity)."""
+        if "://" in path and not path.startswith("file://"):
+            import pyarrow.fs as pafs
+
+            fs, rel = pafs.FileSystem.from_uri(path)
+            sel = pafs.FileSelector(rel, allow_not_found=True)
+            return [info.path for info in fs.get_file_info(sel)]
+        import os
+
+        p = path.removeprefix("file://")
+        return [os.path.join(p, n) for n in os.listdir(p)]
+
     def parquet_schema_names(self, path: str) -> list[str]:
         """Top-level physical column names present in a parquet footer."""
         import pyarrow.parquet as pq

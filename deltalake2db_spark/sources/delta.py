@@ -150,7 +150,11 @@ def scan_delta(
     if pred is not None:
         df = df.filter(pred)
     if select:
-        df = df.select(*[quote_name(c) for c in select])
+        # names are quoted; Column objects pass through (parity with the
+        # reference accepting raw sqlglot expressions in select=)
+        df = df.select(
+            *[quote_name(c) if isinstance(c, str) else c for c in select]
+        )
     if exclude:
         df = df.drop(*list(exclude))
     if distinct:
@@ -233,6 +237,32 @@ def _scan_filejoin(
                 rewrite_expr(F.col(quote_name(phys)), field.dataType).alias(field.name)
             )
     return joined.select(*exprs)
+
+
+def get_sql_for_delta(
+    spark: SparkSession,
+    table: PathOrState,
+    cte_wrap_name: Optional[str] = None,
+    storage_options: Optional[Mapping[str, Any]] = None,
+    version: Optional[int] = None,
+    **scan_kwargs: Any,
+) -> str:
+    """Composable Spark-SQL fragment for a Delta table (parity:
+    ``get_sql_for_delta`` / ``cte_wrap_name``, duckdb.py:584-623).
+
+    The reference returns a self-contained SQL string because its IR is
+    a sqlglot AST; ours is a DataFrame, so the fragment references a
+    registered temp view (semantically identical composition surface —
+    embed the fragment, or the CTE form, in any ``spark.sql`` query).
+    """
+    view = f"{cte_wrap_name}__src" if cte_wrap_name else "deltalake2db_delta_table"
+    create_view_for_delta(
+        spark, table, view, storage_options=storage_options, version=version,
+        **scan_kwargs,
+    )
+    if cte_wrap_name:
+        return f"WITH `{cte_wrap_name}` AS (SELECT * FROM `{view}`)"
+    return f"SELECT * FROM `{view}`"
 
 
 def create_view_for_delta(

@@ -311,6 +311,19 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) -> per-user session counts."""
+    from deltalake2db_spark.streaming.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    s = session_stats(e, gap_minutes=30.0)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.sum("sum_value"), 2).alias("total_value"),
+    )
+
+
 def q_json_props(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -548,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_parts": q_date_parts,
         "q_event_gaps": q_event_gaps,
         "q_quantiles": q_quantiles,
+        "q_sessions": q_sessions,
         "q_json_props": q_json_props,
         "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
         "q_delta_time_travel": q_delta_time_travel,
@@ -825,6 +839,30 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 2) AS max_v
             FROM events
             GROUP BY event_type
+        """,
+        "q_sessions": """
+            WITH flagged AS (
+                SELECT user_id, value, ts, event_id,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                                 > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ), sessioned AS (
+                SELECT user_id, value,
+                       sum(new_session) OVER (PARTITION BY user_id
+                                              ORDER BY ts ASC, event_id ASC
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            ), stats AS (
+                SELECT user_id, session_id, count(*) AS n_events,
+                       round(sum(value), 2) AS sum_value
+                FROM sessioned GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events,
+                   round(sum(sum_value), 2) AS total_value
+            FROM stats GROUP BY user_id
         """,
         "q_json_props": """
             SELECT event_type, count(*) AS n,

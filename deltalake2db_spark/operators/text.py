@@ -85,6 +85,24 @@ def lang_id(text: Column) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(expr)
 
 
+BPE_ISH_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: word pieces + single digits + each
+    punctuation mark count separately (a simplified GPT-2-style
+    pre-tokenizer split), then scaled by an empirical 4-chars-per-token
+    correction for long words.  Pure regexp_extract_all — codegen-able,
+    no tokenizer library needed."""
+    pieces = F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0)
+    long_word_extra = F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.when(F.length(p) > 4, (F.length(p) - 1) / 4).otherwise(F.lit(0)).cast("int"),
+    )
+    return F.size(pieces) + long_word_extra
+
+
 def doc_fingerprint(text: Column, normalize: bool = True) -> Column:
     """64-bit-ish document fingerprint: xxhash64 of the
     whitespace-normalized lowercased text.  Content-defined, stable

@@ -107,16 +107,16 @@ def shingle_table(
     documents often arrive in a handful of files, and without this the
     quadratic pair generation runs at file parallelism.
     """
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(shingle_hash_array(F.col(text_col), n)).alias("sh"),
-        )
-        .distinct()
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(shingle_hash_array(F.col(text_col), n)).alias("sh"),
     )
     if partitions:
-        sh = sh.repartition(partitions, "sh")
-    return sh
+        # one exchange total: HashPartitioning(sh) satisfies the
+        # (id, sh) dedup's clustering requirement AND the downstream
+        # self-join's sh distribution, so neither adds a shuffle
+        return exploded.repartition(partitions, "sh").dropDuplicates([id_col, "sh"])
+    return exploded.distinct()
 
 
 def ngram_jaccard_pairs(

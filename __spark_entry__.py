@@ -515,6 +515,20 @@ def q_cosine_neardup(spark, sf_dir):
 
 
 # rows-only (non-SQL-expressible approximations): LSH family
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): deterministic synthetic media ->
+    Arrow-batched feature extraction -> per-kind rollup."""
+    from deltalake2db_spark.operators import multimodal as M
+
+    media = M.make_fake_media(spark, 300)
+    feats = M.extract_image_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_px"), 4).alias("avg_px"),
+        F.sum("n_px").alias("total_px"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH at its design point (j >= 0.5): the corpus has no
     natural near-dups, so plant one per doc (doc_id+10^6, first word
@@ -572,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_neardup": q_cosine_neardup,
+        "q_media_features": q_media_features,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash_pairs": q_simhash_pairs,
         "q_lsh_topk": q_lsh_topk,

@@ -239,6 +239,29 @@ def _scan_filejoin(
     return joined.select(*exprs)
 
 
+def scan_delta_native(
+    spark: SparkSession,
+    path: str,
+    storage_options: Optional[Mapping[str, Any]] = None,
+) -> DataFrame:
+    """Escape hatch: delegate to the delta-spark connector when it is on
+    the classpath (parity: ``use_delta_ext`` delegating to DuckDB's
+    ``delta_scan``, duckdb.py:417-418,558-577).  Raises a clear error
+    when delta-spark isn't installed (it is not in this environment)."""
+    if storage_options:
+        from .storage import apply_storage_options
+
+        path = apply_storage_options(spark, path, storage_options)
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as exc:
+        raise RuntimeError(
+            "native delta reader unavailable (install delta-spark / add "
+            "io.delta:delta-spark to the classpath); use scan_delta() "
+            "for the built-in protocol reader"
+        ) from exc
+
+
 def get_sql_for_delta(
     spark: SparkSession,
     table: PathOrState,

@@ -110,13 +110,15 @@ def shingle_table(
     exploded = df.select(
         F.col(id_col),
         F.explode(shingle_hash_array(F.col(text_col), n)).alias("sh"),
-    )
+    ).distinct()
     if partitions:
-        # one exchange total: HashPartitioning(sh) satisfies the
-        # (id, sh) dedup's clustering requirement AND the downstream
-        # self-join's sh distribution, so neither adds a shuffle
-        return exploded.repartition(partitions, "sh").dropDuplicates([id_col, "sh"])
-    return exploded.distinct()
+        # distinct FIRST, then repartition by sh: the repartition
+        # exchange is the subtree both self-join sides reuse, so the
+        # dedup aggregation runs once.  (Deduping inside the
+        # sh-partitioning saves an exchange on paper but re-runs the
+        # final dedup agg + sort per join side — measured slower.)
+        return exploded.repartition(partitions, "sh")
+    return exploded
 
 
 def ngram_jaccard_pairs(

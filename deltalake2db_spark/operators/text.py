@@ -74,8 +74,13 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def lang_id(text: Column) -> Column:
-    """argmax over lang_scores with a fixed tie-break order (en < de <
-    es < fr alphabetical), 'und' (undetermined) when all scores are 0."""
+    """argmax over lang_scores with a fixed tie-break order (de < en <
+    es < fr alphabetical), 'und' (undetermined) when all scores are 0.
+
+    Note: each score filters the split-words array; Catalyst's
+    subexpression elimination shares the split across the four filters,
+    so this stays a single pass over the text.
+    """
     scores = lang_scores(text)
     langs = sorted(scores)
     best = F.greatest(*[scores[l] for l in langs])

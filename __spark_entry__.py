@@ -311,6 +311,51 @@ def q_quantiles(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Binned range join: events joined to same-user 6-hour follow-up
+    windows of 'signup' events (how much activity follows a signup)."""
+    from deltalake2db_spark.operators.rangejoin import range_join_point_interval
+
+    e = _t(spark, sf_dir, "events")
+    win_us = 6 * 3600 * 1_000_000
+    anchors = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("win_start"),
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + win_us).alias("win_end"),
+    )
+    points = e.select("user_id", "event_id", "ts", "value")
+    joined = range_join_point_interval(
+        points, anchors, key="user_id", point_ts="ts",
+        start_ts="win_start", end_ts="win_end", bin_micros=win_us,
+    ).filter(F.col("event_id") != F.col("anchor_id"))
+    return joined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.round(F.sum("value"), 2).alias("follow_value"),
+    )
+
+
+def q_distinct_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
 def q_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min gap) -> per-user session counts."""
     from deltalake2db_spark.streaming.sessions import session_stats
@@ -490,9 +535,9 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
     return (
-        d.select("lang", X.lang_id(F.col("text")).alias("pred"))
+        X.with_lang_id(d)
         .groupBy("lang", "pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -576,6 +621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_gaps": q_event_gaps,
         "q_quantiles": q_quantiles,
         "q_sessions": q_sessions,
+        "q_range_join": q_range_join,
+        "q_distinct_counts": q_distinct_counts,
+        "q_grouping_sets": q_grouping_sets,
         "q_json_props": q_json_props,
         "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
         "q_delta_time_travel": q_delta_time_travel,
@@ -854,6 +902,33 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 2) AS max_v
             FROM events
             GROUP BY event_type
+        """,
+        "q_range_join": """
+            SELECT a.event_id AS anchor_id, count(*) AS n_follow,
+                   round(sum(e.value), 2) AS follow_value
+            FROM events a
+            JOIN events e
+              ON e.user_id = a.user_id
+             AND e.ts >= a.ts
+             AND epoch_us(e.ts) < epoch_us(a.ts) + 21600000000::BIGINT
+             AND e.event_id <> a.event_id
+            WHERE a.event_type = 'signup'
+            GROUP BY a.event_id
+        """,
+        "q_distinct_counts": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         "q_sessions": """
             WITH flagged AS (

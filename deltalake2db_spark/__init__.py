@@ -9,7 +9,14 @@ from .plans.filters import FilterType, decode_partition_value, serialize_partiti
 from .plans.meta import MetaState, get_meta
 from .plans.protocol import DeltaProtocolError, check_is_supported, is_protocol_supported
 from .session import get_spark
-from .sources.delta import create_view_for_delta, get_spark_schema, scan_delta
+from .sources.delta import (
+    create_view_for_delta,
+    get_spark_schema,
+    get_sql_for_delta,
+    scan_delta,
+    scan_delta_native,
+)
+from .sources.sinks import dataframe_to_duckdb, delta_to_duckdb, delta_to_jdbc
 
 __all__ = [
     "FilterType",
@@ -18,10 +25,15 @@ __all__ = [
     "get_meta",
     "get_spark",
     "scan_delta",
+    "scan_delta_native",
     "get_spark_schema",
+    "get_sql_for_delta",
     "create_view_for_delta",
     "check_is_supported",
     "is_protocol_supported",
     "decode_partition_value",
     "serialize_partition_value",
+    "delta_to_duckdb",
+    "delta_to_jdbc",
+    "dataframe_to_duckdb",
 ]

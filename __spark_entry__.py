@@ -507,6 +507,23 @@ def q_delta_column_mapping(spark, sf_dir):
 # LLM-pipeline extensions: dedup / text analysis / similarity
 # --------------------------------------------------------------------------
 
+def q_profile_orders(spark, sf_dir):
+    """Single-pass per-column dataset profile."""
+    from deltalake2db_spark.functions.profile import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+def q_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation — identical results to the plain
+    groupBy, skew-proof shuffle distribution."""
+    from deltalake2db_spark.functions.profile import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_agg(li, key="l_returnflag", value="l_extendedprice")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact-dup groups keyed by md5 of normalized text (md5 so the SQL
     oracle shares the hash function; production path uses xxhash64)."""
@@ -628,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
+        "q_profile_orders": q_profile_orders,
+        "q_salted_agg": q_salted_agg,
         "q_dedup_exact": q_dedup_exact,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -983,6 +1002,36 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
             GROUP BY c_mktsegment
+        """,
+        "q_profile_orders": """
+            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+                   count(*) - count(o_orderkey) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+                   count(DISTINCT o_totalprice),
+                   CAST(round(min(o_totalprice), 4) AS VARCHAR),
+                   CAST(round(max(o_totalprice), 4) AS VARCHAR)
+            FROM orders
+        """,
+        "q_salted_agg": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   round(sum(l_extendedprice), 2) AS sum_value
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "q_dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

@@ -1,0 +1,84 @@
+"""Dataset profiling + skew-resistant aggregation helpers.
+
+``profile`` computes a narrow per-column summary (count / nulls /
+distinct / min / max) in ONE pass over the data — a single aggregate
+row unpivoted driver-side, so profiling a 100 TB table costs one scan
+and shuffles a handful of numbers.
+
+``salted_agg`` is the two-stage aggregation for skewed keys: stage one
+aggregates on (key, salt) spreading a hot key over S reducers, stage
+two merges the S partials.  Results are exactly equal to the plain
+groupBy — only the shuffle distribution changes — so it is verified
+against the unsalted oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Long-format profile: (column, n_rows, n_null, n_distinct,
+    min_value, max_value) — min/max stringified (rounded to 4 for
+    floats) so one schema fits every column type."""
+    cols = list(cols or df.columns)
+    by_name = {f.name: f for f in df.schema.fields}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = by_name[c].dataType
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            mn = F.round(F.min(c), 4).cast("string")
+            mx = F.round(F.max(c), 4).cast("string")
+        else:
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        aggs.append(mn.alias(f"__min_{c}"))
+        aggs.append(mx.alias(f"__max_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out = [
+        (c, row["__n"], row[f"__null_{c}"], row[f"__dist_{c}"],
+         row[f"__min_{c}"], row[f"__max_{c}"])
+        for c in cols
+    ]
+    schema = T.StructType([
+        T.StructField("column", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_null", T.LongType(), False),
+        T.StructField("n_distinct", T.LongType(), False),
+        T.StructField("min_value", T.StringType(), True),
+        T.StructField("max_value", T.StringType(), True),
+    ])
+    return df.sparkSession.createDataFrame(out, schema)
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant (count, sum) by ``key``: pre-aggregate on
+    (key, salt) then merge.  Bit-identical to the plain groupBy for
+    count; sums re-associate, so emit rounded sums like every other
+    double aggregate."""
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__c"), F.sum(value).alias("__s"))
+    )
+    return stage1.groupBy(key).agg(
+        F.sum("__c").alias("n_rows"),
+        F.round(F.sum("__s"), 2).alias("sum_value"),
+    )

@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltalake2db_spark.functions.profile import profile, salted_agg
+
+
+def test_profile(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None)], ["id", "s", "v"]
+    )
+    out = {r["column"]: r for r in profile(df).collect()}
+    assert out["id"]["n_rows"] == 3 and out["id"]["n_null"] == 0
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 1
+    assert out["v"]["min_value"] == "1.5" and out["v"]["max_value"] == "2.5"
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    salted = {r["k"]: (r["n_rows"], r["sum_value"])
+              for r in salted_agg(df, "k", "v", salt_buckets=8).collect()}
+    plain = {r["k"]: (r["n"], r["s"])
+             for r in df.groupBy("k").agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("v"), 2).alias("s")).collect()}
+    assert salted == plain

@@ -36,4 +36,21 @@ __all__ = [
     "delta_to_duckdb",
     "delta_to_jdbc",
     "dataframe_to_duckdb",
+    # reference-style aliases (migration surface)
+    "spark_scan_delta",
+    "spark_create_view_for_delta",
+    "get_deltalake_meta",
+    "DeltaTableMeta",
+    "FilterTypeOld",
+    "Operator",
 ]
+
+# Reference-style aliases so a deltalake2db user maps their call sites
+# 1:1 (reference __init__.py: polars_scan_delta / get_polars_schema /
+# duckdb_create_view_for_delta / get_deltalake_meta / DeltaTableMeta):
+from .plans.filters import FilterTypeOld, Operator  # noqa: E402
+
+spark_scan_delta = scan_delta
+spark_create_view_for_delta = create_view_for_delta
+get_deltalake_meta = get_meta
+DeltaTableMeta = MetaState

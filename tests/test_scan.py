@@ -191,3 +191,52 @@ def test_protocol_gate(spark, user_table, tmp_path):
 
     with pytest.raises(DeltaProtocolError):
         scan_delta(spark, str(bad))
+
+
+def test_map_column_roundtrip(spark, tmp_path):
+    """Map columns read natively as MapType (the reference leaves maps
+    unresolved — README.md:42 'Map yet to be done'; we deviate and
+    support them, SURVEY §1.2)."""
+    import pyarrow as pa
+
+    from deltalake2db_spark.sources.delta_writer import DeltaWriter
+
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "attrs", "nullable": True, "metadata": {}, "type": {
+                "type": "map", "keyType": "string", "valueType": "long",
+                "valueContainsNull": True}},
+        ],
+    }
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "attrs": pa.array(
+            [[("a", 1), ("b", 2)], None],
+            pa.map_(pa.string(), pa.int64()),
+        ),
+    })
+    w = DeltaWriter(str(tmp_path / "m"))
+    w.commit([
+        w.protocol_action(1, 2),
+        w.metadata_action(schema_json),
+        w.add_data_file(t),
+    ])
+    df = scan_delta(spark, str(tmp_path / "m"))
+    st = {f.name: f.dataType for f in df.schema.fields}
+    assert st["attrs"] == T.MapType(T.StringType(), T.LongType())
+    rows = {r["id"]: r["attrs"] for r in df.collect()}
+    assert rows[1] == {"a": 1, "b": 2}
+    assert rows[2] is None
+
+
+def test_file_uri_unescapes_paths():
+    """Add-action paths are URL-encoded once (e.g. the reference's
+    data-reader-partition-values fixture stores
+    'as_timestamp=2021-09-08%2011%253A11%253A11/...')."""
+    from deltalake2db_spark.plans.meta import MetaState
+
+    m = MetaState("/tbl")
+    uri = m.file_uri({"path": "as_ts=2021-09-08%2011%253A11%253A11/part-0.parquet"})
+    assert uri == "/tbl/as_ts=2021-09-08 11%3A11%3A11/part-0.parquet"

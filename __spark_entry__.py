@@ -477,6 +477,25 @@ def q_delta_scan_roundtrip(spark, sf_dir):
     )
 
 
+def q_delta_sink_roundtrip(spark, sf_dir):
+    """Distributed write path: orders -> write_delta (partitioned by
+    status, Spark-written parquet + footer stats) -> scan_delta with a
+    pruning condition -> aggregate."""
+    from deltalake2db_spark.sources.delta_sink import write_delta
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/orders_sink"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        write_delta(
+            _t(spark, sf_dir, "orders"), path, partition_by=["o_orderstatus"]
+        )
+    df = scan_delta(spark, path, conditions=[("o_orderstatus", "<>", "P")])
+    return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_delta_time_travel(spark, sf_dir):
     """scan_delta(version=0) must see only the first commit's rows."""
     path = _versioned_path(sf_dir)
@@ -643,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_json_props": q_json_props,
         "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
+        "q_delta_sink_roundtrip": q_delta_sink_roundtrip,
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_profile_orders": q_profile_orders,
@@ -987,6 +1007,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_returnflag = 'R'
             GROUP BY l_linestatus
+        """,
+        "q_delta_sink_roundtrip": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderstatus <> 'P'
+            GROUP BY o_orderstatus, o_orderpriority
         """,
         "q_delta_time_travel": """
             SELECT l_returnflag, count(*) AS n_rows,

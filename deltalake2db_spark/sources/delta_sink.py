@@ -1,0 +1,154 @@
+"""Distributed Delta sink: ``DataFrame`` -> Delta table without
+delta-spark.
+
+The data path is fully distributed (``df.write.partitionBy().parquet``
+into a staging directory); only the transaction commit is driver-side,
+exactly like every Delta writer: executors move bytes, the driver moves
+metadata.  Per-file statistics come from parquet FOOTERS
+(``pyarrow.parquet`` metadata, threaded) — no second data pass — so the
+tables this sink writes immediately benefit from the reader's
+min/max/nullCount file skipping.
+
+Supports: append / overwrite, hive-partitioned layouts (partition
+values serialized per PROTOCOL.md, ``__HIVE_DEFAULT_PARTITION__`` ->
+null), schema registration on first commit, stats on primitive columns.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any, Optional, Sequence
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame
+
+from ..plans.meta import get_meta
+from .delta_writer import DeltaWriter, _json_stat
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _file_stats(path: str) -> dict:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    num_rows = md.num_rows
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (stats are top-level)
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if st.has_min_max:
+                mn, mx = st.min, st.max
+                if name not in mins or mn < mins[name]:
+                    mins[name] = mn
+                if name not in maxs or mx > maxs[name]:
+                    maxs[name] = mx
+    return {
+        "numRecords": num_rows,
+        "minValues": {k: _json_stat(v) for k, v in mins.items()},
+        "maxValues": {k: _json_stat(v) for k, v in maxs.items()},
+        "nullCount": nulls,
+    }
+
+
+def _partition_values_from_relpath(relpath: str) -> dict[str, Optional[str]]:
+    pv: dict[str, Optional[str]] = {}
+    for part in relpath.split("/")[:-1]:
+        if "=" not in part:
+            continue
+        k, _, v = part.partition("=")
+        pv[k] = None if v == HIVE_NULL else unquote(v)
+    return pv
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "append",
+) -> int:
+    """Write ``df`` as a new commit of the Delta table at ``path``.
+
+    Returns the committed version.  ``mode='overwrite'`` removes all
+    previously-live files in the same commit (snapshot-consistent
+    replace); ``'append'`` only adds.
+    """
+    path = str(path).rstrip("/")
+    staging = tempfile.mkdtemp(prefix="dl2db_delta_sink_")
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        out = os.path.join(staging, "out")
+        writer.parquet(out)
+
+        # move data files into the table root, preserving partition dirs
+        moved: list[str] = []  # rel paths
+        for root, _dirs, files in os.walk(out):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                rel_dir = os.path.relpath(root, out)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel = os.path.join(rel_dir, new_name) if rel_dir else new_name
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(src, dst)
+                moved.append(rel)
+
+        # footer-only stats, threaded
+        def build_add(rel: str) -> dict:
+            abs_p = os.path.join(path, rel)
+            action = {
+                "path": quote(rel),
+                "partitionValues": _partition_values_from_relpath(rel),
+                "size": os.path.getsize(abs_p),
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+            import json
+
+            action["stats"] = json.dumps(_file_stats(abs_p))
+            return {"add": action}
+
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(moved)))) as ex:
+            adds = list(ex.map(build_add, moved))
+
+        w = DeltaWriter(path)
+        actions: list[dict] = []
+        existing_version = -1
+        try:
+            state = get_meta(path)
+            existing_version = state.version
+        except FileNotFoundError:
+            state = None
+        if state is None:
+            actions.append(w.protocol_action(1, 2))
+            actions.append(
+                w.metadata_action(df.schema.jsonValue(), partition_columns=partition_by)
+            )
+        elif mode == "overwrite":
+            for p in state.add_actions:
+                actions.append(w.remove_action(p))
+        w.version = existing_version
+        actions.extend(adds)
+        return w.commit(actions)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -44,18 +44,22 @@ def main() -> None:
     # the steady-state per-query cost
     times: dict[str, float] = {}
     for name, fn in qs.items():
-        best, n = None, 0
+        runs, n = [], 0
         try:
             for _ in range(2):
                 t0 = time.perf_counter()
                 n = fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                runs.append(time.perf_counter() - t0)
+            # unstable pair (JIT recompile / GC hiccup): one more sample
+            if max(runs) > 1.4 * min(runs) and min(runs) > 0.5:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
         except Exception as exc:  # keep the bench line parseable
             times[name] = -1.0
             print(f"# {name} failed: {exc}", file=sys.stderr)
             continue
-        times[name] = round(best, 3)
+        times[name] = round(min(runs), 3)
         print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)

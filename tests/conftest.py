@@ -7,6 +7,11 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+# python workers (Python Data Source / pandas UDFs) must import the
+# package too; PYTHONPATH propagates to them via the worker env
+_repo = os.path.dirname(os.path.dirname(__file__))
+if _repo not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _repo + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from deltalake2db_spark.session import get_spark  # noqa: E402
 

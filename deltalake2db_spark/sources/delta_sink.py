@@ -149,6 +149,71 @@ def write_delta(
                 actions.append(w.remove_action(p))
         w.version = existing_version
         actions.extend(adds)
-        return w.commit(actions)
+        version = w.commit(actions)
+        # engines checkpoint every ~10 commits so readers bootstrap from
+        # parquet instead of replaying the whole JSON history; mirror
+        # that (our reader's `v - v%10` time-travel rounding assumes it)
+        if version > 0 and version % 10 == 0:
+            write_checkpoint(path)
+        return version
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def write_checkpoint(path: str) -> None:
+    """Materialize the current snapshot as ``<v>.checkpoint.parquet`` +
+    ``_last_checkpoint`` (resolved via full log replay, so it works on
+    tables written by any writer)."""
+    state = get_meta(path)
+    w = DeltaWriter(path)
+    w.version = state.version
+    w._protocol = state.protocol
+    w._meta = state.last_metadata
+    w._adds = dict(state.add_actions)
+    w.write_checkpoint()
+
+
+def vacuum(path: str, dry_run: bool = True) -> list[str]:
+    """List (and with ``dry_run=False`` delete) parquet files in the
+    table directory that no log version ever referenced — orphans from
+    failed/uncommitted writes.  Conservative: a file referenced by ANY
+    historical add action is kept (time travel stays intact); only
+    files the log has never heard of qualify.
+    """
+    path = str(path).rstrip("/")
+    referenced: set[str] = set()
+    version = 0
+    import json as _json
+
+    log_dir = os.path.join(path, "_delta_log")
+    for fn in sorted(os.listdir(log_dir)):
+        if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit():
+            with open(os.path.join(log_dir, fn)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = _json.loads(line)
+                    for key in ("add", "remove"):
+                        if action.get(key):
+                            referenced.add(unquote(action[key]["path"]))
+        elif fn.endswith(".checkpoint.parquet"):
+            import pyarrow.parquet as pq
+
+            for row in pq.read_table(os.path.join(log_dir, fn)).to_pylist():
+                if row.get("add"):
+                    referenced.add(unquote(row["add"]["path"]))
+
+    orphans: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        if "_delta_log" in root:
+            continue
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), path)
+            if rel not in referenced:
+                orphans.append(rel)
+    if not dry_run:
+        for rel in orphans:
+            os.remove(os.path.join(path, rel))
+    return sorted(orphans)

@@ -65,3 +65,37 @@ def test_written_table_matches_source(spark, tmp_path):
     assert [tuple(r) for r in back] == [
         (r["id"], r["grp"], r["val"]) for r in orig
     ]
+
+
+def test_sink_writes_checkpoint_every_10_commits(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "cp")
+    for i in range(11):
+        write_delta(_df(spark, i * 10, (i + 1) * 10), path)
+    log = os.path.join(path, "_delta_log")
+    assert os.path.exists(os.path.join(log, "00000000000000000010.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+    # a fresh replay bootstraps from the checkpoint and sees every row
+    m = get_meta(path)
+    assert m.version == 10
+    assert scan_delta(spark, path).count() == 110
+    # time travel before the checkpoint still works (full JSON replay)
+    assert scan_delta(spark, path, version=3).count() == 40
+
+
+def test_vacuum_finds_only_orphans(spark, tmp_path, stats_table):
+    from deltalake2db_spark.sources.delta_sink import vacuum
+
+    # the stats fixture ships one orphan parquet file next to one live file
+    orphans = vacuum(stats_table, dry_run=True)
+    assert orphans == ["part-orphan.snappy.parquet"]
+
+    # removed files stay protected (time travel), fresh orphans detected
+    import shutil
+
+    path = str(tmp_path / "v")
+    shutil.copytree(stats_table, path)
+    assert vacuum(path, dry_run=False) == ["part-orphan.snappy.parquet"]
+    assert vacuum(path) == []
+    assert scan_delta(spark, path).count() == 1

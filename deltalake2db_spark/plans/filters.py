@@ -46,9 +46,24 @@ def normalize_conditions(
 
 
 def normalize_partition_values(pv: Any) -> dict:
-    """Checkpoint parquet decodes partitionValues maps as entry lists."""
+    """Checkpoint parquet decodes partitionValues maps as entry lists.
+
+    Engines differ: delta-rs/delta-spark checkpoints store a parquet MAP
+    (pyarrow ``to_pylist`` yields ``(key, value)`` TUPLES), older/struct
+    writers yield ``{"key": .., "value": ..}`` dicts, and JSON commits
+    yield plain dicts.  Accept all three.
+    """
     if isinstance(pv, list):
-        return {e["key"]: e["value"] for e in pv}
+        out: dict = {}
+        for e in pv:
+            if isinstance(e, Mapping):
+                out[e["key"]] = e["value"]
+            else:
+                k, v = e
+                out[k] = v
+        return out
+    if isinstance(pv, Mapping):
+        return dict(pv)
     return pv or {}
 
 
@@ -220,11 +235,34 @@ def can_skip_file(
                 ):
                     return True
             elif op == "not in":
-                if any(
-                    _value_outside_stats(v, num_records, null_count, min_v, max_v)
-                    for v in value
-                ):
-                    return True
+                # ``x not in (vs)`` is TRUE only for non-null x differing
+                # from every v (Spark/SQL 3VL: null x, or any NULL in vs,
+                # never satisfies).  Stats can prove *no* row satisfies it
+                # when: (a) every row is NULL; (b) the list contains NULL;
+                # (c) the file is provably constant (min==max, no nulls)
+                # and that constant is listed.  A listed value being
+                # OUTSIDE [min,max] proves the opposite — the file
+                # matches — so it must never skip.  (Deliberate fix over
+                # the reference, whose inverted test at
+                # filter_by_meta.py:187-193 silently drops rows.)
+                # min==max on strings is truncation-safe: Delta's stat
+                # truncation rounds max *up* past min, so truncated stats
+                # can never be equal.
+                vals = list(value)
+                if vals:
+                    all_null = (
+                        num_records is not None
+                        and num_records > 0
+                        and null_count == num_records
+                    )
+                    constant_excluded = (
+                        null_count == 0
+                        and min_v is not None
+                        and min_v == max_v
+                        and any(v == min_v for v in vals)
+                    )
+                    if all_null or any(v is None for v in vals) or constant_excluded:
+                        return True
             elif op == "<" and min_v is not None and value <= min_v:
                 return True
             elif op == "<=" and min_v is not None and value < min_v:

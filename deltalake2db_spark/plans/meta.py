@@ -72,7 +72,12 @@ class MetadataIO:
                 table = pq.read_table(fh)
         except (FileNotFoundError, OSError) as exc:
             raise FileNotFoundError(path) from exc
-        return table.to_pylist()
+        try:
+            # parquet MAP cells (real-engine checkpoints) -> dicts, matching
+            # the JSON-commit shape; pyarrow >= 13
+            return table.to_pylist(maps_as_pydicts="strict")
+        except TypeError:
+            return table.to_pylist()
 
     def list_files(self, path: str) -> list[str]:
         """List a directory (reference S4 — reserved for time-travel

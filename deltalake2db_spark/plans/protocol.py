@@ -1,9 +1,13 @@
 """Delta reader-protocol feature gate.
 
-Reference parity: ``deltalake2db/protocol_check.py:7-44`` — tables with
-``minReaderVersion <= 3`` are always accepted; above that, every entry in
-``readerFeatures`` must be in the supported list (notably absent:
-``deletionVectors``, ``v2Checkpoint``).
+Reference parity: ``deltalake2db/protocol_check.py:7-44``, with one
+deliberate fix: the reference accepts any ``minReaderVersion <= 3``
+outright, but PROTOCOL.md defines reader version 3 as *exactly* the
+version that introduces ``readerFeatures`` — deletionVectors tables
+advertise ``minReaderVersion=3, readerFeatures=['deletionVectors']``,
+and skipping the check there would silently resurface deleted rows.
+We only bypass for ``<= 2`` and validate ``readerFeatures`` from 3 up
+(notably unsupported: ``deletionVectors``, ``v2Checkpoint``).
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ def unsupported_features(state: "MetaState") -> list[str]:
     protocol = state.protocol
     if protocol is None:
         raise DeltaProtocolError("table has no protocol action")
-    if protocol.get("minReaderVersion", 1) <= 3:
+    if protocol.get("minReaderVersion", 1) <= 2:
         return []
     features = protocol.get("readerFeatures") or []
     return [f for f in features if f not in SUPPORTED_READER_FEATURES]

@@ -124,6 +124,18 @@ def scan_delta(
     if action_filter is not None:
         actions = [a for a in actions if action_filter(a)]
 
+    # belt-and-braces vs. writers that attach DVs without advertising the
+    # reader feature: scanning a file with a deletion vector would
+    # silently resurface deleted rows
+    for a in actions:
+        if a.get("deletionVector"):
+            from ..plans.protocol import DeltaProtocolError
+
+            raise DeltaProtocolError(
+                f"file {a.get('path')} carries a deletion vector; "
+                "deletionVectors is not a supported reader feature"
+            )
+
     # physical read schema: table columns as stored in parquet, minus
     # partition columns (those live only in partitionValues metadata)
     phys_schema = to_physical_schema(logical_schema)

@@ -29,7 +29,7 @@ from urllib.parse import quote, unquote
 from pyspark.sql import DataFrame
 
 from ..plans.meta import get_meta
-from .delta_writer import DeltaWriter, _json_stat
+from .delta_writer import ConcurrentWriteError, DeltaWriter, _json_stat
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -120,7 +120,7 @@ def write_delta(
                 "path": quote(rel),
                 "partitionValues": _partition_values_from_relpath(rel),
                 "size": os.path.getsize(abs_p),
-                "modificationTime": 1700000000000,
+                "modificationTime": int(os.path.getmtime(abs_p) * 1000),
                 "dataChange": True,
             }
             import json
@@ -131,25 +131,41 @@ def write_delta(
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(moved)))) as ex:
             adds = list(ex.map(build_add, moved))
 
-        w = DeltaWriter(path)
-        actions: list[dict] = []
-        existing_version = -1
-        try:
-            state = get_meta(path)
-            existing_version = state.version
-        except FileNotFoundError:
-            state = None
-        if state is None:
-            actions.append(w.protocol_action(1, 2))
-            actions.append(
-                w.metadata_action(df.schema.jsonValue(), partition_columns=partition_by)
+        # Commit loop: the version file is created with put-if-absent
+        # semantics (O_EXCL in DeltaWriter.commit); losing a race means
+        # another writer committed that version first, so re-resolve the
+        # snapshot (fresh removes for overwrite) and retry at the next
+        # version instead of clobbering the winner's transaction.
+        for _attempt in range(20):
+            w = DeltaWriter(path)
+            actions: list[dict] = []
+            existing_version = -1
+            try:
+                state = get_meta(path)
+                existing_version = state.version
+            except FileNotFoundError:
+                state = None
+            if state is None:
+                actions.append(w.protocol_action(1, 2))
+                actions.append(
+                    w.metadata_action(
+                        df.schema.jsonValue(), partition_columns=partition_by
+                    )
+                )
+            elif mode == "overwrite":
+                for p in state.add_actions:
+                    actions.append(w.remove_action(p))
+            w.version = existing_version
+            actions.extend(adds)
+            try:
+                version = w.commit(actions)
+                break
+            except ConcurrentWriteError:
+                continue
+        else:
+            raise ConcurrentWriteError(
+                f"gave up committing to {path} after 20 contended attempts"
             )
-        elif mode == "overwrite":
-            for p in state.add_actions:
-                actions.append(w.remove_action(p))
-        w.version = existing_version
-        actions.extend(adds)
-        version = w.commit(actions)
         # engines checkpoint every ~10 commits so readers bootstrap from
         # parquet instead of replaying the whole JSON history; mirror
         # that (our reader's `v - v%10` time-travel rounding assumes it)
@@ -173,14 +189,22 @@ def write_checkpoint(path: str) -> None:
     w.write_checkpoint()
 
 
-def vacuum(path: str, dry_run: bool = True) -> list[str]:
+def vacuum(
+    path: str, dry_run: bool = True, retention_hours: float = 168.0
+) -> list[str]:
     """List (and with ``dry_run=False`` delete) parquet files in the
     table directory that no log version ever referenced — orphans from
     failed/uncommitted writes.  Conservative: a file referenced by ANY
     historical add action is kept (time travel stays intact); only
-    files the log has never heard of qualify.
+    files the log has never heard of qualify, and only when older than
+    ``retention_hours`` (default 7 days, like Delta) — ``write_delta``
+    stages data files into the table root *before* the commit exists, so
+    a grace window is what keeps vacuum from racing an in-flight write.
     """
+    import time
+
     path = str(path).rstrip("/")
+    cutoff = time.time() - retention_hours * 3600.0
     referenced: set[str] = set()
     version = 0
     import json as _json
@@ -210,8 +234,9 @@ def vacuum(path: str, dry_run: bool = True) -> list[str]:
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(root, fn), path)
-            if rel not in referenced:
+            abs_p = os.path.join(root, fn)
+            rel = os.path.relpath(abs_p, path)
+            if rel not in referenced and os.path.getmtime(abs_p) < cutoff:
                 orphans.append(rel)
     if not dry_run:
         for rel in orphans:

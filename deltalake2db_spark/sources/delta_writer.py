@@ -31,6 +31,12 @@ from ..plans.filters import serialize_partition_value
 from ..plans.types import PHYSICAL_NAME_KEY
 
 
+class ConcurrentWriteError(Exception):
+    """Another writer committed this version first (atomic put-if-absent
+    lost the race).  Callers may re-resolve the snapshot and retry at the
+    next version."""
+
+
 def _json_stat(v: Any) -> Any:
     if v is None:
         return None
@@ -136,7 +142,7 @@ class DeltaWriter:
             "path": rel,
             "partitionValues": dict(partition_values or {}),
             "size": os.path.getsize(abs_path),
-            "modificationTime": 1700000000000,
+            "modificationTime": int(os.path.getmtime(abs_path) * 1000),
             "dataChange": True,
         }
         if stats:
@@ -175,42 +181,136 @@ class DeltaWriter:
             if "remove" in a:
                 self._adds.pop(a["remove"]["path"], None)
         fn = os.path.join(self.log_dir, f"{self.version:020d}.json")
-        with open(fn, "w") as fh:
+        # Delta's core commit rule is atomic put-if-absent: O_EXCL makes
+        # the loser of a concurrent commit fail instead of silently
+        # truncating the winner's transaction.
+        try:
+            fd = os.open(fn, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            self.version -= 1
+            raise ConcurrentWriteError(
+                f"version {self.version + 1} already committed at {fn}"
+            ) from exc
+        with os.fdopen(fd, "w") as fh:
             fh.write("\n".join(lines) + "\n")
         return self.version
 
-    def write_checkpoint(self) -> None:
+    def write_checkpoint(self, map_partition_values: bool = False) -> None:
         """Emit ``<v>.checkpoint.parquet`` + ``_last_checkpoint``.
 
-        Checkpoint rows store partitionValues as key/value entry lists,
-        matching what engines produce via parquet MAP encoding (the
-        ``_to_dict`` normalization path, delta_meta_retrieval.py:90-93).
+        ``map_partition_values=False`` stores partitionValues as
+        key/value entry-struct lists (what older writers produce);
+        ``True`` stores a real parquet MAP column like delta-spark /
+        delta-rs checkpoints — pyarrow decodes those cells as ``(k, v)``
+        tuples, which the reader must normalize
+        (the ``_to_dict`` path, delta_meta_retrieval.py:90-93).
         """
-        def entries(d: Mapping) -> list[dict]:
-            return [{"key": k, "value": v} for k, v in (d or {}).items()]
+        if map_partition_values:
+            rows = self._checkpoint_rows_raw()
+            table = pa.Table.from_pylist(rows, schema=_MAP_CHECKPOINT_SCHEMA)
+        else:
+            def entries(d: Mapping) -> list[dict]:
+                return [{"key": k, "value": v} for k, v in (d or {}).items()]
 
-        rows: list[dict] = []
-        if self._protocol:
-            rows.append({"protocol": self._protocol, "metaData": None, "add": None})
-        if self._meta:
-            meta_cp = dict(self._meta)
-            meta_cp["configuration"] = entries(meta_cp.get("configuration") or {})
-            fmt = dict(meta_cp.get("format") or {})
-            fmt["options"] = entries(fmt.get("options") or {})
-            meta_cp["format"] = fmt
-            rows.append({"protocol": None, "metaData": meta_cp, "add": None})
-        for add in self._adds.values():
-            add_cp = dict(add)
-            add_cp["partitionValues"] = [
-                {"key": k, "value": v}
-                for k, v in (add.get("partitionValues") or {}).items()
-            ]
-            rows.append({"protocol": None, "metaData": None, "add": add_cp})
-        table = pa.Table.from_pylist(rows)
+            rows = []
+            if self._protocol:
+                rows.append({"protocol": self._protocol, "metaData": None, "add": None})
+            if self._meta:
+                meta_cp = dict(self._meta)
+                meta_cp["configuration"] = entries(meta_cp.get("configuration") or {})
+                fmt = dict(meta_cp.get("format") or {})
+                fmt["options"] = entries(fmt.get("options") or {})
+                meta_cp["format"] = fmt
+                rows.append({"protocol": None, "metaData": meta_cp, "add": None})
+            for add in self._adds.values():
+                add_cp = dict(add)
+                add_cp["partitionValues"] = [
+                    {"key": k, "value": v}
+                    for k, v in (add.get("partitionValues") or {}).items()
+                ]
+                rows.append({"protocol": None, "metaData": None, "add": add_cp})
+            table = pa.Table.from_pylist(rows)
         cp = os.path.join(self.log_dir, f"{self.version:020d}.checkpoint.parquet")
         pq.write_table(table, cp)
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as fh:
             fh.write(json.dumps({"version": self.version, "size": len(rows)}) + "\n")
+
+    def _checkpoint_rows_raw(self) -> list[dict]:
+        """Checkpoint rows with maps kept as plain dicts (for the MAP-typed
+        checkpoint schema, which pyarrow populates from dicts)."""
+        rows: list[dict] = []
+        if self._protocol:
+            p = {
+                "minReaderVersion": self._protocol.get("minReaderVersion"),
+                "minWriterVersion": self._protocol.get("minWriterVersion"),
+            }
+            rows.append({"protocol": p, "metaData": None, "add": None})
+        if self._meta:
+            meta_cp = {
+                "id": self._meta.get("id"),
+                "format": dict(self._meta.get("format") or {"provider": "parquet", "options": {}}),
+                "schemaString": self._meta.get("schemaString"),
+                "partitionColumns": list(self._meta.get("partitionColumns") or []),
+                "configuration": dict(self._meta.get("configuration") or {}),
+                "createdTime": self._meta.get("createdTime"),
+            }
+            rows.append({"protocol": None, "metaData": meta_cp, "add": None})
+        for add in self._adds.values():
+            rows.append({
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": add["path"],
+                    "partitionValues": dict(add.get("partitionValues") or {}),
+                    "size": add.get("size"),
+                    "modificationTime": add.get("modificationTime"),
+                    "dataChange": bool(add.get("dataChange", True)),
+                    "stats": add.get("stats"),
+                },
+            })
+        return rows
+
+
+_STR_MAP = pa.map_(pa.string(), pa.string())
+_MAP_CHECKPOINT_SCHEMA = pa.schema(
+    [
+        (
+            "protocol",
+            pa.struct(
+                [("minReaderVersion", pa.int64()), ("minWriterVersion", pa.int64())]
+            ),
+        ),
+        (
+            "metaData",
+            pa.struct(
+                [
+                    ("id", pa.string()),
+                    (
+                        "format",
+                        pa.struct([("provider", pa.string()), ("options", _STR_MAP)]),
+                    ),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    ("configuration", _STR_MAP),
+                    ("createdTime", pa.int64()),
+                ]
+            ),
+        ),
+        (
+            "add",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("partitionValues", _STR_MAP),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    ("stats", pa.string()),
+                ]
+            ),
+        ),
+    ]
+)
 
 
 def spark_schema_to_delta_json(schema) -> dict:

@@ -87,8 +87,11 @@ def test_sink_writes_checkpoint_every_10_commits(spark, tmp_path):
 def test_vacuum_finds_only_orphans(spark, tmp_path, stats_table):
     from deltalake2db_spark.sources.delta_sink import vacuum
 
-    # the stats fixture ships one orphan parquet file next to one live file
-    orphans = vacuum(stats_table, dry_run=True)
+    # the stats fixture ships one orphan parquet file next to one live
+    # file; it is freshly written, so the default 7-day retention window
+    # must protect it (an in-flight write's staged files look identical)
+    assert vacuum(stats_table, dry_run=True) == []
+    orphans = vacuum(stats_table, dry_run=True, retention_hours=0.0)
     assert orphans == ["part-orphan.snappy.parquet"]
 
     # removed files stay protected (time travel), fresh orphans detected
@@ -96,6 +99,54 @@ def test_vacuum_finds_only_orphans(spark, tmp_path, stats_table):
 
     path = str(tmp_path / "v")
     shutil.copytree(stats_table, path)
-    assert vacuum(path, dry_run=False) == ["part-orphan.snappy.parquet"]
-    assert vacuum(path) == []
+    assert vacuum(path, dry_run=False, retention_hours=0.0) == [
+        "part-orphan.snappy.parquet"
+    ]
+    assert vacuum(path, retention_hours=0.0) == []
     assert scan_delta(spark, path).count() == 1
+
+
+def test_commit_put_if_absent(tmp_path):
+    """Two writers racing for the same version: the loser raises instead
+    of truncating the winner's committed transaction."""
+    import pyarrow as pa
+    import pytest
+
+    from deltalake2db_spark.sources.delta_writer import (
+        ConcurrentWriteError,
+        DeltaWriter,
+        write_simple_delta,
+    )
+
+    t = pa.table({"x": [1, 2, 3]})
+    path = str(tmp_path / "race")
+    write_simple_delta(path, t)  # commits version 0
+
+    loser = DeltaWriter(path)
+    loser.version = -1  # stale snapshot: also targets version 0
+    with pytest.raises(ConcurrentWriteError):
+        loser.commit([loser.protocol_action(1, 2)])
+    # the winner's commit is intact
+    assert get_meta(path).version == 0
+    assert len(get_meta(path).add_actions) == 1
+
+
+def test_concurrent_write_delta_retries(spark, tmp_path):
+    """write_delta re-resolves the snapshot and retries at the next
+    version when its target version was committed underneath it."""
+    import pyarrow as pa
+
+    from deltalake2db_spark.sources.delta_writer import DeltaWriter
+    from deltalake2db_spark.sources.delta_sink import write_delta
+
+    path = str(tmp_path / "retry")
+    df = spark.range(5).toDF("id")
+    assert write_delta(df, path) == 0
+
+    # simulate a competing writer landing version 1 mid-flight by
+    # pre-creating it; write_delta must land on version 2, not clobber
+    w = DeltaWriter(path)
+    w.version = 0
+    w.commit([])
+    assert write_delta(spark.range(5, 8).toDF("id"), path) == 2
+    assert scan_delta(spark, path).count() == 8

@@ -54,6 +54,29 @@ def test_stats_skipping(stats_table):
     assert len(list(m.get_add_actions_filtered([("as_int", "=", 2)]))) == 0
 
 
+def test_stats_skipping_in_not_in(stats_table):
+    """`not in` may only skip on a PROOF that no row satisfies it; a
+    listed value outside [min,max] proves the opposite (the file matches)
+    and must keep the file.  Fixture file: single row as_int=0
+    (min=max=0, nullCount=0)."""
+    m = get_meta(stats_table)
+
+    def n(conds):
+        return len(list(m.get_add_actions_filtered(conds)))
+
+    # 100 is outside [0,0] -> every row satisfies `not in (100)` -> KEEP
+    assert n([("as_int", "not in", [100])]) == 1
+    assert n([("as_int", "in", [100])]) == 0  # no row can equal 100
+    assert n([("as_int", "in", [0, 100])]) == 1
+    # file provably constant 0 with no nulls -> `not in (0)` matches nothing
+    assert n([("as_int", "not in", [0])]) == 0
+    assert n([("as_int", "not in", [0, 100])]) == 0
+    # NULL in the list: 3VL -> `not in (NULL, ...)` never TRUE -> skip
+    assert n([("as_int", "not in", [None])]) == 0
+    # empty list: `not in ()` folds TRUE for all rows -> keep
+    assert n([("as_int", "not in", [])]) == 1
+
+
 def test_limit_pushdown(stats_table):
     m = get_meta(stats_table)
     # limit accumulator checks AFTER yielding => at least one file
@@ -83,6 +106,35 @@ def test_checkpoint_replay_and_time_travel(cluster_table):
     m5.update_incremental()
     assert m5.version == 14
     assert len(m5.add_actions) == 14
+
+
+def test_map_typed_checkpoint_partition_values(spark, tmp_path):
+    """Checkpoints from real engines (delta-spark/delta-rs) store
+    add.partitionValues as a parquet MAP; the reader must scan such
+    tables (pyarrow yields dicts via maps_as_pydicts, or (k,v) tuples on
+    older pyarrow — both normalized)."""
+    import pyarrow as pa
+
+    from deltalake2db_spark import scan_delta
+    from deltalake2db_spark.sources.delta_writer import write_simple_delta
+
+    t = pa.table({"p": ["a", "a", "b"], "x": [1, 2, 3]})
+    path = str(tmp_path / "mapcp")
+    w = write_simple_delta(path, t, partition_by=["p"])
+    w.write_checkpoint(map_partition_values=True)
+
+    m = get_meta(path)  # bootstraps from the MAP-typed checkpoint
+    assert m.version == 0
+    assert len(m.add_actions) == 2
+    from deltalake2db_spark.plans.filters import normalize_partition_values
+
+    for a in m.add_actions.values():
+        pv = normalize_partition_values(a.get("partitionValues"))
+        assert set(pv) == {"p"}
+    assert len(list(m.get_add_actions_filtered([("p", "=", "a")]))) == 1
+
+    got = {tuple(r) for r in scan_delta(spark, path).collect()}
+    assert got == {("a", 1), ("a", 2), ("b", 3)}
 
 
 def test_checkpoint_entry_list_partition_values(cluster_table):

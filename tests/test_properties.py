@@ -50,13 +50,15 @@ def test_partition_value_codec_roundtrip(tv):
 
 @given(
     value=st.integers(-50, 50),
-    op=st.sampled_from(["<", "=", ">", ">=", "<=", "<>"]),
+    values=st.lists(st.integers(-50, 50) | st.none(), min_size=0, max_size=5),
+    op=st.sampled_from(["<", "=", ">", ">=", "<=", "<>", "in", "not in"]),
     rows=st.lists(st.integers(-30, 30) | st.none(), min_size=0, max_size=8),
 )
-@settings(max_examples=300)
-def test_stats_skipping_never_loses_rows(value, op, rows):
+@settings(max_examples=500)
+def test_stats_skipping_never_loses_rows(value, values, op, rows):
     """If can_skip_file says skip, NO row in the file matches the
-    condition (prune(Q) ≡ Q)."""
+    condition (prune(Q) ≡ Q).  All eight operators sampled, including
+    in / not in with NULLs in the value list (Spark 3VL isin semantics)."""
     non_null = [r for r in rows if r is not None]
     stats = {
         "numRecords": len(rows),
@@ -65,11 +67,24 @@ def test_stats_skipping_never_loses_rows(value, op, rows):
         "nullCount": {"x": sum(1 for r in rows if r is None)},
     }
     action = {"partitionValues": {}, "stats": json.dumps(stats)}
-    skipped = can_skip_file(action, [("x", op, value)], {"x": "integer"}, {"x": "x"})
+    cond_value = values if op in ("in", "not in") else value
+    skipped = can_skip_file(
+        action, [("x", op, cond_value)], {"x": "integer"}, {"x": "x"}
+    )
 
     def matches(r):
         if r is None:
             return False  # SQL comparison semantics: NULL never matches
+        if op == "in":
+            # Spark col.isin: TRUE iff r equals a non-null listed value
+            return any(v is not None and r == v for v in values)
+        if op == "not in":
+            # ~col.isin: empty list folds to TRUE; NULL in list -> never
+            if not values:
+                return True
+            if any(v is None for v in values):
+                return False
+            return r not in values
         return {
             "<": r < value, "=": r == value, ">": r > value,
             ">=": r >= value, "<=": r <= value, "<>": r != value,

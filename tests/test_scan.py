@@ -193,6 +193,70 @@ def test_protocol_gate(spark, user_table, tmp_path):
         scan_delta(spark, str(bad))
 
 
+def test_protocol_gate_reader_v3_dv(spark, user_table, tmp_path):
+    """deletionVectors tables advertise exactly minReaderVersion=3 +
+    readerFeatures=['deletionVectors']; PROTOCOL.md requires honoring
+    readerFeatures from reader version 3 up (the reference bypasses <=3
+    — a deliberate fix, accepting it would resurface deleted rows)."""
+    import json, shutil
+
+    bad = tmp_path / "dv3"
+    shutil.copytree(user_table, bad)
+    log = bad / "_delta_log" / "00000000000000000000.json"
+    out = []
+    for ln in log.read_text().splitlines():
+        d = json.loads(ln)
+        if "protocol" in d:
+            d["protocol"]["minReaderVersion"] = 3
+            d["protocol"]["readerFeatures"] = ["deletionVectors"]
+        out.append(json.dumps(d))
+    log.write_text("\n".join(out))
+
+    from deltalake2db_spark import DeltaProtocolError
+
+    with pytest.raises(DeltaProtocolError):
+        scan_delta(spark, str(bad))
+
+    # v3 with only supported features still scans
+    ok = tmp_path / "ok3"
+    shutil.copytree(user_table, ok)
+    log = ok / "_delta_log" / "00000000000000000000.json"
+    out = []
+    for ln in log.read_text().splitlines():
+        d = json.loads(ln)
+        if "protocol" in d:
+            d["protocol"]["minReaderVersion"] = 3
+            d["protocol"]["readerFeatures"] = ["timestampNtz"]
+        out.append(json.dumps(d))
+    log.write_text("\n".join(out))
+    assert scan_delta(spark, str(ok)).count() >= 1
+
+
+def test_scan_rejects_dv_add_action(spark, user_table, tmp_path):
+    """Even when the protocol lies, an add action carrying a
+    deletionVector must refuse to scan (deleted rows would resurface)."""
+    import json, shutil
+
+    bad = tmp_path / "dv_add"
+    shutil.copytree(user_table, bad)
+    log = bad / "_delta_log" / "00000000000000000000.json"
+    out = []
+    for ln in log.read_text().splitlines():
+        d = json.loads(ln)
+        if "add" in d:
+            d["add"]["deletionVector"] = {
+                "storageType": "u", "pathOrInlineDv": "x", "offset": 1,
+                "sizeInBytes": 36, "cardinality": 2,
+            }
+        out.append(json.dumps(d))
+    log.write_text("\n".join(out))
+
+    from deltalake2db_spark import DeltaProtocolError
+
+    with pytest.raises(DeltaProtocolError):
+        scan_delta(spark, str(bad))
+
+
 def test_map_column_roundtrip(spark, tmp_path):
     """Map columns read natively as MapType (the reference leaves maps
     unresolved — README.md:42 'Map yet to be done'; we deviate and

@@ -627,8 +627,12 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    # max_hamming=3 with derived banding (4 bands): the pigeonhole recall
+    # contract holds, so the result is EXACTLY the hamming<=3 pair set
+    # (re-baselined from r1's max_hamming=16/4-band run, which silently
+    # missed pairs no band aligned for)
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, max_hamming=16)
+    return D.simhash_pairs(d, max_hamming=3)
 
 
 def q_lsh_topk(spark, sf_dir):

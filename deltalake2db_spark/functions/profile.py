@@ -29,14 +29,22 @@ _NUMERIC = (
 def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """Long-format profile: (column, n_rows, n_null, n_distinct,
     min_value, max_value) — min/max stringified (rounded to 4 for
-    floats) so one schema fits every column type."""
+    floats) so one schema fits every column type.
+
+    Distinct counts are EXACT but computed in a separate long-format
+    pass: k ``countDistinct`` calls in one aggregate make Catalyst plan
+    an Expand (input x(k+1) rows through the exchange — a scale-killer).
+    Instead each row explodes into (column, value) pairs and ONE
+    single-distinct aggregation counts them — partial aggregation
+    collapses duplicates map-side, so the shuffle carries ~distinct
+    values per column, never a multiple of the row count.
+    """
     cols = list(cols or df.columns)
     by_name = {f.name: f for f in df.schema.fields}
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         dt = by_name[c].dataType
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
         if isinstance(dt, (T.FloatType, T.DoubleType)):
             mn = F.round(F.min(c), 4).cast("string")
             mx = F.round(F.max(c), 4).cast("string")
@@ -46,8 +54,28 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         aggs.append(mn.alias(f"__min_{c}"))
         aggs.append(mx.alias(f"__max_{c}"))
     row = df.agg(*aggs).collect()[0]
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.v")
+    dist = {
+        r["column"]: r["nd"]
+        for r in pairs.groupBy("column")
+        .agg(F.count_distinct("v").alias("nd"))
+        .collect()
+    }
     out = [
-        (c, row["__n"], row[f"__null_{c}"], row[f"__dist_{c}"],
+        (c, row["__n"], row[f"__null_{c}"], dist.get(c, 0),
          row[f"__min_{c}"], row[f"__max_{c}"])
         for c in cols
     ]

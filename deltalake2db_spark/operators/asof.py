@@ -31,6 +31,10 @@ def asof_join(
     """For each left row, attach the latest right row with
     right_ts <= left_ts (optionally within ``tolerance``)."""
     lcols = left.columns
+    # key the dedup window on a generated row id, NOT the left row's
+    # columns: duplicate left rows are distinct join inputs and must each
+    # keep their match (and a full-row composite key would shuffle wide)
+    left_id = left.withColumn("__l_id", F.monotonically_increasing_id())
     r = right.select(
         F.col(on).alias("__r_key"),
         F.col(right_ts).alias("__r_ts"),
@@ -39,12 +43,12 @@ def asof_join(
     cond = (F.col(on) == F.col("__r_key")) & (F.col("__r_ts") <= F.col(left_ts))
     if tolerance is not None:
         cond = cond & (F.col("__r_ts") >= F.col(left_ts) - tolerance)
-    joined = left.join(r, cond, "left")
-    w = Window.partitionBy(*lcols).orderBy(F.col("__r_ts").desc())
+    joined = left_id.join(r, cond, "left")
+    w = Window.partitionBy("__l_id").orderBy(F.col("__r_ts").desc())
     out = (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__r_key")
+        .drop("__rn", "__r_key", "__l_id")
     )
     renames = {"__r_ts": f"{right_ts}_right"}
     out = out.withColumnRenamed("__r_ts", renames["__r_ts"])

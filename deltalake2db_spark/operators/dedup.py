@@ -201,8 +201,37 @@ def verify_jaccard_pairs(
     """Exact Jaccard, restricted to candidate (id_a, id_b) pairs — the
     verify stage after LSH.  Cost O(|candidates| * shingles_per_doc)
     instead of all-pairs."""
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return verify_jaccard_pairs_from_shingles(
+        shingle_table(df, id_col, text_col, n), candidates, id_col, threshold
+    )
+
+
+def verify_jaccard_pairs_from_shingles(
+    sh: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Verify stage over a prebuilt (id, shingle-hash) table — lets a
+    pipeline build/cache the shingle table ONCE and reuse it for both
+    signatures and verification.  ``sizes`` (id, n_sh) can be supplied
+    when the pipeline already aggregated per-doc shingle counts (the
+    signature stage gets them for free), saving a groupBy over ``sh``.
+
+    The shingle table is first semi-joined down to ids that appear in a
+    candidate pair — at crawl scale the candidate set touches a small
+    fraction of the corpus, and the expansion joins then only move
+    shingles of candidate docs.
+    """
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(cand_ids, id_col, "left_semi")
     # explode each candidate pair against id_a's shingles, then count how
     # many also belong to id_b: cost O(|candidates| x shingles/doc)
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
@@ -256,13 +285,45 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(shingle_hash_array(F.col(text_col), n)).alias("shingle"),
     ).select(id_col, F.pmod(F.col("shingle"), F.lit(MERSENNE)).alias("x"))
+    return _minhash_agg(tok, id_col, params)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    seed: int = 42,
+    with_sizes: bool = False,
+) -> DataFrame:
+    """Signatures over a prebuilt (id, sh) shingle table — identical
+    result to ``minhash_signatures`` (min() is insensitive to the
+    distinct pass the shingle table applies).  ``with_sizes`` adds an
+    ``n_sh`` per-doc shingle count column — free inside the same
+    aggregation, and exactly what the Jaccard verify stage needs."""
+    import random
+
+    rnd = random.Random(seed)
+    params = [(rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE)) for _ in range(num_hashes)]
+    tok = sh.select(id_col, F.pmod(F.col("sh"), F.lit(MERSENNE)).alias("x"))
+    return _minhash_agg(tok, id_col, params, with_sizes)
+
+
+def _minhash_agg(
+    tok: DataFrame, id_col: str, params: list[tuple[int, int]],
+    with_sizes: bool = False,
+) -> DataFrame:
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MERSENNE))).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
+    if with_sizes:
+        mins.append(F.count(F.lit(1)).alias("n_sh"))
     sig = tok.groupBy(id_col).agg(*mins)
+    extra = ["n_sh"] if with_sizes else []
     return sig.select(
-        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+        id_col,
+        F.array(*[f"h{i}" for i in range(len(params))]).alias("sig"),
+        *extra,
     )
 
 
@@ -279,13 +340,29 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs: LSH banding for candidates, exact Jaccard verify.
 
-    Pipeline: signatures -> explode into ``bands`` band-hashes ->
+    Pipeline: ONE cached shingle table feeds both the signature stage
+    and the exact-Jaccard verify stage (building it twice re-read the
+    corpus and re-ran the explode+distinct shuffle — measured as the
+    dominant cost) -> explode signatures into ``bands`` band-hashes ->
     groupBy (band, hash) buckets (bucket size capped at ``max_bucket``
     to bound skew) -> distinct candidate pairs -> verify with the exact
-    inverted-index Jaccard and keep >= threshold.
+    restricted Jaccard and keep >= threshold.  The cache is
+    MEMORY_AND_DISK: (id, 8-byte hash) pairs, spillable, far smaller
+    than the corpus.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
+    sh = shingle_table(df, id_col, text_col, n, partitions=nparts).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # signatures + per-doc shingle counts in ONE aggregation; cached
+    # because both the banding stage and the verify stage (sizes) read it
+    sig = minhash_signatures_from_shingles(
+        sh, id_col, num_hashes, seed, with_sizes=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sig.select(id_col, "n_sh")
     band_cols = F.array(
         *[
             F.struct(
@@ -325,8 +402,13 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+        # read twice in verify (id semi-join + pair expansion) — cache the
+        # tiny pair list instead of re-running the banding pipeline
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return verify_jaccard_pairs(df, candidates, id_col, text_col, n, threshold)
+    return verify_jaccard_pairs_from_shingles(
+        sh, candidates, id_col, threshold, sizes=sizes
+    )
 
 
 # ------------------------------------------------------------------- SimHash
@@ -371,29 +453,63 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    band_bits: int = 16,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Banding on 16-bit chunks (pigeonhole: distance <=3 over 4 bands
-    guarantees one identical band) turns the quadratic scan into an
-    equi-join — the standard trick for SimHash at crawl scale.
+    Banding turns the quadratic scan into an equi-join — the standard
+    trick for SimHash at crawl scale.  The band count is DERIVED from
+    ``max_hamming`` (pigeonhole: h differing bits can break at most h
+    bands, so ``bands >= h + 1`` guarantees one identical band — 100 %
+    recall).  Passing an explicit ``band_bits`` that yields fewer bands
+    than the recall contract needs raises instead of silently missing
+    pairs.
     """
-    sh = simhash(df, id_col, text_col)
-    nbands = 64 // band_bits
-    mask = (1 << band_bits) - 1
+    return simhash_pairs_from_sketches(
+        simhash(df, id_col, text_col), id_col, max_hamming, band_bits
+    )
+
+
+def simhash_pairs_from_sketches(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int | None = None,
+) -> DataFrame:
+    """Banding + Hamming filter over precomputed (id, simhash) sketches.
+
+    See ``simhash_pairs``; split out so recall can be tested on planted
+    bit-perturbed sketches directly.
+    """
+    if band_bits is not None:
+        nbands = 64 // band_bits
+        if nbands < max_hamming + 1:
+            raise ValueError(
+                f"band_bits={band_bits} gives {nbands} bands; the recall "
+                f"contract for max_hamming={max_hamming} needs >= "
+                f"{max_hamming + 1} bands"
+            )
+    else:
+        nbands = min(64, max_hamming + 1)
+    # split 64 bits into nbands contiguous chunks (widths differ by <= 1)
+    base, rem = divmod(64, nbands)
+    widths = [base + 1 if i < rem else base for i in range(nbands)]
+    offsets = [sum(widths[:i]) for i in range(nbands)]
+
+    def band_value(i: int):
+        if widths[i] == 64:
+            return F.col("simhash")
+        return F.shiftrightunsigned("simhash", offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
     banded = sh.select(
         id_col,
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bh"),
-                    )
+                    F.struct(F.lit(i).alias("band"), band_value(i).alias("bh"))
                     for i in range(nbands)
                 ]
             )

@@ -63,6 +63,49 @@ def test_simhash(docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_banding_recall(spark):
+    """Planted-pair recall: perturbing k <= max_hamming bits must ALWAYS
+    be recovered (pigeonhole contract: bands >= max_hamming + 1)."""
+    import random
+
+    import pytest
+
+    rnd = random.Random(11)
+    max_h = 6
+    rows, expected = [], set()
+    next_id = 0
+    for base_i in range(20):
+        base = rnd.getrandbits(64) - (1 << 63)
+        a_id = next_id
+        rows.append((a_id, base))
+        next_id += 1
+        for k in range(1, max_h + 1):
+            # flip in the unsigned domain, then re-narrow to int64 (XOR on
+            # a negative Python int can leave the 64-bit long range)
+            flipped = base & ((1 << 64) - 1)
+            for bit in rnd.sample(range(64), k):
+                flipped ^= 1 << bit
+            if flipped >= 1 << 63:
+                flipped -= 1 << 64
+            rows.append((next_id, flipped))
+            expected.add((a_id, next_id))
+            next_id += 1
+    sh = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_pairs_from_sketches(sh, max_hamming=max_h).collect()
+    }
+    assert expected <= got  # 100 % recall of planted pairs
+    for a, b in got:  # and no pair beyond the radius
+        sa = next(s for i, s in rows if i == a)
+        sb = next(s for i, s in rows if i == b)
+        assert bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= max_h
+
+    # explicit banding that cannot honor the contract must raise
+    with pytest.raises(ValueError):
+        D.simhash_pairs_from_sketches(sh, max_hamming=16, band_bits=16)
+
+
 def test_similarity_topk_matches_bruteforce(spark):
     import random
 
@@ -157,6 +200,27 @@ def test_asof_join_impls_agree(spark):
     assert ru[(1, dt(2024, 1, 1))] is None      # no right row yet
     assert ru[(2, dt(2024, 1, 3))] == 30.0      # <= includes equal ts
     assert ru[(3, dt(2024, 1, 3))] is None      # key never appears right
+
+
+def test_asof_join_keeps_duplicate_left_rows(spark):
+    """Duplicate left rows are distinct join inputs — each must survive
+    with its own match (regression: a window keyed on the left columns
+    collapsed them to one)."""
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 5), "e"), (1, dt(2024, 1, 5), "e"),
+         (1, dt(2024, 1, 5), "e")],
+        ["key", "lts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 2), 10.0)], ["key", "rts", "val"]
+    )
+    j = asof_join(left, right, "key", "lts", "rts", ["val"])
+    u = asof_join_union(left, right, "key", "lts", "rts", ["val"])
+    assert j.count() == 3
+    assert u.count() == 3
+    assert [r["val"] for r in j.collect()] == [10.0, 10.0, 10.0]
 
 
 def test_multimodal_features(spark):

@@ -762,6 +762,111 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE shared >= 0.05 * (sa.n_sh + sb.n_sh - shared)
 """
 
+# Exact oracle for the MinHash-LSH gate: the verify stage keeps only
+# exact-Jaccard >= 0.5 pairs (precision is exact by construction), and the
+# banding parameters (16 bands x 4 rows, j >= 0.5 corpus) give complete
+# recall at gate scale — verified set == full exact-Jaccard pair set over
+# the doubled corpus, which DuckDB reproduces with string shingles
+# (Jaccard values are invariant to the 64-bit shingle hashing).
+_MINHASH_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substring(text, instr(text, ' ') + 1) AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+  FROM corpus
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])) AS sh
+  FROM w
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, shared,
+       round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared >= 0.5 * (sa.n_sh + sb.n_sh - shared)
+"""
+
+# Oracle for the multimodal gate: the decode stub's pixel math is
+# deterministic pure arithmetic (multimodal.py _decode_image /
+# make_fake_media), so DuckDB recomputes it symbolically.
+_MEDIA_SQL = """
+WITH m AS (
+  SELECT i,
+         64 + (i % 5) * 16 AS n_px,
+         list_sum(list_transform(range(0, 64), j -> (i * 7 + j) % 256)) % 256 AS mean_px
+  FROM range(0, 300) g(i)
+  WHERE i % 3 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_images,
+       round(avg(mean_px), 4) AS avg_px,
+       CAST(sum(n_px) AS BIGINT) AS total_px
+FROM m
+"""
+
+
+def _lsh_topk_sql(planes: int = 6, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    """Oracle for the hyperplane-LSH top-k gate.  The plane matrix is the
+    same seeded driver-side pseudo-random matrix the Spark operator folds
+    into its plan (similarity.random_hyperplane_buckets); repr() of a
+    Python float round-trips, so DuckDB parses bit-identical doubles."""
+    import random
+
+    rnd = random.Random(seed)
+    values = []
+    for p in range(planes):
+        for i, w in enumerate(rnd.gauss(0.0, 1.0) for _ in range(dim)):
+            values.append(f"({p},{i},{w!r})")
+    plane_rows = ",".join(values)
+    return f"""
+WITH plane(p, i, w) AS (VALUES {plane_rows}),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         sum(e.embedding[pl.i + 1]::DOUBLE * pl.w) AS dot
+  FROM embeddings e CROSS JOIN plane pl
+  GROUP BY 1, 2
+), b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1
+), cand AS (
+  SELECT qb.vec_id AS query_id, cb.vec_id AS vec_id
+  FROM b qb JOIN b cb ON qb.bucket = cb.bucket AND cb.vec_id <> qb.vec_id
+  WHERE qb.vec_id < 10
+), sims AS (
+  SELECT c.query_id, c.vec_id,
+         sum(e.embedding[i.i + 1]::DOUBLE * q.embedding[i.i + 1]::DOUBLE) AS dot,
+         sum(e.embedding[i.i + 1]::DOUBLE * e.embedding[i.i + 1]::DOUBLE) AS na,
+         sum(q.embedding[i.i + 1]::DOUBLE * q.embedding[i.i + 1]::DOUBLE) AS nb
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+  CROSS JOIN range(0, 64) i(i)
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT query_id, vec_id,
+         round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 4) DESC, vec_id ASC
+         ) AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""
+
+
 _LANG_SCORES = f"""
   len(list_filter({_WORDS}, x -> x IN ({_EN}))) AS s_en,
   len(list_filter({_WORDS}, x -> x IN ({_DE}))) AS s_de,
@@ -1093,6 +1198,9 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_pairs": _JACCARD_SQL,
         "q_cosine_topk": _COS_SQL,
         "q_cosine_neardup": _NEARDUP_SQL,
-        # q_minhash_lsh / q_simhash_pairs / q_lsh_topk: approximate LSH
-        # families — not SQL-expressible; driver records rows-only.
+        "q_minhash_lsh": _MINHASH_SQL,
+        "q_media_features": _MEDIA_SQL,
+        "q_lsh_topk": _lsh_topk_sql(),
+        # q_simhash_pairs stays rows-only: the sketch is built from
+        # Spark's xxhash64, which DuckDB cannot reproduce.
     }

@@ -135,16 +135,24 @@ def neardup_pairs_blocked(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     impl: str = "arrow",
+    max_block: int = 20_000,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, blocked on ``block_col`` (a
     cheap cluster/bucket id).  Blocking turns the N² cross join into
     sum-of-block² — the difference between impossible and routine at 1e9
     vectors.
 
-    ``impl='arrow'``: one ``applyInPandas`` per block — a single numpy
-    GEMM emits only the >=threshold pairs; the only shuffle is the
-    groupBy(block).  ``impl='column'``: pure Catalyst self-join (no
-    Python), quadratic row explosion before the filter.
+    ``impl='arrow'``: one ``applyInPandas`` per (sub-)block — a single
+    numpy GEMM emits only the >=threshold pairs; the only shuffle is the
+    groupBy.  Blocks larger than ``max_block`` rows are SUB-SPLIT before
+    ``applyInPandas``: rows hash into ``m = ceil(n/max_block)`` sub-blocks
+    and every unordered sub-block pair (sa <= sb) becomes its own group,
+    so no task ever materializes more than ~2*max_block vectors (each
+    unordered row pair lands in exactly one group — results identical to
+    the unsplit computation).  Row duplication factor is m — at crawl
+    scale a skewed block degrades gracefully instead of OOMing one task.
+    ``impl='column'``: pure Catalyst self-join (no Python), quadratic row
+    explosion before the filter.
     """
     if impl == "column" or block_col is None:
         a = df.alias("a")
@@ -165,24 +173,76 @@ def neardup_pairs_blocked(
 
     import numpy as np
 
-    def block_pairs(pdf):
+    sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n"))
+    m_col = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(max_block))
+    ).cast("int")
+    sized = df.select(id_col, vec_col, block_col).join(
+        F.broadcast(sizes.select(block_col, m_col.alias("__m"))), block_col
+    )
+    tagged = sized.withColumn(
+        "__sub", F.pmod(F.xxhash64(F.col(id_col)), F.col("__m")).cast("int")
+    )
+    # each row joins every sub-block pair group it participates in:
+    # {(min(sub,t), max(sub,t)) : t in 0..m-1}; m==1 degenerates to one
+    # (0,0) group per block — the common, unsplit case
+    groups = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.col("__m") - 1),
+            lambda t: F.struct(
+                F.least(F.col("__sub"), t).alias("sa"),
+                F.greatest(F.col("__sub"), t).alias("sb"),
+            ),
+        )
+    )
+    exploded = tagged.select(
+        block_col, id_col, vec_col, "__sub", F.explode(groups).alias("__g")
+    ).select(
+        block_col, id_col, vec_col, "__sub",
+        F.col("__g.sa").alias("__sa"), F.col("__g.sb").alias("__sb"),
+    )
+
+    def _normed(part):
+        ids = part[id_col].to_numpy(dtype=np.int64)
+        E = np.array([np.asarray(v, dtype=np.float64) for v in part[vec_col]])
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        return ids, En
+
+    def group_pairs(key, pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        E = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        En = E / np.linalg.norm(E, axis=1, keepdims=True)
-        S = np.round(En @ En.T, 4)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = S[iu, ju] >= threshold
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        sa, sb = key[-2], key[-1]
+        if sa == sb:
+            part = pdf.sort_values(id_col)
+            if len(part) < 2:
+                return empty
+            ids, En = _normed(part)
+            S = np.round(En @ En.T, 4)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = S[iu, ju] >= threshold
+            return pd.DataFrame(
+                {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "sim": S[iu, ju][keep]}
+            )
+        A = pdf[pdf["__sub"] == sa]
+        B = pdf[pdf["__sub"] == sb]
+        if A.empty or B.empty:
+            return empty
+        ids_a, En_a = _normed(A)
+        ids_b, En_b = _normed(B)
+        S = np.round(En_a @ En_b.T, 4)
+        ii, jj = np.nonzero(S >= threshold)
+        ia, ib = ids_a[ii], ids_b[jj]
         return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "sim": S[iu, ju][keep]}
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "sim": S[ii, jj],
+            }
         )
 
-    return (
-        df.select(id_col, vec_col, block_col)
-        .groupBy(block_col)
-        .applyInPandas(block_pairs, schema="id_a long, id_b long, sim double")
+    return exploded.groupBy(block_col, "__sa", "__sb").applyInPandas(
+        group_pairs, schema="id_a long, id_b long, sim double"
     )
 
 

@@ -43,16 +43,28 @@ def _commit_name(version: int) -> str:
 
 class MetadataIO:
     """Driver-side metadata reader. Local filesystem by default; paths
-    with a URI scheme go through ``pyarrow.fs`` (S3/ABFS/GCS/HDFS)."""
+    with a URI scheme go through ``pyarrow.fs`` (S3/ABFS/GCS/HDFS).
+
+    ``storage_options={"filesystem": <pyarrow.fs.FileSystem>}`` injects
+    an explicit filesystem for schemed paths — the escape hatch for
+    custom/obscure schemes (and what the test suite uses to exercise the
+    non-local branch without cloud credentials)."""
 
     def __init__(self, storage_options: Optional[Mapping[str, Any]] = None):
         self.storage_options = storage_options or {}
 
+    def _resolve_fs(self, path: str):
+        """(pyarrow filesystem, in-filesystem path) for a schemed path."""
+        import pyarrow.fs as pafs
+
+        fs = self.storage_options.get("filesystem")
+        if fs is not None:
+            return fs, path.split("://", 1)[1]
+        return pafs.FileSystem.from_uri(path)
+
     def _open(self, path: str):
         if "://" in path and not path.startswith("file://"):
-            import pyarrow.fs as pafs
-
-            fs, rel = pafs.FileSystem.from_uri(path)
+            fs, rel = self._resolve_fs(path)
             return fs.open_input_file(rel)
         return open(path.removeprefix("file://"), "rb")
 
@@ -85,7 +97,7 @@ class MetadataIO:
         if "://" in path and not path.startswith("file://"):
             import pyarrow.fs as pafs
 
-            fs, rel = pafs.FileSystem.from_uri(path)
+            fs, rel = self._resolve_fs(path)
             sel = pafs.FileSelector(rel, allow_not_found=True)
             return [info.path for info in fs.get_file_info(sel)]
         import os

@@ -143,6 +143,31 @@ def test_neardup_blocked_impls_agree(spark):
     assert all(x % 3 == y % 3 for x, y in a)
 
 
+def test_neardup_blocked_oversized_block_subsplits(spark):
+    """A block larger than max_block is sub-split (no task materializes
+    the whole block) and the pair set is identical to the unsplit run."""
+    import random
+
+    rnd = random.Random(13)
+    base = [rnd.gauss(0, 1) for _ in range(8)]
+    rows = []
+    for i in range(120):  # ONE block of 120 rows
+        if i % 6 == 0:
+            v = [x + rnd.gauss(0, 0.01) for x in base]
+        else:
+            v = [rnd.gauss(0, 1) for _ in range(8)]
+        rows.append((i, v, 0))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    split = {(r["id_a"], r["id_b"], r["sim"]) for r in
+             S.neardup_pairs_blocked(emb, threshold=0.9, block_col="label",
+                                     impl="arrow", max_block=25).collect()}
+    whole = {(r["id_a"], r["id_b"], r["sim"]) for r in
+             S.neardup_pairs_blocked(emb, threshold=0.9, block_col="label",
+                                     impl="arrow").collect()}
+    assert split == whole
+    assert len(split) >= (120 // 6) * (120 // 6 - 1) // 2  # planted cluster found
+
+
 def test_ivf_index(spark):
     import random
 

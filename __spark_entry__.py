@@ -477,6 +477,27 @@ def q_delta_scan_roundtrip(spark, sf_dir):
     )
 
 
+def q_delta_sql_emission(spark, sf_dir):
+    """Self-contained SQL-string sink (reference get_sql_for_delta,
+    duckdb.py:584-623): emit Spark SQL over parquet.`file` refs for the
+    partitioned Delta roundtrip table — no temp views — and aggregate
+    through spark.sql.  Conditions prune files driver-side before
+    emission AND land in the WHERE clause."""
+    from deltalake2db_spark.sources.sql_emit import get_sql_for_delta
+
+    path = _roundtrip_path(sf_dir)
+    sql = get_sql_for_delta(path, conditions=[("l_returnflag", "=", "A")],
+                            cte_wrap_name="li")
+    return spark.sql(
+        sql
+        + """
+        SELECT l_linestatus, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM `li` GROUP BY l_linestatus
+        """
+    )
+
+
 def q_delta_sink_roundtrip(spark, sf_dir):
     """Distributed write path: orders -> write_delta (partitioned by
     status, Spark-written parquet + footer stats) -> scan_delta with a
@@ -666,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_json_props": q_json_props,
         "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
+        "q_delta_sql_emission": q_delta_sql_emission,
         "q_delta_sink_roundtrip": q_delta_sink_roundtrip,
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
@@ -1123,6 +1145,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderstatus <> 'P'
             GROUP BY o_orderstatus, o_orderpriority
+        """,
+        "q_delta_sql_emission": """
+            SELECT l_linestatus, count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_returnflag = 'A'
+            GROUP BY l_linestatus
         """,
         "q_delta_time_travel": """
             SELECT l_returnflag, count(*) AS n_rows,

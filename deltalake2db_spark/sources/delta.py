@@ -275,29 +275,31 @@ def scan_delta_native(
 
 
 def get_sql_for_delta(
-    spark: SparkSession,
+    spark: Optional[SparkSession],
     table: PathOrState,
     cte_wrap_name: Optional[str] = None,
     storage_options: Optional[Mapping[str, Any]] = None,
     version: Optional[int] = None,
     **scan_kwargs: Any,
 ) -> str:
-    """Composable Spark-SQL fragment for a Delta table (parity:
+    """Self-contained Spark SQL for a Delta table (parity:
     ``get_sql_for_delta`` / ``cte_wrap_name``, duckdb.py:584-623).
 
-    The reference returns a self-contained SQL string because its IR is
-    a sqlglot AST; ours is a DataFrame, so the fragment references a
-    registered temp view (semantically identical composition surface —
-    embed the fragment, or the CTE form, in any ``spark.sql`` query).
+    Like the reference, the returned string runs on ANY session with no
+    prior registration — one SELECT per surviving file over
+    ``parquet.`file``` refs with column-mapping renames, partition
+    literals, and NULL backfill (see ``sources.sql_emit``).  ``spark``
+    is accepted for backward compatibility but unused.
     """
-    view = f"{cte_wrap_name}__src" if cte_wrap_name else "deltalake2db_delta_table"
-    create_view_for_delta(
-        spark, table, view, storage_options=storage_options, version=version,
+    from .sql_emit import get_sql_for_delta as _emit
+
+    return _emit(
+        table,
+        cte_wrap_name=cte_wrap_name,
+        storage_options=storage_options,
+        version=version,
         **scan_kwargs,
     )
-    if cte_wrap_name:
-        return f"WITH `{cte_wrap_name}` AS (SELECT * FROM `{view}`)"
-    return f"SELECT * FROM `{view}`"
 
 
 def create_view_for_delta(

@@ -406,9 +406,16 @@ def minhash_lsh_pairs(
         # tiny pair list instead of re-running the banding pipeline
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return verify_jaccard_pairs_from_shingles(
+    result = verify_jaccard_pairs_from_shingles(
         sh, candidates, id_col, threshold, sizes=sizes
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize eagerly so the big intermediates can be dropped NOW —
+    # without this every invocation leaks a corpus-sized shingle cache
+    # into executor storage memory for the rest of the session
+    result.count()
+    for interm in (sh, sig, candidates):
+        interm.unpersist()
+    return result
 
 
 # ------------------------------------------------------------------- SimHash

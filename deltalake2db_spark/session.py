@@ -22,6 +22,24 @@ def get_spark(app_name: str = "deltalake2db_spark", cpus: int | None = None) -> 
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory size when coalescing instead of keeping
+        # max parallelism: small shuffles collapse to a few tasks and
+        # stop paying per-task scheduling overhead (the Spark-recommended
+        # production setting; default true is back-compat only)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # 4MB suits local[32]/sf0.1 bench scale — cluster deployments at
+        # 100 TB should raise to 64-256MB via SPARK_GRAFT_ADVISORY
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "4MB"),
+        )
+        # local mode: every task is process-local; never wait for locality
+        .config("spark.locality.wait", "0")
+        # many distinct query shapes share one session; the default
+        # 100-entry whole-stage-codegen class cache evicts hot plans and
+        # re-JITs them every run (measured: the big inverted-index join
+        # doubled in wall-clock once ~39 queries shared the JVM)
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

@@ -44,6 +44,12 @@ def main() -> None:
     # the steady-state per-query cost
     times: dict[str, float] = {}
     for name, fn in qs.items():
+        # steady-state hygiene: broadcast/shuffle blocks from earlier
+        # queries are reclaimed by ContextCleaner only after a driver GC,
+        # which a 128 GiB heap almost never triggers on its own — without
+        # this the heavy joins late in the run degrade ~2x
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         runs, n = [], 0
         try:
             for _ in range(2):
@@ -60,7 +66,8 @@ def main() -> None:
             print(f"# {name} failed: {exc}", file=sys.stderr)
             continue
         times[name] = round(min(runs), 3)
-        print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+        allruns = "/".join(f"{r:.2f}" for r in runs)
+        print(f"# {name}: {times[name]:.2f}s ({n} rows) [{allruns}]", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     oracle_names = set(entry.oracle_sql())

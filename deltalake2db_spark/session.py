@@ -40,6 +40,17 @@ def get_spark(app_name: str = "deltalake2db_spark", cpus: int | None = None) -> 
         # re-JITs them every run (measured: the big inverted-index join
         # doubled in wall-clock once ~39 queries shared the JVM)
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # dozens of distinct generated classes flow through shared JVM
+        # call sites (codegen iterators, shuffle writers); the default
+        # 240MB code cache flushes hot methods mid-session and the
+        # default TypeProfileWidth=2 lets an early query make a shared
+        # call site megamorphic for every later query (measured: the
+        # inverted-index join ran a stable 2x slower after 30 other
+        # queries; these two flags recover isolated-run speed)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:TypeProfileWidth=8",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

@@ -38,6 +38,14 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     single-distinct aggregation counts them — partial aggregation
     collapses duplicates map-side, so the shuffle carries ~distinct
     values per column, never a multiple of the row count.
+
+    Under-parallel inputs (fewer files than cores — e.g. one parquet
+    file, which plans as ONE task and serializes the whole distinct
+    pass) get the pairs hash-repartitioned by (column, value) first:
+    the upstream task then only writes shuffle blocks and the heavy
+    distinct aggregation runs at full parallelism.  A big table (files
+    >= cores) keeps the map-side-combine plan and never pays that
+    extra shuffle of raw pairs.
     """
     cols = list(cols or df.columns)
     by_name = {f.name: f for f in df.schema.fields}
@@ -53,6 +61,7 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             mx = F.max(c).cast("string")
         aggs.append(mn.alias(f"__min_{c}"))
         aggs.append(mx.alias(f"__max_{c}"))
+
     row = df.agg(*aggs).collect()[0]
 
     pairs = df.select(
@@ -68,6 +77,13 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
             )
         ).alias("p")
     ).select("p.column", "p.v")
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan: assume well-partitioned
+        n_files = 0
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if 0 < n_files < max(2, par // 2):
+        pairs = pairs.repartition(2 * par, "column", "v")
     dist = {
         r["column"]: r["nd"]
         for r in pairs.groupBy("column")

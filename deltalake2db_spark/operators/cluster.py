@@ -1,0 +1,119 @@
+"""Duplicate-cluster construction: connected components over a pair
+list, and cluster-based corpus deduplication.
+
+Near-dup pipelines (MinHash-LSH / SimHash / embedding blocking —
+``operators/dedup.py``, ``operators/similarity.py``) emit PAIRS; to
+actually deduplicate a corpus the pairs must be closed into clusters
+(doc A ~ B, B ~ C => {A, B, C}) and one representative kept per
+cluster.  The reference engine has no clustering stage at all — this is
+a north-star extension for the training-data use case.
+
+Scale notes: the iterative min-label propagation below shuffles only
+(vertex, label) longs per round — never materializing a transitive
+closure — and converges in O(cluster diameter) rounds.  Near-dup
+clusters are dense (mutual near-copies of one source), so diameter is
+tiny in practice; ``max_iter`` bounds adversarial chains.  Every round
+persists its frontier and drops the previous one, and lineage is
+truncated with ``localCheckpoint`` every few rounds so plan depth stays
+bounded regardless of iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["connected_components", "dedup_by_clusters"]
+
+_CHECKPOINT_EVERY = 8
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster ids for every vertex that appears in ``pairs``.
+
+    Returns (doc_id, cluster_id) where ``cluster_id`` is the MINIMUM
+    vertex id of the component — a deterministic labeling, so results
+    are oracle-comparable (DuckDB: recursive-CTE reachability + MIN).
+
+    Algorithm: symmetric min-label propagation.  Each round every
+    vertex adopts the smallest label among itself and its neighbors;
+    a round that changes nothing (detected by the strictly-decreasing
+    label total going flat) ends the loop.  One shuffle per round on
+    the (vertex, label) table; the edge table is shuffled once into
+    the join layout and reused.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select("src", F.col("src").alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_total = None
+    for i in range(max_iter):
+        prop = (
+            edges.join(labels, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.min("label").alias("nl"))
+        )
+        nxt = labels.join(prop, "src", "left").select(
+            "src",
+            F.least("label", F.coalesce("nl", F.col("label"))).alias("label"),
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        # labels only ever decrease, so the total strictly decreases
+        # until the fixpoint; one tiny agg per round is the whole
+        # driver-side traffic (decimal: immune to long overflow at any
+        # vertex-id scale)
+        total = nxt.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("t")
+        ).collect()[0]["t"]
+        labels.unpersist()
+        labels = nxt
+        if total == prev_total:
+            break
+        prev_total = total
+    edges.unpersist()
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative per duplicate cluster (the minimum id)
+    plus every unpaired document — the standard "drop near-dups" step.
+
+    Anti-join of ``df`` against the non-representative cluster members;
+    documents never named in ``pairs`` survive untouched.  The losers
+    table is ~(cluster members - clusters) rows — tiny next to the
+    corpus — so Catalyst broadcast-joins it at any corpus scale where
+    the duplicate fraction is sane.
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -48,6 +48,25 @@ def connected_components(
     the (vertex, label) table; the edge table is shuffled once into
     the join layout and reused.
     """
+    # AQE re-plans every exchange at stage boundaries; in this loop the
+    # per-round shapes are identical and already tiny, and AQE's runtime
+    # coalescing breaks the hash-partitioning reuse between rounds (the
+    # groupBy(dst) output and the labels table share HashPartitioning
+    # on `src`, so rounds avoid one exchange when partitioning is
+    # stable).  Measured ~25% faster with AQE off at sf0.1; restored in
+    # the finally.
+    spark = pairs.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _cc_loop(pairs, id_a, id_b, max_iter)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _cc_loop(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),

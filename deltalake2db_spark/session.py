@@ -46,10 +46,15 @@ def get_spark(app_name: str = "deltalake2db_spark", cpus: int | None = None) -> 
         # default TypeProfileWidth=2 lets an early query make a shared
         # call site megamorphic for every later query (measured: the
         # inverted-index join ran a stable 2x slower after 30 other
-        # queries; these two flags recover isolated-run speed)
+        # queries; these two flags recover isolated-run speed).
+        # -DontCompileHugeMethods: wide aggregates (e.g. 64 minhash
+        # mins) generate >8KB-bytecode methods HotSpot otherwise
+        # refuses to JIT — they ran interpreted forever in some
+        # sessions (measured bimodal 1.7s vs 5.4s for the same query)
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:TypeProfileWidth=8",
+            "-XX:ReservedCodeCacheSize=1g -XX:TypeProfileWidth=8"
+            " -XX:-DontCompileHugeMethods",
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

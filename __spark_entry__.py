@@ -561,6 +561,32 @@ def q_delta_column_mapping(spark, sf_dir):
 # LLM-pipeline extensions: dedup / text analysis / similarity
 # --------------------------------------------------------------------------
 
+def _dv_path(spark, sf_dir: str) -> str:
+    """orders -> Delta, then a row-level DELETE via deletion vectors
+    (no file rewrite) — the reference rejects DV tables outright."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/orders_dv"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        from deltalake2db_spark.sources.delta_sink import (
+            delete_where,
+            write_delta,
+        )
+
+        write_delta(_t(spark, sf_dir, "orders"), path)
+        delete_where(spark, path, "o_orderkey % 10 = 3")
+    return path
+
+
+def q_delta_dv_scan(spark, sf_dir):
+    """Scan a deletion-vector table: roaring-bitmap decode on executors
+    + (file, row_index) anti-join drops deleted rows exactly."""
+    df = scan_delta(spark, _dv_path(spark, sf_dir))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_profile_orders(spark, sf_dir):
     """Single-pass per-column dataset profile."""
     from deltalake2db_spark.functions.profile import profile
@@ -741,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_sink_roundtrip": q_delta_sink_roundtrip,
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
+        "q_delta_dv_scan": q_delta_dv_scan,
         "q_profile_orders": q_profile_orders,
         "q_salted_agg": q_salted_agg,
         "q_dedup_exact": q_dedup_exact,
@@ -1219,6 +1246,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_returnflag = 'R'
             GROUP BY l_linestatus
+        """,
+        "q_delta_dv_scan": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderkey % 10 != 3
+            GROUP BY o_orderstatus
         """,
         "q_delta_sink_roundtrip": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -16,9 +16,14 @@ from .sources.delta import (
     scan_delta,
     scan_delta_native,
 )
+from .sources.delta_sink import delete_where, vacuum, write_checkpoint, write_delta
 from .sources.sinks import dataframe_to_duckdb, delta_to_duckdb, delta_to_jdbc
 
 __all__ = [
+    "write_delta",
+    "delete_where",
+    "vacuum",
+    "write_checkpoint",
     "FilterType",
     "MetaState",
     "DeltaProtocolError",

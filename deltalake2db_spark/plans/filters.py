@@ -299,6 +299,11 @@ def iter_add_actions_filtered(
             stats = _stats_of(action)
             n = stats.get("numRecords")
             if n is not None:
+                # numRecords counts physical rows; DV-deleted rows never
+                # reach the result, so only the live remainder counts
+                # toward the limit
+                dv = action.get("deletionVector") or {}
+                n = max(n - int(dv.get("cardinality") or 0), 0)
                 total += n
                 if total >= limit:
                     break

@@ -23,6 +23,9 @@ SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
         "timestampNtz",
         "typeWidening",
         "vacuumProtocolCheck",
+        # full read support (plans/deletion_vectors.py + the scan's
+        # row_index anti-join) — a capability the reference rejects
+        "deletionVectors",
     }
 )
 

@@ -101,10 +101,14 @@ def scan_delta(
     version: Optional[int] = None,
     storage_options: Optional[Mapping[str, Any]] = None,
     action_filter: Optional[Callable[[dict], bool]] = None,
+    _with_pos: bool = False,
 ) -> DataFrame:
     """Scan a Delta table into a DataFrame honoring the Delta protocol:
     column mapping, schema evolution, partition-value typing, stats
     skipping, time travel, protocol gating.
+
+    ``_with_pos`` (internal, used by ``delete_where``) appends the
+    (file basename, parquet row index) helper columns to the output.
 
     Parity: ``scan_delta_union`` (``deltalake2db/polars.py:361-559``) and
     ``get_sql_for_delta_expr`` (``deltalake2db/duckdb.py:374-557``).
@@ -124,17 +128,10 @@ def scan_delta(
     if action_filter is not None:
         actions = [a for a in actions if action_filter(a)]
 
-    # belt-and-braces vs. writers that attach DVs without advertising the
-    # reader feature: scanning a file with a deletion vector would
-    # silently resurface deleted rows
-    for a in actions:
-        if a.get("deletionVector"):
-            from ..plans.protocol import DeltaProtocolError
-
-            raise DeltaProtocolError(
-                f"file {a.get('path')} carries a deletion vector; "
-                "deletionVectors is not a supported reader feature"
-            )
+    # deletion vectors: decode each DV-carrying add action's roaring
+    # bitmap and anti-join the scan on (file, parquet row index) —
+    # full read support for a feature the reference rejects outright
+    dv_actions = [a for a in actions if a.get("deletionVector")]
 
     # physical read schema: table columns as stored in parquet, minus
     # partition columns (those live only in partitionValues metadata)
@@ -151,12 +148,18 @@ def scan_delta(
         groups: dict[tuple, list[dict]] = {}
         for a in actions:
             groups.setdefault(partition_tuple(a, partition_phys), []).append(a)
+        with_pos = bool(dv_actions) or _with_pos
         if not partition_cols or len(groups) <= JOIN_STRATEGY_THRESHOLD:
             df = _scan_grouped(spark, state, groups, read_schema, logical_schema,
-                               partition_cols, l2p)
+                               partition_cols, l2p, with_pos=with_pos)
         else:
             df = _scan_filejoin(spark, state, actions, read_schema, logical_schema,
-                                partition_cols, partition_phys, l2p)
+                                partition_cols, partition_phys, l2p,
+                                with_pos=with_pos)
+        if dv_actions:
+            df = _apply_deletion_vectors(
+                spark, state, df, dv_actions, keep_pos=_with_pos
+            )
 
     pred = compile_conditions(conds)
     if pred is not None:
@@ -176,6 +179,21 @@ def scan_delta(
     return df
 
 
+_DV_KEY = "__dl2db_dv_file"
+_DV_RI = "__dl2db_dv_row_index"
+
+
+def _pos_cols() -> list[Column]:
+    """(file basename, parquet row index) from the reader's _metadata —
+    the join key deletion vectors address rows by."""
+    return [
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias(_DV_KEY),
+        F.col("_metadata.row_index").alias(_DV_RI),
+    ]
+
+
 def _scan_grouped(
     spark: SparkSession,
     state: MetaState,
@@ -184,6 +202,7 @@ def _scan_grouped(
     logical_schema: T.StructType,
     partition_cols: Sequence[str],
     l2p: Mapping[str, str],
+    with_pos: bool = False,
 ) -> DataFrame:
     """One multi-path read per distinct partition tuple; unionByName.
 
@@ -196,6 +215,8 @@ def _scan_grouped(
         pv = normalize_partition_values(acts[0].get("partitionValues", {}))
         raw = spark.read.schema(read_schema).parquet(*paths)
         exprs = select_exprs_for_group(logical_schema, partition_cols, pv, l2p)
+        if with_pos:
+            exprs = list(exprs) + _pos_cols()
         parts.append(raw.select(*exprs))
     return reduce(DataFrame.unionByName, parts)
 
@@ -209,6 +230,7 @@ def _scan_filejoin(
     partition_cols: Sequence[str],
     partition_phys: Sequence[str],
     l2p: Mapping[str, str],
+    with_pos: bool = False,
 ) -> DataFrame:
     """Single read of all files + broadcast join on basename to attach
     typed partition values — O(1) plan size in file count."""
@@ -248,7 +270,72 @@ def _scan_filejoin(
             exprs.append(
                 rewrite_expr(F.col(quote_name(phys)), field.dataType).alias(field.name)
             )
+    if with_pos:
+        exprs.extend(_pos_cols())
     return joined.select(*exprs)
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession,
+    state: MetaState,
+    df: DataFrame,
+    dv_actions: Sequence[dict],
+    keep_pos: bool = False,
+) -> DataFrame:
+    """Drop DV-deleted rows: anti-join on (file basename, row index).
+
+    The descriptor table is tiny (one row per DV-carrying file); the
+    expansion to row indexes happens in ``mapInPandas`` on executors, so
+    the driver never materializes a bitmap.  Descriptors carry their
+    ``cardinality``, so the total deleted-row count is known up front —
+    under ``_DV_BROADCAST_ROWS`` the expanded side is broadcast and the
+    scan stays shuffle-free; above it Spark falls back to a shuffled
+    anti-join keyed on (file, row index), which scales with deleted
+    rows, not table rows.
+    """
+    import json as _json
+
+    table_root = state.delta_path
+    storage_options = state.storage_options
+    rows = [
+        (a["path"].rsplit("/", 1)[-1], _json.dumps(a["deletionVector"]))
+        for a in dv_actions
+    ]
+    total = sum(
+        int(a["deletionVector"].get("cardinality") or 0) for a in dv_actions
+    )
+    desc_df = spark.createDataFrame(
+        rows, schema=f"{_DV_KEY} string, __dv_json string"
+    )
+    if len(rows) > 64:
+        desc_df = desc_df.repartition(min(len(rows), 256))
+
+    def expand(batches):
+        import json
+
+        import pandas as pd
+
+        from deltalake2db_spark.plans.deletion_vectors import (
+            read_descriptor as _read,
+        )
+        from deltalake2db_spark.plans.meta import MetadataIO
+
+        opener = MetadataIO(storage_options)._open
+        for pdf in batches:
+            for fk, dv_json in zip(pdf[_DV_KEY], pdf["__dv_json"]):
+                idx = _read(json.loads(dv_json), table_root, opener=opener)
+                yield pd.DataFrame({_DV_KEY: fk, _DV_RI: idx})
+
+    dv_rows = desc_df.mapInPandas(
+        expand, schema=f"{_DV_KEY} string, {_DV_RI} long"
+    )
+    if total <= _DV_BROADCAST_ROWS:
+        dv_rows = F.broadcast(dv_rows)
+    out = df.join(dv_rows, on=[_DV_KEY, _DV_RI], how="left_anti")
+    return out if keep_pos else out.drop(_DV_KEY, _DV_RI)
+
+
+_DV_BROADCAST_ROWS = 4_000_000
 
 
 def scan_delta_native(

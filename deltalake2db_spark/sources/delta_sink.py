@@ -176,6 +176,105 @@ def write_delta(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def delete_where(spark, path: str, condition) -> dict:
+    """Row-level DELETE via deletion vectors — no file rewrite.
+
+    Rows of the table at ``path`` matching ``condition`` (a Column or
+    SQL string) are marked deleted by attaching roaring-bitmap deletion
+    vectors to their files: each affected file is re-added with a
+    ``deletionVector`` descriptor (merged with any existing DV) and the
+    protocol is upgraded to ``minReaderVersion 3 /
+    readerFeatures [deletionVectors]`` on first use — the same shape
+    delta-spark's DELETE produces.  This is a capability the reference
+    engine has no counterpart for (its protocol gate rejects DV tables
+    outright, ``protocol_check.py``).
+
+    The predicate is evaluated DISTRIBUTED (the scan runs with file/
+    row-index metadata columns); only the matched positions come back to
+    the driver to be bit-packed, mirroring how Delta engines collect
+    per-file bitmaps at commit time.  Deletion vectors are by
+    construction small relative to data (a billion-row delete is a
+    ~128MB bitmap); for larger deletes rewrite the files instead.
+
+    Returns ``{"version", "files", "deleted_rows"}``.
+    """
+    import json
+
+    from ..plans.deletion_vectors import read_descriptor, write_dv_file
+    from .delta import _DV_KEY, _DV_RI, scan_delta
+
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    if isinstance(condition, str):
+        from pyspark.sql import functions as F
+
+        condition = F.expr(condition)
+
+    hits = (
+        scan_delta(spark, state, _with_pos=True)
+        .filter(condition)
+        .groupBy(_DV_KEY)
+        .agg({_DV_RI: "collect_list"})
+        .withColumnRenamed(f"collect_list({_DV_RI})", "rows")
+        .collect()
+    )
+    if not hits:
+        return {"version": state.version, "files": 0, "deleted_rows": 0}
+
+    by_basename = {p.rsplit("/", 1)[-1]: a for p, a in state.add_actions.items()}
+    targets: list[tuple[dict, list[int]]] = []  # (add action, merged indexes)
+    n_deleted = 0
+    for row in hits:
+        action = by_basename[row[_DV_KEY]]
+        new_idx = sorted(int(i) for i in row["rows"])
+        n_deleted += len(new_idx)
+        old = action.get("deletionVector")
+        if old:
+            merged = sorted(
+                set(new_idx)
+                | set(read_descriptor(old, path, opener=state._io._open))
+            )
+        else:
+            merged = new_idx
+        targets.append((action, merged))
+
+    descriptors = write_dv_file(path, [idx for _, idx in targets])
+
+    w = DeltaWriter(path)
+    w.version = state.version
+    actions: list[dict] = []
+    proto = state.protocol or {}
+    reader_feats = set(proto.get("readerFeatures") or [])
+    if (
+        proto.get("minReaderVersion", 1) < 3
+        or "deletionVectors" not in reader_feats
+    ):
+        reader_feats.add("deletionVectors")
+        # moving to feature-list protocol versions requires naming every
+        # ACTIVE legacy feature explicitly (PROTOCOL.md table features)
+        cfg = (state.last_metadata or {}).get("configuration", {})
+        if cfg.get("delta.columnMapping.mode", "none") != "none":
+            reader_feats.add("columnMapping")
+        writer_feats = set(proto.get("writerFeatures") or []) | {
+            "deletionVectors"
+        }
+        actions.append(
+            w.protocol_action(3, 7, sorted(reader_feats), sorted(writer_feats))
+        )
+    for (action, _idx), desc in zip(targets, descriptors):
+        updated = dict(action)
+        updated["deletionVector"] = desc
+        updated["dataChange"] = True
+        actions.append(w.remove_action(action["path"]))
+        actions.append({"add": updated})
+    version = w.commit(actions)
+    return {
+        "version": version,
+        "files": len(targets),
+        "deleted_rows": n_deleted,
+    }
+
+
 def write_checkpoint(path: str) -> None:
     """Materialize the current snapshot as ``<v>.checkpoint.parquet`` +
     ``_last_checkpoint`` (resolved via full log replay, so it works on

@@ -62,14 +62,22 @@ def _arrow_type(dt: T.DataType):
 
 
 class DeltaFilePartition(InputPartition):
-    """Self-contained per-file work unit (no package imports needed to
-    unpickle beyond this module): file URI + pre-decoded partition
-    values + field plan."""
+    """Self-contained per-file work unit: file URI + pre-decoded
+    partition values + field plan + optional deletion-vector
+    descriptor (decoded executor-side against ``table_root``)."""
 
-    def __init__(self, file_uri: str, field_plan: Sequence[tuple]):
+    def __init__(
+        self,
+        file_uri: str,
+        field_plan: Sequence[tuple],
+        dv: dict | None = None,
+        table_root: str | None = None,
+    ):
         self.file_uri = file_uri
         # field_plan: (logical_name, physical_name_or_None, decoded_partition_value)
         self.field_plan = list(field_plan)
+        self.dv = dv
+        self.table_root = table_root
 
 
 class DeltaDataSourceReader(DataSourceReader):
@@ -106,7 +114,14 @@ class DeltaDataSourceReader(DataSourceReader):
                     plan.append((f.name, None, decoded))
                 else:
                     plan.append((f.name, phys, None))
-            parts.append(DeltaFilePartition(state.file_uri(action), plan))
+            parts.append(
+                DeltaFilePartition(
+                    state.file_uri(action),
+                    plan,
+                    dv=action.get("deletionVector"),
+                    table_root=state.delta_path,
+                )
+            )
         if not parts:
             # zero live files: Spark still needs >=1 partition; emit an
             # empty-plan marker the executor turns into zero batches
@@ -123,6 +138,18 @@ class DeltaDataSourceReader(DataSourceReader):
             (f.name, _arrow_type(f.dataType)) for f in self.logical_schema.fields
         ]
         table = pq.read_table(partition.file_uri)
+        if partition.dv:
+            # drop DV-deleted rows by file position before any column
+            # work — pyarrow reads preserve row order, so positions are
+            # exactly the parquet row indexes the descriptor addresses
+            import numpy as np
+
+            from ..plans.deletion_vectors import read_descriptor
+
+            deleted = read_descriptor(partition.dv, partition.table_root)
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[np.asarray(deleted, dtype=np.int64)] = False
+            table = table.filter(pa.array(mask))
         n = table.num_rows
         by_phys = {name: i for i, name in enumerate(table.schema.names)}
         arrays, names = [], []

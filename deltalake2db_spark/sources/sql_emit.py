@@ -29,6 +29,9 @@ from ..plans.protocol import check_is_supported
 from ..plans.types import delta_type_name, physical_name
 
 
+_DV_SQL_MAX_ROWS = 100_000
+
+
 def _q(name: str) -> str:
     """Backtick-quote an identifier."""
     return "`" + name.replace("`", "``") + "`"
@@ -200,9 +203,29 @@ def get_sql_for_delta(
                     exprs.append(
                         f"CAST(NULL AS {type_ddl(field.dataType)}) AS {_q(field.name)}"
                     )
-            selects.append(
-                "SELECT " + ", ".join(exprs) + f" FROM parquet.{_q(path)}"
-            )
+            stmt = "SELECT " + ", ".join(exprs) + f" FROM parquet.{_q(path)}"
+            dv = action.get("deletionVector")
+            if dv:
+                # deletion vectors inline as a row-index NOT IN list —
+                # emission is O(deleted rows), so cap it and point big
+                # tables at scan_delta's anti-join instead
+                from ..plans.deletion_vectors import read_descriptor
+
+                card = int(dv.get("cardinality") or 0)
+                if card > _DV_SQL_MAX_ROWS:
+                    raise ValueError(
+                        f"deletion vector on {action.get('path')} has "
+                        f"{card} deleted rows; SQL emission caps at "
+                        f"{_DV_SQL_MAX_ROWS} — use scan_delta() for this "
+                        "table"
+                    )
+                deleted = read_descriptor(
+                    dv, state.delta_path, opener=state._io._open
+                )
+                if deleted:
+                    idx = ", ".join(str(i) for i in deleted)
+                    stmt += f" WHERE _metadata.row_index NOT IN ({idx})"
+            selects.append(stmt)
         body = "\nUNION ALL\n".join(selects)
 
     outer = "*" if not select else ", ".join(_q(c) for c in select)

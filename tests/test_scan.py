@@ -183,7 +183,7 @@ def test_protocol_gate(spark, user_table, tmp_path):
         d = json.loads(ln)
         if "protocol" in d:
             d["protocol"]["minReaderVersion"] = 4
-            d["protocol"]["readerFeatures"] = ["deletionVectors"]
+            d["protocol"]["readerFeatures"] = ["v2Checkpoint"]
         out.append(json.dumps(d))
     log.write_text("\n".join(out))
 
@@ -194,10 +194,11 @@ def test_protocol_gate(spark, user_table, tmp_path):
 
 
 def test_protocol_gate_reader_v3_dv(spark, user_table, tmp_path):
-    """deletionVectors tables advertise exactly minReaderVersion=3 +
-    readerFeatures=['deletionVectors']; PROTOCOL.md requires honoring
-    readerFeatures from reader version 3 up (the reference bypasses <=3
-    — a deliberate fix, accepting it would resurface deleted rows)."""
+    """PROTOCOL.md requires honoring readerFeatures from reader version
+    3 up (the reference bypasses <=3 — a deliberate fix).  Since this
+    round deletionVectors IS a supported reader feature, a v3 table
+    advertising it scans fine (files without DVs simply keep all rows);
+    an unknown v3 feature still gates."""
     import json, shutil
 
     bad = tmp_path / "dv3"
@@ -212,10 +213,24 @@ def test_protocol_gate_reader_v3_dv(spark, user_table, tmp_path):
         out.append(json.dumps(d))
     log.write_text("\n".join(out))
 
+    assert scan_delta(spark, str(bad)).count() > 0
+
+    bad2 = tmp_path / "unknown3"
+    shutil.copytree(user_table, bad2)
+    log = bad2 / "_delta_log" / "00000000000000000000.json"
+    out = []
+    for ln in log.read_text().splitlines():
+        d = json.loads(ln)
+        if "protocol" in d:
+            d["protocol"]["minReaderVersion"] = 3
+            d["protocol"]["readerFeatures"] = ["v2Checkpoint"]
+        out.append(json.dumps(d))
+    log.write_text("\n".join(out))
+
     from deltalake2db_spark import DeltaProtocolError
 
     with pytest.raises(DeltaProtocolError):
-        scan_delta(spark, str(bad))
+        scan_delta(spark, str(bad2))
 
     # v3 with only supported features still scans
     ok = tmp_path / "ok3"
@@ -232,29 +247,32 @@ def test_protocol_gate_reader_v3_dv(spark, user_table, tmp_path):
     assert scan_delta(spark, str(ok)).count() >= 1
 
 
-def test_scan_rejects_dv_add_action(spark, user_table, tmp_path):
-    """Even when the protocol lies, an add action carrying a
-    deletionVector must refuse to scan (deleted rows would resurface)."""
+def test_scan_honors_dv_add_action_without_feature_flag(
+    spark, user_table, tmp_path
+):
+    """Even when the protocol does NOT advertise deletionVectors, an add
+    action carrying one is honored — deleted rows must never resurface
+    (belt-and-braces: a writer that forgot the protocol upgrade still
+    gets correct reads)."""
     import json, shutil
 
-    bad = tmp_path / "dv_add"
-    shutil.copytree(user_table, bad)
-    log = bad / "_delta_log" / "00000000000000000000.json"
+    from deltalake2db_spark.plans.deletion_vectors import inline_descriptor
+
+    n_before = scan_delta(spark, user_table).count()
+    tbl = tmp_path / "dv_add"
+    shutil.copytree(user_table, tbl)
+    log = tbl / "_delta_log" / "00000000000000000000.json"
     out = []
+    first = True
     for ln in log.read_text().splitlines():
         d = json.loads(ln)
-        if "add" in d:
-            d["add"]["deletionVector"] = {
-                "storageType": "u", "pathOrInlineDv": "x", "offset": 1,
-                "sizeInBytes": 36, "cardinality": 2,
-            }
+        if "add" in d and first:
+            d["add"]["deletionVector"] = inline_descriptor([0])
+            first = False
         out.append(json.dumps(d))
     log.write_text("\n".join(out))
 
-    from deltalake2db_spark import DeltaProtocolError
-
-    with pytest.raises(DeltaProtocolError):
-        scan_delta(spark, str(bad))
+    assert scan_delta(spark, str(tbl)).count() == n_before - 1
 
 
 def test_map_column_roundtrip(spark, tmp_path):

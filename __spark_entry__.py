@@ -577,6 +577,36 @@ def _dv_path(spark, sf_dir: str) -> str:
     return path
 
 
+def _optimized_path(spark, sf_dir: str) -> str:
+    """DV table -> OPTIMIZE (compaction + DV purge): content must be
+    unchanged, deleted rows must stay deleted after the rewrite."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/orders_opt"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        from deltalake2db_spark.sources.delta_sink import (
+            delete_where,
+            write_delta,
+        )
+        from deltalake2db_spark.sources.maintenance import optimize
+
+        write_delta(
+            _t(spark, sf_dir, "orders").repartition(8), path
+        )
+        delete_where(spark, path, "o_orderkey % 10 = 3")
+        optimize(spark, path)
+    return path
+
+
+def q_delta_optimize(spark, sf_dir):
+    """Scan after OPTIMIZE of a deletion-vector table (file compaction
+    + physical purge of DV-deleted rows, dataChange=false commit)."""
+    df = scan_delta(spark, _optimized_path(spark, sf_dir))
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_delta_dv_scan(spark, sf_dir):
     """Scan a deletion-vector table: roaring-bitmap decode on executors
     + (file, row_index) anti-join drops deleted rows exactly."""
@@ -768,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
+        "q_delta_optimize": q_delta_optimize,
         "q_profile_orders": q_profile_orders,
         "q_salted_agg": q_salted_agg,
         "q_dedup_exact": q_dedup_exact,
@@ -1246,6 +1277,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_returnflag = 'R'
             GROUP BY l_linestatus
+        """,
+        "q_delta_optimize": """
+            SELECT o_orderpriority, count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderkey % 10 != 3
+            GROUP BY o_orderpriority
         """,
         "q_delta_dv_scan": """
             SELECT o_orderstatus, count(*) AS n_rows,

@@ -17,11 +17,13 @@ from .sources.delta import (
     scan_delta_native,
 )
 from .sources.delta_sink import delete_where, vacuum, write_checkpoint, write_delta
+from .sources.maintenance import optimize
 from .sources.sinks import dataframe_to_duckdb, delta_to_duckdb, delta_to_jdbc
 
 __all__ = [
     "write_delta",
     "delete_where",
+    "optimize",
     "vacuum",
     "write_checkpoint",
     "FilterType",

@@ -35,6 +35,9 @@ def get_spark(app_name: str = "deltalake2db_spark", cpus: int | None = None) -> 
         )
         # local mode: every task is process-local; never wait for locality
         .config("spark.locality.wait", "0")
+        # the UI's event-bus posting costs ~40ms/job at interactive
+        # scale; headless analytics sessions don't need it
+        .config("spark.ui.enabled", "false")
         # many distinct query shapes share one session; the default
         # 100-entry whole-stage-codegen class cache evicts hot plans and
         # re-JITs them every run (measured: the big inverted-index join

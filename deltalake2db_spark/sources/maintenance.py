@@ -1,0 +1,256 @@
+"""Table maintenance: OPTIMIZE (small-file compaction), Z-ORDER data
+layout, and deletion-vector purge — the operations that keep a Delta
+table scannable after years of streaming appends and row-level deletes.
+
+No counterpart exists in the reference engine (it is read-only); the
+semantics follow delta-spark's OPTIMIZE / ZORDER BY / REORG PURGE.
+
+Scale design: the data path is fully distributed — each partition
+group's files are read through ``scan_delta`` (so deletion vectors are
+applied and purged for free) and rewritten by executors; the driver
+only moves metadata.  Groups rewrite independently, so a 100 TB table
+compacts one partition at a time with bounded memory.  Z-ordering uses
+driver-side add-action stats for the normalization bounds (no extra
+data pass) and ``repartitionByRange`` + ``sortWithinPartitions`` on the
+interleaved key — one shuffle per group, the minimum any re-layout can
+do.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Optional, Sequence
+from urllib.parse import quote, unquote
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.exprs import partition_tuple
+from ..plans.meta import get_meta
+from .delta_sink import _file_stats
+from .delta_writer import DeltaWriter
+
+_ZBITS = 16  # bits per column in the interleaved key
+
+
+def _zorder_column(
+    df: DataFrame, cols: Sequence[str], bounds: dict[str, tuple]
+) -> Column:
+    """Interleave ``_ZBITS`` bits per column into one long.
+
+    Numeric / date / timestamp columns are range-normalized against the
+    add-action stats bounds (locality-preserving); other types hash into
+    the same bit budget (clusters equal values, no range locality).
+    """
+    by_name = {f.name: f for f in df.schema.fields}
+    max_code = (1 << _ZBITS) - 1
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        dt = by_name[c].dataType
+        if isinstance(
+            dt,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+             T.TimestampType, T.TimestampNTZType),
+        ):
+            lo, hi = bounds.get(c, (None, None))
+            col = F.col(c).cast("double")
+            if lo is None or hi is None or not (hi > lo):
+                code = F.lit(0)
+            else:
+                code = F.least(
+                    F.lit(max_code),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (col - F.lit(float(lo)))
+                            / F.lit(float(hi) - float(lo))
+                            * max_code
+                        ).cast("long"),
+                    ),
+                )
+            code = F.coalesce(code, F.lit(0))
+        else:
+            code = F.pmod(F.xxhash64(F.col(c)), F.lit(max_code + 1))
+        # spread column i's bits to positions b*k + i
+        k = len(cols)
+        spread = F.lit(0).cast("long")
+        for b in range(_ZBITS):
+            spread = spread.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(code, b).bitwiseAND(F.lit(1)), b * k + i
+                ).cast("long")
+            )
+        parts.append(spread)
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return z
+
+
+def _stat_bounds(actions: Sequence[dict], cols: Sequence[str]) -> dict:
+    """(min, max) per column from add-action stats — free, no data pass."""
+    import json
+
+    lo: dict[str, Any] = {}
+    hi: dict[str, Any] = {}
+    for a in actions:
+        st = a.get("stats")
+        if not st:
+            continue
+        st = json.loads(st) if isinstance(st, str) else st
+        for c in cols:
+            mn = (st.get("minValues") or {}).get(c)
+            mx = (st.get("maxValues") or {}).get(c)
+            if mn is not None and (c not in lo or mn < lo[c]):
+                lo[c] = mn
+            if mx is not None and (c not in hi or mx > hi[c]):
+                hi[c] = mx
+    out = {}
+    for c in cols:
+        try:
+            out[c] = (float(lo[c]), float(hi[c]))
+        except (KeyError, TypeError, ValueError):
+            out[c] = (None, None)
+    return out
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_file_size: int = 128 << 20,
+    zorder_by: Optional[Sequence[str]] = None,
+    min_files: int = 2,
+) -> dict:
+    """Compact small files (and/or re-cluster by ``zorder_by``) into
+    ``target_file_size`` files, one commit, ``dataChange=false``.
+
+    Files with deletion vectors are physically purged (the rewrite reads
+    through ``scan_delta``, which drops deleted rows) — REORG PURGE
+    semantics come for free.  Returns
+    ``{"version", "files_removed", "files_added", "groups"}`` (version
+    is None when nothing qualified).
+    """
+    from .delta import scan_delta
+
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    cfg = (state.last_metadata or {}).get("configuration", {})
+    if cfg.get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError(
+            "optimize on column-mapped tables is not supported yet "
+            "(physical-name rewrite)"
+        )
+    partition_cols = list(state.partition_columns)
+
+    groups: dict[tuple, list[dict]] = {}
+    for a in state.add_actions.values():
+        groups.setdefault(partition_tuple(a, partition_cols), []).append(a)
+
+    def qualifies(acts: list[dict]) -> bool:
+        if zorder_by:
+            return True
+        small = [a for a in acts if int(a.get("size") or 0) < target_file_size]
+        has_dv = any(a.get("deletionVector") for a in acts)
+        return len(small) >= min_files or has_dv
+
+    selected = {pt: acts for pt, acts in groups.items() if qualifies(acts)}
+    if not selected:
+        return {
+            "version": None, "files_removed": 0, "files_added": 0,
+            "groups": 0,
+        }
+
+    bounds = (
+        _stat_bounds(
+            [a for acts in selected.values() for a in acts], zorder_by
+        )
+        if zorder_by
+        else {}
+    )
+
+    staging = tempfile.mkdtemp(prefix="dl2db_optimize_")
+    removed: list[str] = []
+    added: list[tuple[str, dict]] = []  # (rel path, partitionValues)
+    try:
+        for gi, (pt, acts) in enumerate(selected.items()):
+            keep = {a["path"] for a in acts}
+            df = scan_delta(
+                spark, path, action_filter=lambda a, k=keep: a["path"] in k
+            )
+            if partition_cols:
+                df = df.drop(*partition_cols)
+            total_bytes = sum(int(a.get("size") or 0) for a in acts)
+            n_out = max(1, math.ceil(total_bytes / target_file_size))
+            if zorder_by:
+                zc = "__dl2db_zorder"
+                df = (
+                    df.withColumn(zc, _zorder_column(df, zorder_by, bounds))
+                    .repartitionByRange(n_out, zc)
+                    .sortWithinPartitions(zc)
+                    .drop(zc)
+                )
+            else:
+                df = df.coalesce(n_out)
+            out = os.path.join(staging, f"g{gi}")
+            df.write.mode("overwrite").parquet(out)
+
+            # reuse the group's existing directory layout (already
+            # hive-encoded by whichever writer produced it); log paths
+            # are URL-quoted, disk paths are not
+            first = unquote(acts[0]["path"])
+            rel_dir = first.rsplit("/", 1)[0] if "/" in first else ""
+            pv = dict(acts[0].get("partitionValues") or {})
+            for fn in sorted(os.listdir(out)):
+                if not fn.endswith(".parquet"):
+                    continue
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel = f"{rel_dir}/{new_name}" if rel_dir else new_name
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(os.path.join(out, fn), dst)
+                added.append((rel, pv))
+            removed.extend(a["path"] for a in acts)
+
+        def build_add(item: tuple[str, dict]) -> dict:
+            rel, pv = item
+            abs_p = os.path.join(path, rel)
+            import json
+
+            return {
+                "add": {
+                    "path": quote(rel),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(abs_p),
+                    "modificationTime": int(os.path.getmtime(abs_p) * 1000),
+                    "dataChange": False,
+                    "stats": json.dumps(_file_stats(abs_p)),
+                }
+            }
+
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(added)))) as ex:
+            add_actions = list(ex.map(build_add, added))
+
+        w = DeltaWriter(path)
+        w.version = state.version
+        actions: list[dict] = []
+        for rel in removed:
+            r = w.remove_action(rel)
+            r["remove"]["dataChange"] = False
+            actions.append(r)
+        actions.extend(add_actions)
+        version = w.commit(actions)
+        return {
+            "version": version,
+            "files_removed": len(removed),
+            "files_added": len(added),
+            "groups": len(selected),
+        }
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

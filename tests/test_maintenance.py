@@ -1,0 +1,93 @@
+"""OPTIMIZE / Z-ORDER / DV purge (sources/maintenance.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deltalake2db_spark import get_meta, scan_delta
+from deltalake2db_spark.sources.delta_sink import delete_where, write_delta
+from deltalake2db_spark.sources.maintenance import optimize
+
+
+def _table(spark, path, n=20000, files=8, partition_by=()):
+    df = spark.range(0, n).selectExpr(
+        "id",
+        "id % 3 as g",
+        "cast(rand(1) * 10000 as long) as x",
+        "cast(rand(2) * 10000 as long) as y",
+    )
+    write_delta(df.repartition(files), str(path), partition_by=partition_by)
+    return str(path)
+
+
+def test_compaction_preserves_data(spark, tmp_path):
+    t = _table(spark, tmp_path / "t")
+    before = scan_delta(spark, t).orderBy("id").collect()
+    rep = optimize(spark, t)
+    assert rep["files_removed"] == 8 and rep["files_added"] == 1
+    assert len(get_meta(t).add_actions) == 1
+    assert scan_delta(spark, t).orderBy("id").collect() == before
+    # dataChange=false everywhere in the optimize commit
+    import json
+
+    log = f"{t}/_delta_log/{rep['version']:020d}.json"
+    for line in open(log):
+        d = json.loads(line)
+        for kind in ("add", "remove"):
+            if kind in d:
+                assert d[kind]["dataChange"] is False
+    # pre-optimize version still scans the old files
+    assert scan_delta(spark, t, version=0).count() == 20000
+
+
+def test_partitioned_compaction(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", files=6, partition_by=("g",))
+    rep = optimize(spark, t)
+    assert rep["groups"] == 3
+    assert len(get_meta(t).add_actions) == 3
+    got = {
+        (r["g"], r["n"])
+        for r in scan_delta(spark, t)
+        .groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {(0, 6667), (1, 6667), (2, 6666)}
+
+
+def test_optimize_purges_deletion_vectors(spark, tmp_path):
+    t = _table(spark, tmp_path / "t")
+    delete_where(spark, t, "id < 500")
+    rep = optimize(spark, t)
+    assert rep["version"] is not None
+    state = get_meta(t)
+    assert not any(a.get("deletionVector") for a in state.add_actions.values())
+    assert scan_delta(spark, t).count() == 19500
+
+
+def test_noop_when_already_compact(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", files=1)
+    rep = optimize(spark, t)
+    assert rep["version"] is None and rep["files_removed"] == 0
+
+
+def test_zorder_improves_pruning(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", n=200000, files=16)
+    conds = [("x", ">=", 100), ("x", "<", 300)]
+    state = get_meta(t)
+    assert len(list(state.get_add_actions_filtered(conds))) == 16
+    optimize(spark, t, target_file_size=200_000, zorder_by=["x", "y"])
+    state2 = get_meta(t)
+    total = len(state2.add_actions)
+    survive_x = len(list(state2.get_add_actions_filtered(conds)))
+    survive_y = len(
+        list(
+            state2.get_add_actions_filtered(
+                [("y", ">=", 100), ("y", "<", 300)]
+            )
+        )
+    )
+    # both interleaved dimensions must prune meaningfully
+    assert survive_x <= total // 2, (survive_x, total)
+    assert survive_y <= total // 2, (survive_y, total)
+    assert scan_delta(spark, t).count() == 200000

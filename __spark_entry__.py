@@ -597,6 +597,33 @@ def _optimized_path(spark, sf_dir: str) -> str:
     return path
 
 
+def _updated_path(spark, sf_dir: str) -> str:
+    """Copy-on-write UPDATE: double the totalprice of urgent orders."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/orders_upd"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        from deltalake2db_spark.sources.delta_sink import write_delta
+        from deltalake2db_spark.sources.maintenance import update_where
+
+        write_delta(_t(spark, sf_dir, "orders").repartition(8), path)
+        update_where(
+            spark, path,
+            "o_orderpriority = '1-URGENT'",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+    return path
+
+
+def q_delta_update(spark, sf_dir):
+    """Scan after update_where (copy-on-write UPDATE of only the files
+    containing matching rows; simultaneous-assignment semantics)."""
+    df = scan_delta(spark, _updated_path(spark, sf_dir))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_delta_optimize(spark, sf_dir):
     """Scan after OPTIMIZE of a deletion-vector table (file compaction
     + physical purge of DV-deleted rows, dataChange=false commit)."""
@@ -799,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
         "q_delta_optimize": q_delta_optimize,
+        "q_delta_update": q_delta_update,
         "q_profile_orders": q_profile_orders,
         "q_salted_agg": q_salted_agg,
         "q_dedup_exact": q_dedup_exact,
@@ -1277,6 +1305,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_returnflag = 'R'
             GROUP BY l_linestatus
+        """,
+        "q_delta_update": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN o_totalprice * 2
+                                  ELSE o_totalprice END), 2) AS total
+            FROM orders
+            GROUP BY o_orderstatus
         """,
         "q_delta_optimize": """
             SELECT o_orderpriority, count(*) AS n_rows,

@@ -17,13 +17,14 @@ from .sources.delta import (
     scan_delta_native,
 )
 from .sources.delta_sink import delete_where, vacuum, write_checkpoint, write_delta
-from .sources.maintenance import optimize
+from .sources.maintenance import optimize, update_where
 from .sources.sinks import dataframe_to_duckdb, delta_to_duckdb, delta_to_jdbc
 
 __all__ = [
     "write_delta",
     "delete_where",
     "optimize",
+    "update_where",
     "vacuum",
     "write_checkpoint",
     "FilterType",

@@ -175,29 +175,56 @@ def optimize(
         else {}
     )
 
-    staging = tempfile.mkdtemp(prefix="dl2db_optimize_")
+    def transform(df: DataFrame, acts: list[dict]) -> DataFrame:
+        total_bytes = sum(int(a.get("size") or 0) for a in acts)
+        n_out = max(1, math.ceil(total_bytes / target_file_size))
+        if zorder_by:
+            zc = "__dl2db_zorder"
+            return (
+                df.withColumn(zc, _zorder_column(df, zorder_by, bounds))
+                .repartitionByRange(n_out, zc)
+                .sortWithinPartitions(zc)
+                .drop(zc)
+            )
+        return df.coalesce(n_out)
+
+    rep = _rewrite_groups(
+        spark, path, state, selected, transform, data_change=False
+    )
+    rep["groups"] = len(selected)
+    return rep
+
+
+def _rewrite_groups(
+    spark: SparkSession,
+    path: str,
+    state,
+    selected: dict[tuple, list[dict]],
+    transform,
+    data_change: bool,
+) -> dict:
+    """Shared copy-on-write machinery: per partition group, read the
+    group's files through ``scan_delta`` (DVs applied), run
+    ``transform(df, acts)``, write, swap files in one commit."""
+    from .delta import scan_delta
+
+    partition_cols = list(state.partition_columns)
+    staging = tempfile.mkdtemp(prefix="dl2db_rewrite_")
     removed: list[str] = []
     added: list[tuple[str, dict]] = []  # (rel path, partitionValues)
     try:
         for gi, (pt, acts) in enumerate(selected.items()):
             keep = {a["path"] for a in acts}
             df = scan_delta(
-                spark, path, action_filter=lambda a, k=keep: a["path"] in k
+                spark, state, action_filter=lambda a, k=keep: a["path"] in k
             )
+            # transform sees the full logical schema (UPDATE conditions
+            # may reference partition columns); those columns are
+            # stripped before the write since they live in
+            # partitionValues, not in the data files
+            df = transform(df, acts)
             if partition_cols:
                 df = df.drop(*partition_cols)
-            total_bytes = sum(int(a.get("size") or 0) for a in acts)
-            n_out = max(1, math.ceil(total_bytes / target_file_size))
-            if zorder_by:
-                zc = "__dl2db_zorder"
-                df = (
-                    df.withColumn(zc, _zorder_column(df, zorder_by, bounds))
-                    .repartitionByRange(n_out, zc)
-                    .sortWithinPartitions(zc)
-                    .drop(zc)
-                )
-            else:
-                df = df.coalesce(n_out)
             out = os.path.join(staging, f"g{gi}")
             df.write.mode("overwrite").parquet(out)
 
@@ -229,7 +256,7 @@ def optimize(
                     "partitionValues": pv,
                     "size": os.path.getsize(abs_p),
                     "modificationTime": int(os.path.getmtime(abs_p) * 1000),
-                    "dataChange": False,
+                    "dataChange": data_change,
                     "stats": json.dumps(_file_stats(abs_p)),
                 }
             }
@@ -242,7 +269,7 @@ def optimize(
         actions: list[dict] = []
         for rel in removed:
             r = w.remove_action(rel)
-            r["remove"]["dataChange"] = False
+            r["remove"]["dataChange"] = data_change
             actions.append(r)
         actions.extend(add_actions)
         version = w.commit(actions)
@@ -250,7 +277,88 @@ def optimize(
             "version": version,
             "files_removed": len(removed),
             "files_added": len(added),
-            "groups": len(selected),
         }
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    set: dict[str, Any],
+) -> dict:
+    """Copy-on-write UPDATE: rows matching ``condition`` get the ``set``
+    expressions applied; only the files that contain matching rows are
+    rewritten (DVs on those files are purged in passing), in one
+    ``dataChange=true`` commit.  Completes the DML triangle with
+    ``write_delta`` (INSERT) and ``delete_where`` (DELETE) — the
+    reference engine is read-only.
+
+    ``set`` maps column name -> Column or SQL string, evaluated against
+    the pre-update row (standard UPDATE semantics: all assignments see
+    the old values).
+    """
+    from .delta import _DV_KEY, scan_delta
+
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    cfg = (state.last_metadata or {}).get("configuration", {})
+    if cfg.get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError(
+            "update_where on column-mapped tables is not supported yet"
+        )
+    if isinstance(condition, str):
+        condition = F.expr(condition)
+    set_cols = {
+        c: (F.expr(v) if isinstance(v, str) else v) for c, v in set.items()
+    }
+    unknown = [c for c in set_cols if c not in state.schema.fieldNames()]
+    if unknown:
+        raise ValueError(f"unknown columns in set: {unknown}")
+    bad_parts = [c for c in set_cols if c in state.partition_columns]
+    if bad_parts:
+        raise ValueError(
+            f"cannot update partition columns {bad_parts} in place — "
+            "rows would have to move between partition directories"
+        )
+
+    # which files contain matching rows (distributed predicate pass)
+    hit_files = {
+        r[_DV_KEY]
+        for r in scan_delta(spark, state, _with_pos=True)
+        .filter(condition)
+        .select(_DV_KEY)
+        .distinct()
+        .collect()
+    }
+    if not hit_files:
+        return {
+            "version": state.version, "files_removed": 0,
+            "files_added": 0, "updated_files": 0,
+        }
+
+    partition_cols = list(state.partition_columns)
+    selected: dict[tuple, list[dict]] = {}
+    for a in state.add_actions.values():
+        if a["path"].rsplit("/", 1)[-1] in hit_files:
+            selected.setdefault(
+                partition_tuple(a, partition_cols), []
+            ).append(a)
+
+    def transform(df: DataFrame, acts: list[dict]) -> DataFrame:
+        # simultaneous assignment: every expression sees the ORIGINAL
+        # row (one select, no chained withColumn dependencies)
+        updated = [
+            F.when(condition, set_cols[c]).otherwise(F.col(c)).alias(c)
+            if c in set_cols
+            else F.col(c)
+            for c in df.columns
+        ]
+        return df.select(*updated)
+
+    rep = _rewrite_groups(
+        spark, path, state, selected, transform, data_change=True
+    )
+    rep["updated_files"] = rep["files_removed"]
+    return rep

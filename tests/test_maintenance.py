@@ -91,3 +91,67 @@ def test_zorder_improves_pruning(spark, tmp_path):
     assert survive_x <= total // 2, (survive_x, total)
     assert survive_y <= total // 2, (survive_y, total)
     assert scan_delta(spark, t).count() == 200000
+
+
+def test_update_where_rewrites_only_hit_files(spark, tmp_path):
+    from deltalake2db_spark.sources.maintenance import update_where
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr(
+        "id", "id % 4 as g", "cast(id as double) as price"
+    )
+    write_delta(df.repartition(4), t, partition_by=("g",))
+    n_files = len(get_meta(t).add_actions)
+    rep = update_where(spark, t, "g = 2 and id = 50", {"price": "price * 2"})
+    # only files containing id=50 (one file) rewritten, not all 16
+    assert rep["updated_files"] < n_files
+    out = scan_delta(spark, t)
+    assert out.filter("id = 50").collect()[0]["price"] == 100.0
+    assert out.filter("id = 54").collect()[0]["price"] == 54.0
+    assert out.count() == 1000
+    # pre-update version unchanged
+    assert (
+        scan_delta(spark, t, version=0).filter("id = 50").collect()[0]["price"]
+        == 50.0
+    )
+
+
+def test_update_where_simultaneous_assignment(spark, tmp_path):
+    from deltalake2db_spark.sources.maintenance import update_where
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr(
+        "id", "cast(id as double) as a", "cast(id * 10 as double) as b"
+    )
+    write_delta(df, t)
+    update_where(spark, t, "id = 3", {"a": "b", "b": "a"})
+    r = scan_delta(spark, t).filter("id = 3").collect()[0]
+    assert (r["a"], r["b"]) == (30.0, 3.0)  # swapped, not chained
+
+
+def test_update_where_rejects_partition_and_unknown_cols(spark, tmp_path):
+    import pytest
+
+    from deltalake2db_spark.sources.maintenance import update_where
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr("id", "id % 2 as g")
+    write_delta(df, t, partition_by=("g",))
+    with pytest.raises(ValueError, match="partition columns"):
+        update_where(spark, t, "id = 1", {"g": "3"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(spark, t, "id = 1", {"nope": "3"})
+
+
+def test_update_where_purges_dv_on_hit_files(spark, tmp_path):
+    from deltalake2db_spark.sources.maintenance import update_where
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id", "cast(id as double) as price")
+    write_delta(df, t)
+    delete_where(spark, t, "id in (7, 8)")
+    update_where(spark, t, "id = 9", {"price": "-1.0"})
+    out = scan_delta(spark, t)
+    assert out.count() == 98
+    assert out.filter("id in (7, 8)").count() == 0  # stay deleted
+    assert out.filter("id = 9").collect()[0]["price"] == -1.0

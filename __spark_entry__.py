@@ -614,6 +614,44 @@ def _updated_path(spark, sf_dir: str) -> str:
     return path
 
 
+def _merged_path(spark, sf_dir: str) -> str:
+    """MERGE upsert: orderkeys divisible by 97 get totalprice=1.0
+    (matched update); the same rows cloned to orderkey+5000000 with
+    status 'X' / totalprice=2.0 are inserts."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/orders_merge"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        from deltalake2db_spark.sources.delta_sink import write_delta
+        from deltalake2db_spark.sources.maintenance import merge_into
+
+        o = _t(spark, sf_dir, "orders")
+        write_delta(o.repartition(8), path)
+        hits = o.filter(F.col("o_orderkey") % 97 == 0)
+        price_t = dict(o.dtypes)["o_totalprice"]
+        updates = hits.withColumn(
+            "o_totalprice", F.lit(1.0).cast(price_t)
+        )
+        inserts = (
+            hits.withColumn("o_orderkey", F.col("o_orderkey") + 5_000_000)
+            .withColumn("o_orderstatus", F.lit("X"))
+            .withColumn("o_totalprice", F.lit(2.0).cast(price_t))
+        )
+        merge_into(
+            spark, path, updates.unionByName(inserts), on=["o_orderkey"]
+        )
+    return path
+
+
+def q_delta_merge(spark, sf_dir):
+    """Scan after MERGE INTO (matched updates + not-matched inserts in
+    one commit; only hit files rewritten)."""
+    df = scan_delta(spark, _merged_path(spark, sf_dir))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_delta_update(spark, sf_dir):
     """Scan after update_where (copy-on-write UPDATE of only the files
     containing matching rows; simultaneous-assignment semantics)."""
@@ -827,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_dv_scan": q_delta_dv_scan,
         "q_delta_optimize": q_delta_optimize,
         "q_delta_update": q_delta_update,
+        "q_delta_merge": q_delta_merge,
         "q_profile_orders": q_profile_orders,
         "q_salted_agg": q_salted_agg,
         "q_dedup_exact": q_dedup_exact,
@@ -1305,6 +1344,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_returnflag = 'R'
             GROUP BY l_linestatus
+        """,
+        "q_delta_merge": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   round(sum(total), 2) AS total
+            FROM (
+              SELECT o_orderstatus,
+                     CASE WHEN o_orderkey % 97 = 0 THEN 1.0
+                          ELSE o_totalprice END AS total
+              FROM orders
+              UNION ALL
+              SELECT 'X' AS o_orderstatus, 2.0 AS total
+              FROM orders WHERE o_orderkey % 97 = 0
+            )
+            GROUP BY o_orderstatus
         """,
         "q_delta_update": """
             SELECT o_orderstatus, count(*) AS n_rows,

@@ -17,7 +17,7 @@ from .sources.delta import (
     scan_delta_native,
 )
 from .sources.delta_sink import delete_where, vacuum, write_checkpoint, write_delta
-from .sources.maintenance import optimize, update_where
+from .sources.maintenance import merge_into, optimize, update_where
 from .sources.sinks import dataframe_to_duckdb, delta_to_duckdb, delta_to_jdbc
 
 __all__ = [
@@ -25,6 +25,7 @@ __all__ = [
     "delete_where",
     "optimize",
     "update_where",
+    "merge_into",
     "vacuum",
     "write_checkpoint",
     "FilterType",

@@ -202,11 +202,17 @@ def _rewrite_groups(
     selected: dict[tuple, list[dict]],
     transform,
     data_change: bool,
+    insert_df: Optional[DataFrame] = None,
 ) -> dict:
     """Shared copy-on-write machinery: per partition group, read the
     group's files through ``scan_delta`` (DVs applied), run
-    ``transform(df, acts)``, write, swap files in one commit."""
+    ``transform(df, acts)``, write, swap files in one commit.
+
+    ``insert_df`` (MERGE's not-matched branch) is written as additional
+    new files in the same commit, hive-partitioned by the table's
+    partition columns."""
     from .delta import scan_delta
+    from .delta_sink import _partition_values_from_relpath
 
     partition_cols = list(state.partition_columns)
     staging = tempfile.mkdtemp(prefix="dl2db_rewrite_")
@@ -244,6 +250,27 @@ def _rewrite_groups(
                 shutil.move(os.path.join(out, fn), dst)
                 added.append((rel, pv))
             removed.extend(a["path"] for a in acts)
+
+        if insert_df is not None:
+            out = os.path.join(staging, "inserts")
+            wr = insert_df.write.mode("overwrite")
+            if partition_cols:
+                wr = wr.partitionBy(*partition_cols)
+            wr.parquet(out)
+            for root, _dirs, files in os.walk(out):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel_dir = os.path.relpath(root, out)
+                    rel_dir = "" if rel_dir == "." else rel_dir
+                    new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                    rel = (
+                        os.path.join(rel_dir, new_name) if rel_dir else new_name
+                    )
+                    dst = os.path.join(path, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.move(os.path.join(root, fn), dst)
+                    added.append((rel, _partition_values_from_relpath(rel)))
 
         def build_add(item: tuple[str, dict]) -> dict:
             rel, pv = item
@@ -361,4 +388,137 @@ def update_where(
         spark, path, state, selected, transform, data_change=True
     )
     rep["updated_files"] = rep["files_removed"]
+    return rep
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: Sequence[str],
+    when_matched_update: Any = "all",
+    when_matched_delete: bool = False,
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """Equi-key MERGE (upsert): target rows whose ``on`` key appears in
+    ``source`` are updated (or deleted), source rows with no match are
+    inserted — one atomic commit, only the files containing matches are
+    rewritten.  The reference engine is read-only; semantics follow
+    delta-spark's MERGE INTO.
+
+    ``when_matched_update``: ``"all"`` replaces every non-key column
+    with the source's same-named column (classic upsert); a dict maps
+    target column -> SQL string evaluated on the joined row, where the
+    target is aliased ``t`` and the source ``s`` (e.g.
+    ``{"qty": "t.qty + s.qty"}``); ``None`` leaves matched rows alone.
+    ``when_matched_delete=True`` drops matched rows instead (mutually
+    exclusive with an update spec).
+
+    Scale: matched-file discovery and the join run distributed; like
+    every Delta engine the source is read twice (once to find files,
+    once to rewrite).  Duplicate source keys are rejected up front —
+    Delta's multiple-source-rows-matched error — with one cheap
+    aggregation over the source keys.
+    """
+    from .delta import _DV_KEY, scan_delta
+
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    cfg = (state.last_metadata or {}).get("configuration", {})
+    if cfg.get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError(
+            "merge_into on column-mapped tables is not supported yet"
+        )
+    if when_matched_delete and when_matched_update not in (None, "all"):
+        raise ValueError("choose either matched-update or matched-delete")
+    on = list(on)
+    target_cols = state.schema.fieldNames()
+    missing_keys = [k for k in on if k not in source.columns]
+    if missing_keys:
+        raise ValueError(f"source lacks merge keys: {missing_keys}")
+
+    dup = (
+        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "multiple source rows match the same target key — aggregate "
+            "the source first (Delta MERGE cardinality rule)"
+        )
+
+    src_keys = source.select(*on)
+    target = scan_delta(spark, state, _with_pos=True)
+    hit_files = {
+        r[_DV_KEY]
+        for r in target.join(src_keys, on=on, how="left_semi")
+        .select(_DV_KEY)
+        .distinct()
+        .collect()
+    }
+
+    partition_cols = list(state.partition_columns)
+    selected: dict[tuple, list[dict]] = {}
+    for a in state.add_actions.values():
+        if a["path"].rsplit("/", 1)[-1] in hit_files:
+            selected.setdefault(
+                partition_tuple(a, partition_cols), []
+            ).append(a)
+
+    def transform(df: DataFrame, acts: list[dict]) -> DataFrame:
+        t = df.alias("t")
+        s = source.alias("s")
+        # explicit equi-condition (NOT the USING-style string list,
+        # which coalesces the key columns and breaks t./s. references)
+        cond = F.lit(True)
+        for k in on:
+            cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        joined = t.join(s, on=cond, how="left")
+        matched = F.col(f"s.{on[0]}").isNotNull()
+        if when_matched_delete:
+            return joined.filter(~matched).select(
+                *[F.col(f"t.{c}").alias(c) for c in target_cols]
+            )
+        outcols = []
+        for c in target_cols:
+            tc = F.col(f"t.{c}")
+            if when_matched_update is None or c in on:
+                outcols.append(tc.alias(c))
+            elif when_matched_update == "all":
+                sc = F.col(f"s.{c}") if c in source.columns else tc
+                outcols.append(F.when(matched, sc).otherwise(tc).alias(c))
+            elif c in when_matched_update:
+                expr = when_matched_update[c]
+                expr = F.expr(expr) if isinstance(expr, str) else expr
+                outcols.append(F.when(matched, expr).otherwise(tc).alias(c))
+            else:
+                outcols.append(tc.alias(c))
+        return joined.select(*outcols)
+
+    insert_df = None
+    if when_not_matched_insert:
+        tgt_keys = scan_delta(spark, state).select(*on)
+        new_rows = source.join(tgt_keys, on=on, how="left_anti")
+        by_name = {f.name: f for f in state.schema.fields}
+        insert_df = new_rows.select(
+            *[
+                F.col(c).cast(by_name[c].dataType).alias(c)
+                if c in new_rows.columns
+                else F.lit(None).cast(by_name[c].dataType).alias(c)
+                for c in target_cols
+            ]
+        )
+
+    if not selected and insert_df is None:
+        return {
+            "version": state.version, "files_removed": 0,
+            "files_added": 0, "matched_files": 0,
+        }
+
+    rep = _rewrite_groups(
+        spark, path, state, selected, transform, data_change=True,
+        insert_df=insert_df,
+    )
+    rep["matched_files"] = len(
+        [a for acts in selected.values() for a in acts]
+    )
     return rep

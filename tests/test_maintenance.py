@@ -155,3 +155,93 @@ def test_update_where_purges_dv_on_hit_files(spark, tmp_path):
     assert out.count() == 98
     assert out.filter("id in (7, 8)").count() == 0  # stay deleted
     assert out.filter("id = 9").collect()[0]["price"] == -1.0
+
+
+def test_merge_into_upsert(spark, tmp_path):
+    from deltalake2db_spark.sources.maintenance import merge_into
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr(
+        "id as k", "cast(id as double) as qty", "concat('n', id) as name"
+    )
+    write_delta(df.repartition(4), t)
+    src = spark.createDataFrame(
+        [(50, 999.0, "upd50"), (200, 1.0, "new200")],
+        "k long, qty double, name string",
+    )
+    rep = merge_into(spark, t, src, on=["k"])
+    assert rep["matched_files"] >= 1
+    out = scan_delta(spark, t)
+    assert out.count() == 101
+    assert out.filter("k = 50").collect()[0]["name"] == "upd50"
+    assert out.filter("k = 200").collect()[0]["qty"] == 1.0
+    assert out.filter("k = 51").collect()[0]["name"] == "n51"  # untouched
+
+
+def test_merge_into_expr_update_and_delete(spark, tmp_path):
+    from deltalake2db_spark.sources.maintenance import merge_into
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(0, 20).selectExpr("id as k", "cast(id as double) as qty"),
+        t,
+    )
+    src = spark.createDataFrame([(5, 10.0)], "k long, qty double")
+    merge_into(
+        spark, t, src, on=["k"],
+        when_matched_update={"qty": "t.qty + s.qty"},
+        when_not_matched_insert=False,
+    )
+    assert scan_delta(spark, t).filter("k = 5").collect()[0]["qty"] == 15.0
+    merge_into(
+        spark, t, src, on=["k"],
+        when_matched_update=None, when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    out = scan_delta(spark, t)
+    assert out.filter("k = 5").count() == 0 and out.count() == 19
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, tmp_path):
+    import pytest
+
+    from deltalake2db_spark.sources.maintenance import merge_into
+
+    t = str(tmp_path / "t")
+    write_delta(spark.range(0, 5).selectExpr("id as k"), t)
+    src = spark.createDataFrame([(1,), (1,)], "k long")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_into(spark, t, src, on=["k"])
+
+
+def test_merge_into_partitioned_insert_lands_in_partition(spark, tmp_path):
+    from deltalake2db_spark.sources.maintenance import merge_into
+
+    t = str(tmp_path / "t")
+    write_delta(
+        spark.range(0, 30).selectExpr(
+            "id as k", "id % 3 as g", "cast(id as double) as v"
+        ),
+        t,
+        partition_by=("g",),
+    )
+    src = spark.createDataFrame(
+        [(5, 2, 100.0), (100, 1, 7.0)], "k long, g long, v double"
+    )
+    merge_into(spark, t, src, on=["k"])
+    out = scan_delta(spark, t)
+    assert out.count() == 31
+    assert out.filter("k = 5").collect()[0]["v"] == 100.0
+    new = out.filter("k = 100").collect()[0]
+    assert new["g"] == 1
+    # the insert landed in the g=1 partition group (pruning finds it)
+    from deltalake2db_spark import get_meta
+
+    acts = list(
+        get_meta(t).get_add_actions_filtered([("g", "=", 1)])
+    )
+    import json
+
+    assert any(
+        json.loads(a["stats"])["maxValues"].get("k") == 100 for a in acts
+    )

@@ -241,6 +241,76 @@ class MetaState:
         return result
 
 
+def _apply_checkpoint(
+    state: MetaState, io: MetadataIO, base: str, cp_version: int
+) -> bool:
+    """Fold the checkpoint at ``cp_version`` into ``state``.
+
+    Tries the classic single-file ``<v>.checkpoint.parquet`` first, then
+    V2 (UUID-named) checkpoints ``<v>.checkpoint.<uuid>.{parquet,json}``
+    whose manifest may reference ``sidecar`` actions — files under
+    ``_delta_log/_sidecars/`` holding the add/remove actions
+    (PROTOCOL.md "V2 Spec Checkpoints"; the reference has no checkpoint
+    support beyond the classic layout).  Returns False when no readable
+    checkpoint exists (caller falls back to full JSON replay).
+    """
+    log = f"{base}/{_LOG_DIR}"
+    actions: Optional[list[dict]] = None
+    try:
+        actions = io.read_parquet_actions(
+            f"{log}/{_commit_name(cp_version)}.checkpoint.parquet"
+        )
+    except FileNotFoundError:
+        prefix = f"{_commit_name(cp_version)}.checkpoint."
+        try:
+            names = sorted(
+                full.rsplit("/", 1)[-1] for full in io.list_files(log)
+            )
+        except (FileNotFoundError, OSError):
+            return False
+        multipart: list[str] = []
+        v2_name: Optional[str] = None
+        for name in names:
+            if not name.startswith(prefix):
+                continue
+            segs = name[len(prefix):].split(".")
+            # classic multi-part: <v>.checkpoint.<part>.<parts>.parquet
+            if (
+                len(segs) == 3
+                and segs[2] == "parquet"
+                and segs[0].isdigit()
+                and segs[1].isdigit()
+            ):
+                multipart.append(name)
+            # v2 UUID-named: <v>.checkpoint.<uuid>.{parquet,json}
+            elif len(segs) == 2 and segs[1] in ("parquet", "json"):
+                v2_name = v2_name or name
+        try:
+            if multipart:
+                actions = []
+                for name in sorted(multipart):
+                    actions.extend(io.read_parquet_actions(f"{log}/{name}"))
+            elif v2_name is not None:
+                if v2_name.endswith(".parquet"):
+                    actions = io.read_parquet_actions(f"{log}/{v2_name}")
+                else:
+                    actions = io.read_jsonl(f"{log}/{v2_name}")
+        except FileNotFoundError:
+            return False
+        if actions is None:
+            return False
+    for action in actions:
+        sidecar = action.get("sidecar")
+        if sidecar and sidecar.get("path"):
+            for sub in io.read_parquet_actions(
+                f"{log}/_sidecars/{sidecar['path']}"
+            ):
+                state.apply_action(sub, cp_version)
+        else:
+            state.apply_action(action, cp_version)
+    return True
+
+
 def get_meta(
     delta_path: str,
     storage_options: Optional[Mapping[str, Any]] = None,
@@ -267,13 +337,8 @@ def get_meta(
         cp_version = last_cp.get("version", 0)
         if version is not None and version < cp_version:
             cp_version = version - version % 10
-        try:
-            cp_file = f"{base}/{_LOG_DIR}/{_commit_name(cp_version)}.checkpoint.parquet"
-            for action in io.read_parquet_actions(cp_file):
-                state.apply_action(action, cp_version)
+        if _apply_checkpoint(state, io, base, cp_version):
             start_version = cp_version + 1
-        except FileNotFoundError:
-            start_version = 0
 
     current = start_version
     while version is None or current <= version:

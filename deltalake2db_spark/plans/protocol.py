@@ -26,6 +26,9 @@ SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
         # full read support (plans/deletion_vectors.py + the scan's
         # row_index anti-join) — a capability the reference rejects
         "deletionVectors",
+        # UUID-named manifests + sidecar files (plans/meta.py
+        # _apply_checkpoint) — also beyond the reference
+        "v2Checkpoint",
     }
 )
 

@@ -235,6 +235,93 @@ class DeltaWriter:
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as fh:
             fh.write(json.dumps({"version": self.version, "size": len(rows)}) + "\n")
 
+    def write_v2_checkpoint(
+        self, use_sidecars: bool = True, fmt: str = "parquet"
+    ) -> None:
+        """Emit a V2 (UUID-named) checkpoint:
+        ``<v>.checkpoint.<uuid>.{parquet,json}`` whose manifest holds
+        checkpointMetadata + protocol + metaData and either inline add
+        actions or ``sidecar`` references to
+        ``_delta_log/_sidecars/<uuid>.parquet`` files carrying the adds
+        (PROTOCOL.md "V2 Spec Checkpoints")."""
+
+        def entries(d: Mapping) -> list[dict]:
+            return [{"key": k, "value": v} for k, v in (d or {}).items()]
+
+        def add_row(add: Mapping) -> dict:
+            add_cp = dict(add)
+            add_cp["partitionValues"] = entries(add.get("partitionValues"))
+            return add_cp
+
+        manifest: list[dict] = [
+            {"checkpointMetadata": {"version": self.version}}
+        ]
+        if self._protocol:
+            manifest.append({"protocol": self._protocol})
+        if self._meta:
+            meta_cp = dict(self._meta)
+            meta_cp["configuration"] = entries(meta_cp.get("configuration"))
+            fmt_d = dict(meta_cp.get("format") or {})
+            fmt_d["options"] = entries(fmt_d.get("options"))
+            meta_cp["format"] = fmt_d
+            manifest.append({"metaData": meta_cp})
+
+        if use_sidecars and self._adds:
+            sidecar_dir = os.path.join(self.log_dir, "_sidecars")
+            os.makedirs(sidecar_dir, exist_ok=True)
+            # two sidecars so the multi-file path is exercised
+            adds = list(self._adds.values())
+            halves = [adds[: len(adds) // 2 + 1], adds[len(adds) // 2 + 1 :]]
+            for half in halves:
+                if not half:
+                    continue
+                name = f"{uuid.uuid4()}.parquet"
+                pq.write_table(
+                    pa.Table.from_pylist([{"add": add_row(a)} for a in half]),
+                    os.path.join(sidecar_dir, name),
+                )
+                manifest.append(
+                    {
+                        "sidecar": {
+                            "path": name,
+                            "sizeInBytes": os.path.getsize(
+                                os.path.join(sidecar_dir, name)
+                            ),
+                            "modificationTime": 0,
+                        }
+                    }
+                )
+        else:
+            manifest.extend({"add": add_row(a)} for a in self._adds.values())
+
+        cp_name = f"{self.version:020d}.checkpoint.{uuid.uuid4()}.{fmt}"
+        cp_path = os.path.join(self.log_dir, cp_name)
+        if fmt == "json":
+            with open(cp_path, "w") as fh:
+                fh.write("\n".join(json.dumps(r) for r in manifest) + "\n")
+        else:
+            # pyarrow infers the schema from leading rows; single-key
+            # rows must be padded to the full action-column set
+            keys = [
+                k
+                for k in (
+                    "checkpointMetadata", "protocol", "metaData",
+                    "sidecar", "add",
+                )
+                if any(k in r for r in manifest)
+            ]
+            pq.write_table(
+                pa.Table.from_pylist(
+                    [{k: r.get(k) for k in keys} for r in manifest]
+                ),
+                cp_path,
+            )
+        with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as fh:
+            fh.write(
+                json.dumps({"version": self.version, "size": len(manifest)})
+                + "\n"
+            )
+
     def _checkpoint_rows_raw(self) -> list[dict]:
         """Checkpoint rows with maps kept as plain dicts (for the MAP-typed
         checkpoint schema, which pyarrow populates from dicts)."""

@@ -183,7 +183,7 @@ def test_protocol_gate(spark, user_table, tmp_path):
         d = json.loads(ln)
         if "protocol" in d:
             d["protocol"]["minReaderVersion"] = 4
-            d["protocol"]["readerFeatures"] = ["v2Checkpoint"]
+            d["protocol"]["readerFeatures"] = ["someFutureFeature"]
         out.append(json.dumps(d))
     log.write_text("\n".join(out))
 
@@ -223,7 +223,7 @@ def test_protocol_gate_reader_v3_dv(spark, user_table, tmp_path):
         d = json.loads(ln)
         if "protocol" in d:
             d["protocol"]["minReaderVersion"] = 3
-            d["protocol"]["readerFeatures"] = ["v2Checkpoint"]
+            d["protocol"]["readerFeatures"] = ["someFutureFeature"]
         out.append(json.dumps(d))
     log.write_text("\n".join(out))
 

@@ -662,6 +662,18 @@ def q_delta_update(spark, sf_dir):
     )
 
 
+def q_delta_changes(spark, sf_dir):
+    """Log-derived change feed: the delete_where commit on the DV
+    fixture surfaces as exact row-level deletes (bitmap diff)."""
+    from deltalake2db_spark.sources.changes import table_changes
+
+    ch = table_changes(spark, _dv_path(spark, sf_dir), 0, 1)
+    return ch.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_delta_optimize(spark, sf_dir):
     """Scan after OPTIMIZE of a deletion-vector table (file compaction
     + physical purge of DV-deleted rows, dataChange=false commit)."""
@@ -864,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
         "q_delta_optimize": q_delta_optimize,
+        "q_delta_changes": q_delta_changes,
         "q_delta_update": q_delta_update,
         "q_delta_merge": q_delta_merge,
         "q_profile_orders": q_profile_orders,
@@ -1344,6 +1357,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_returnflag = 'R'
             GROUP BY l_linestatus
+        """,
+        "q_delta_changes": """
+            SELECT 'delete' AS _change_type, count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderkey % 10 = 3
         """,
         "q_delta_merge": """
             SELECT o_orderstatus, count(*) AS n_rows,

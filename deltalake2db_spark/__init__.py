@@ -17,6 +17,7 @@ from .sources.delta import (
     scan_delta_native,
 )
 from .sources.delta_sink import delete_where, vacuum, write_checkpoint, write_delta
+from .sources.changes import table_changes
 from .sources.maintenance import merge_into, optimize, update_where
 from .sources.sinks import dataframe_to_duckdb, delta_to_duckdb, delta_to_jdbc
 
@@ -26,6 +27,7 @@ __all__ = [
     "optimize",
     "update_where",
     "merge_into",
+    "table_changes",
     "vacuum",
     "write_checkpoint",
     "FilterType",

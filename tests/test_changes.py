@@ -1,0 +1,65 @@
+"""table_changes: log-derived row-level change feed (sources/changes.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake2db_spark.sources.changes import table_changes
+from deltalake2db_spark.sources.delta_sink import delete_where, write_delta
+from deltalake2db_spark.sources.maintenance import optimize, update_where
+
+
+@pytest.fixture(scope="module")
+def changed_table(spark, tmp_path_factory):
+    t = str(tmp_path_factory.mktemp("chg") / "t")
+    df = spark.range(0, 100).selectExpr("id", "cast(id as double) as v")
+    write_delta(df.repartition(2), t)  # v0
+    write_delta(
+        spark.range(100, 110).selectExpr("id", "cast(id as double) as v"), t
+    )  # v1 append
+    delete_where(spark, t, "id in (3, 4)")  # v2 DV deletes
+    update_where(spark, t, "id = 50", {"v": "-1"})  # v3 rewrite
+    optimize(spark, t)  # v4 dataChange=false
+    return t
+
+
+def test_change_counts_by_version(spark, changed_table):
+    got = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in table_changes(spark, changed_table, 0)
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got[(1, "insert")] == 10
+    assert got[(2, "delete")] == 2
+    # the rewrite surfaces as delete+insert of the rewritten file
+    assert got[(3, "delete")] == got[(3, "insert")]
+    # optimize (v4) contributes nothing
+    assert not any(v == 4 for v, _ in got)
+
+
+def test_dv_deletes_are_exact_rows(spark, changed_table):
+    deleted = [
+        r["id"]
+        for r in table_changes(spark, changed_table, 1, 2)
+        .orderBy("id")
+        .collect()
+    ]
+    assert deleted == [3, 4]
+
+
+def test_update_postimage_present(spark, changed_table):
+    v3 = table_changes(spark, changed_table, 2, 3)
+    post = v3.filter("_change_type = 'insert' and id = 50").collect()[0]
+    pre = v3.filter("_change_type = 'delete' and id = 50").collect()[0]
+    assert post["v"] == -1.0 and pre["v"] == 50.0
+
+
+def test_empty_range_and_bad_version(spark, changed_table):
+    empty = table_changes(spark, changed_table, 4)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+    with pytest.raises(ValueError, match="does not exist"):
+        table_changes(spark, changed_table, 4, 99)

@@ -57,15 +57,21 @@ def connected_components(
     # the finally.
     spark = pairs.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    sp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return _cc_loop(pairs, id_a, id_b, max_iter)
+        return _cc_loop(pairs, id_a, id_b, max_iter, int(sp_before))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_before)
 
 
 def _cc_loop(
-    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iter: int,
+    session_partitions: int,
 ) -> DataFrame:
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"),
@@ -75,6 +81,17 @@ def _cc_loop(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # with AQE off, every round inherits the session's static shuffle
+    # width; size it once from the (now cached) edge count — ~2M long
+    # pairs per reducer — capped at the session setting so a cluster
+    # run on billions of edges keeps its configured parallelism.  With
+    # the fleet of tiny per-round stages this is the difference between
+    # scheduling 32 empty tasks per stage and scheduling 1-2.
+    n_edges = edges.count()
+    loop_parts = max(1, min(session_partitions, -(-n_edges // 2_000_000)))
+    pairs.sparkSession.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_parts)
     )
 
     labels = (

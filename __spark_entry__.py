@@ -747,6 +747,21 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub (emails/IPs/phones/digit-ids -> typed placeholders)
+    over documents with deterministically planted PII; pure
+    regexp_replace chain, zero Python."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 555-123-4567 from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    return d.select("doc_id", X.redact_pii(planted).alias("redacted"))
+
+
 def q_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, n=2, threshold=0.05)
@@ -884,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
+        "q_pii_redaction": q_pii_redaction,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_neardup": q_cosine_neardup,
@@ -1484,6 +1500,18 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'fr' END AS pred
                 FROM (SELECT lang, {_LANG_SCORES} FROM documents)
             ) GROUP BY lang, pred
+        """,
+        "q_pii_redaction": r"""
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com via 555-123-4567 from 10.0.0.'
+                     || CAST(doc_id % 256 AS VARCHAR),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+                '\b\d{9,16}\b', '<ID>', 'g') AS redacted
+            FROM documents
         """,
         "q_jaccard_pairs": _JACCARD_SQL,
         "q_cosine_topk": _COS_SQL,

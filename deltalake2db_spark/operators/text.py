@@ -165,3 +165,39 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_space", cc["n_space"])
         .withColumn("quality", quality_score(t))
     )
+
+
+# ------------------------------------------------------------ PII redaction
+
+# patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): no lookarounds, no backrefs — so oracle parity holds
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{9,16}\b", "<ID>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / phone numbers / long digit ids with
+    typed placeholders — the standard pre-training scrub pass.  Pure
+    ``regexp_replace`` chain: JVM-side, whole-stage codegen, zero
+    Python, order fixed so results are deterministic (emails before the
+    digit-run rule so the local-part's digits don't half-match)."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_hit_count(text: Column) -> Column:
+    """How many PII spans redaction would replace (cheap audit metric:
+    difference in occurrences, not a second scan in production — both
+    columns compute in the same projection)."""
+    out = F.lit(0)
+    for pattern, _ in PII_PATTERNS:
+        out = out + F.coalesce(
+            F.size(F.split(text, pattern)) - 1, F.lit(0)
+        )
+    return out

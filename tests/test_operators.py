@@ -295,3 +295,31 @@ def test_windowed_event_counts_batch(spark):
            for r in windowed_event_counts(events).collect()}
     assert out[("2024-01-01 10:00:00", "click")] == 2
     assert out[("2024-01-01 11:00:00", "view")] == 1
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import functions as F
+
+    from deltalake2db_spark.operators.text import pii_hit_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.org now", "<EMAIL>"),
+            ("server at 192.168.100.7 down", "<IP>"),
+            ("call 555-123-4567 today", "<PHONE>"),
+            ("card 4111111111111111 on file", "<ID>"),
+            ("clean text stays clean", None),
+        ],
+        "text string, want string",
+    )
+    rows = df.select(
+        "text", "want",
+        redact_pii(F.col("text")).alias("red"),
+        pii_hit_count(F.col("text")).alias("hits"),
+    ).collect()
+    for r in rows:
+        if r["want"] is None:
+            assert r["red"] == r["text"] and r["hits"] == 0
+        else:
+            assert r["want"] in r["red"], r
+            assert r["hits"] >= 1

@@ -141,17 +141,14 @@ def optimize(
 
     path = str(path).rstrip("/")
     state = get_meta(path)
-    cfg = (state.last_metadata or {}).get("configuration", {})
-    if cfg.get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            "optimize on column-mapped tables is not supported yet "
-            "(physical-name rewrite)"
-        )
     partition_cols = list(state.partition_columns)
+    # partitionValues are keyed by PHYSICAL names on mapped tables
+    _, l2p = state.type_maps()
+    partition_phys = [l2p.get(c, c) for c in partition_cols]
 
     groups: dict[tuple, list[dict]] = {}
     for a in state.add_actions.values():
-        groups.setdefault(partition_tuple(a, partition_cols), []).append(a)
+        groups.setdefault(partition_tuple(a, partition_phys), []).append(a)
 
     def qualifies(acts: list[dict]) -> bool:
         if zorder_by:
@@ -195,6 +192,27 @@ def optimize(
     return rep
 
 
+def _mapping_active(state) -> bool:
+    cfg = (state.last_metadata or {}).get("configuration", {})
+    return cfg.get("delta.columnMapping.mode", "none") != "none"
+
+
+def _to_physical(df: DataFrame, state, keep_cols: set[str]) -> DataFrame:
+    """Project logical columns back to their PHYSICAL names for writing
+    (column-mapped tables store mapped names in parquet).  Nested struct
+    field renames ride on ``cast`` — casting to a struct type with
+    different field names renames positionally."""
+    from ..plans.types import to_physical_schema
+
+    phys = to_physical_schema(state.schema)
+    exprs = []
+    for lf, pf in zip(state.schema.fields, phys.fields):
+        if lf.name not in keep_cols:
+            continue
+        exprs.append(F.col(lf.name).cast(pf.dataType).alias(pf.name))
+    return df.select(*exprs)
+
+
 def _rewrite_groups(
     spark: SparkSession,
     path: str,
@@ -227,9 +245,13 @@ def _rewrite_groups(
             # transform sees the full logical schema (UPDATE conditions
             # may reference partition columns); those columns are
             # stripped before the write since they live in
-            # partitionValues, not in the data files
+            # partitionValues, not in the data files, and mapped tables
+            # are projected back to physical names
             df = transform(df, acts)
-            if partition_cols:
+            data_cols = set(df.columns) - set(partition_cols)
+            if _mapping_active(state):
+                df = _to_physical(df, state, data_cols)
+            elif partition_cols:
                 df = df.drop(*partition_cols)
             out = os.path.join(staging, f"g{gi}")
             df.write.mode("overwrite").parquet(out)
@@ -252,10 +274,17 @@ def _rewrite_groups(
             removed.extend(a["path"] for a in acts)
 
         if insert_df is not None:
+            part_by = list(partition_cols)
+            if _mapping_active(state):
+                _, l2p = state.type_maps()
+                insert_df = _to_physical(
+                    insert_df, state, set(insert_df.columns)
+                )
+                part_by = [l2p.get(c, c) for c in partition_cols]
             out = os.path.join(staging, "inserts")
             wr = insert_df.write.mode("overwrite")
-            if partition_cols:
-                wr = wr.partitionBy(*partition_cols)
+            if part_by:
+                wr = wr.partitionBy(*part_by)
             wr.parquet(out)
             for root, _dirs, files in os.walk(out):
                 for fn in files:
@@ -330,11 +359,6 @@ def update_where(
 
     path = str(path).rstrip("/")
     state = get_meta(path)
-    cfg = (state.last_metadata or {}).get("configuration", {})
-    if cfg.get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            "update_where on column-mapped tables is not supported yet"
-        )
     if isinstance(condition, str):
         condition = F.expr(condition)
     set_cols = {
@@ -366,11 +390,13 @@ def update_where(
         }
 
     partition_cols = list(state.partition_columns)
+    _, l2p = state.type_maps()
+    partition_phys = [l2p.get(c, c) for c in partition_cols]
     selected: dict[tuple, list[dict]] = {}
     for a in state.add_actions.values():
         if a["path"].rsplit("/", 1)[-1] in hit_files:
             selected.setdefault(
-                partition_tuple(a, partition_cols), []
+                partition_tuple(a, partition_phys), []
             ).append(a)
 
     def transform(df: DataFrame, acts: list[dict]) -> DataFrame:
@@ -424,11 +450,6 @@ def merge_into(
 
     path = str(path).rstrip("/")
     state = get_meta(path)
-    cfg = (state.last_metadata or {}).get("configuration", {})
-    if cfg.get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError(
-            "merge_into on column-mapped tables is not supported yet"
-        )
     if when_matched_delete and when_matched_update not in (None, "all"):
         raise ValueError("choose either matched-update or matched-delete")
     on = list(on)
@@ -457,11 +478,13 @@ def merge_into(
     }
 
     partition_cols = list(state.partition_columns)
+    _, l2p = state.type_maps()
+    partition_phys = [l2p.get(c, c) for c in partition_cols]
     selected: dict[tuple, list[dict]] = {}
     for a in state.add_actions.values():
         if a["path"].rsplit("/", 1)[-1] in hit_files:
             selected.setdefault(
-                partition_tuple(a, partition_cols), []
+                partition_tuple(a, partition_phys), []
             ).append(a)
 
     def transform(df: DataFrame, acts: list[dict]) -> DataFrame:

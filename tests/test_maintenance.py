@@ -245,3 +245,39 @@ def test_merge_into_partitioned_insert_lands_in_partition(spark, tmp_path):
     assert any(
         json.loads(a["stats"])["maxValues"].get("k") == 100 for a in acts
     )
+
+
+def test_optimize_and_update_on_column_mapped_table(spark, tmp_path):
+    """Physical-name rewrite: mapped tables (nested struct physical
+    names included) compact and update correctly — logical content is
+    invariant under the physical projection roundtrip."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from fixture_tables import build_faker2
+
+    from deltalake2db_spark.sources.maintenance import update_where
+
+    p = build_faker2(str(tmp_path / "faker2"))
+    before = [
+        r.asDict(True)
+        for r in scan_delta(spark, p).orderBy("Super Name").collect()
+    ]
+    rep = optimize(spark, p)
+    assert rep["version"] is not None
+    after = [
+        r.asDict(True)
+        for r in scan_delta(spark, p).orderBy("Super Name").collect()
+    ]
+    assert before == after
+
+    rep2 = update_where(
+        spark, p, "`Super Name` = 'Name 2'", {"new_name": "'RENAMED'"}
+    )
+    assert rep2["updated_files"] == 1
+    out = scan_delta(spark, p)
+    row = out.filter("`Super Name` = 'Name 2'").collect()[0]
+    assert row["new_name"] == "RENAMED"
+    assert row["main_coord"]["lat"] == 3.5  # nested mapping survives
+    assert row["Company Very Short"] == "BMS"  # partition value intact
+    assert out.count() == len(before)

@@ -860,6 +860,89 @@ def q_neardup_dedup(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 25% corpus sample (multiplicative-hash membership —
+    identical arithmetic reruns in the DuckDB oracle, so the EXACT same
+    rows are chosen by both engines).  Map-side filter, zero shuffles."""
+    from deltalake2db_spark.operators.sampling import hash_fraction_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_fraction_sample(d, "doc_id", 0.25).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Exactly 20 docs per source, deterministic pseudo-random rank
+    inside each stratum — returns the selected ids themselves."""
+    from deltalake2db_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, ["source"], 20, "doc_id").select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_domain_mix(spark, sf_dir):
+    """Per-domain keep-fractions (training-data domain mixing): src0
+    oversampled, src1 dropped, everything else at the default rate."""
+    from deltalake2db_spark.operators.sampling import weighted_domain_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_domain_mix(
+        d, "source", {"src0": 0.8, "src1": 0.0}, "doc_id",
+        default_fraction=0.5,
+    ).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination report: every doc vs the doc_id%20==0
+    subset as the 'benchmark'; 8-gram distinct overlap counts."""
+    from deltalake2db_spark.operators.contamination import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    return contamination_check(d, bench, n=8)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (streaming offset semantics) per
+    source shard; pack-level fill report."""
+    from deltalake2db_spark.operators.packing import pack_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_stats(d, "n_chars", 2000, "doc_id", part_col="source")
+
+
+def q_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization — per-label integer roll-up of the
+    quantized vectors (floor(x/s+0.5) contract is bit-reproducible in
+    the oracle)."""
+    q = S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    qsum = F.aggregate(
+        "qvec", F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(qsum).alias("sum_q"),
+        F.min(F.array_min("qvec")).alias("min_q"),
+        F.max(F.array_max("qvec")).alias("max_q"),
+    )
+
+
+def q_quantized_topk(spark, sf_dir):
+    """Exact top-k over int8-quantized vectors: scales cancel in the
+    cosine, so scoring is integer dot products — hash-matched against
+    the oracle, unlike float-reduction scoring."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return S.quantized_topk(emb, queries_df, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -909,6 +992,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_dup_clusters": q_dup_clusters,
         "q_neardup_dedup": q_neardup_dedup,
+        "q_hash_sample": q_hash_sample,
+        "q_stratified_sample": q_stratified_sample,
+        "q_domain_mix": q_domain_mix,
+        "q_contamination": q_contamination,
+        "q_pack_sequences": q_pack_sequences,
+        "q_quantize_int8": q_quantize_int8,
+        "q_quantized_topk": q_quantized_topk,
     }
 
 
@@ -1129,6 +1219,27 @@ _LANG_SCORES = f"""
   len(list_filter({_WORDS}, x -> x IN ({_DE}))) AS s_de,
   len(list_filter({_WORDS}, x -> x IN ({_ES}))) AS s_es,
   len(list_filter({_WORDS}, x -> x IN ({_FR}))) AS s_fr
+"""
+
+
+# deterministic sample hash: pmod(doc_id*Knuth + salt, 2^31) % 1e6 —
+# plain integer arithmetic, bit-identical in Spark and DuckDB (doc_id
+# is non-negative so % == pmod here)
+_SAMPLE_HASH = "((doc_id * 2654435761 + 0) % 2147483648) % 1000000"
+
+# int8 symmetric quantization, floor(x/s + 0.5) with s = max|x|/127 —
+# all math forced to DOUBLE so no float-promotion divergence vs Spark
+_QUANT_SQL = """
+    SELECT vec_id, label,
+           list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INTEGER)) AS qv
+    FROM (
+        SELECT vec_id, label, embedding,
+               greatest(list_aggregate(list_transform(embedding,
+                            y -> abs(CAST(y AS DOUBLE))), 'max'),
+                        1e-30) / 127.0 AS sc
+        FROM embeddings
+    )
 """
 
 
@@ -1523,4 +1634,99 @@ def oracle_sql() -> dict[str, str]:
         "q_neardup_dedup": _NEARDUP_DEDUP_SQL,
         # q_simhash_pairs stays rows-only: the sketch is built from
         # Spark's xxhash64, which DuckDB cannot reproduce.
+        "q_hash_sample": f"""
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents
+            WHERE {_SAMPLE_HASH} < 250000
+            GROUP BY source
+        """,
+        "q_stratified_sample": f"""
+            SELECT doc_id, source, lang FROM (
+                SELECT doc_id, source, lang,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY {_SAMPLE_HASH} ASC, doc_id ASC
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 20
+        """,
+        "q_domain_mix": f"""
+            SELECT source, lang, count(*) AS n_docs,
+                   sum(n_chars) AS sum_chars
+            FROM documents
+            WHERE {_SAMPLE_HASH} <
+                  CASE WHEN source = 'src0' THEN 800000
+                       WHEN source = 'src1' THEN 0
+                       ELSE 500000 END
+            GROUP BY source, lang
+        """,
+        "q_contamination": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+                FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+            ),
+            bgrams AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0
+            ),
+            totals AS (
+                SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+            ),
+            m AS (
+                SELECT doc_id, count(*) AS n_matched
+                FROM grams WHERE gram IN (SELECT gram FROM bgrams)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_grams,
+                   coalesce(m.n_matched, 0) AS n_matched,
+                   coalesce(m.n_matched, 0) >= 1 AS contaminated
+            FROM totals t LEFT JOIN m ON t.doc_id = m.doc_id
+        """,
+        "q_pack_sequences": """
+            WITH packed AS (
+                SELECT source, n_chars,
+                       CAST(floor((sum(n_chars) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_chars) / 2000)
+                            AS BIGINT) AS pack_id
+                FROM documents
+            )
+            SELECT source, pack_id, count(*) AS n_docs,
+                   sum(n_chars) AS pack_tokens,
+                   round(sum(n_chars) * 100.0 / 2000, 2) AS fill_pct
+            FROM packed GROUP BY source, pack_id
+        """,
+        "q_quantize_int8": f"""
+            WITH q AS ({_QUANT_SQL})
+            SELECT label, count(*) AS n_vecs,
+                   sum(list_aggregate(qv, 'sum')) AS sum_q,
+                   min(list_aggregate(qv, 'min')) AS min_q,
+                   max(list_aggregate(qv, 'max')) AS max_q
+            FROM q GROUP BY label
+        """,
+        "q_quantized_topk": f"""
+            WITH q AS ({_QUANT_SQL}),
+            cand AS (
+                SELECT b.vec_id AS query_id, a.vec_id,
+                       round(
+                         list_inner_product(CAST(a.qv AS DOUBLE[]),
+                                            CAST(b.qv AS DOUBLE[]))
+                         / (sqrt(list_inner_product(CAST(a.qv AS DOUBLE[]),
+                                                    CAST(a.qv AS DOUBLE[])))
+                            * sqrt(list_inner_product(CAST(b.qv AS DOUBLE[]),
+                                                      CAST(b.qv AS DOUBLE[])))),
+                         4) AS sim
+                FROM q a, q b
+                WHERE b.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+            )
+            SELECT query_id, vec_id, sim, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC
+                ) AS rank
+                FROM cand
+            ) WHERE rank <= 5
+        """,
     }

@@ -31,22 +31,23 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     min_value, max_value) — min/max stringified (rounded to 4 for
     floats) so one schema fits every column type.
 
-    Distinct counts are EXACT but computed in a separate long-format
-    pass: k ``countDistinct`` calls in one aggregate make Catalyst plan
-    an Expand (input x(k+1) rows through the exchange — a scale-killer).
-    Instead each row explodes into (column, value) pairs and ONE
-    single-distinct aggregation counts them — partial aggregation
-    collapses duplicates map-side, so the shuffle carries ~distinct
-    values per column, never a multiple of the row count.
-
-    Under-parallel inputs (fewer files than cores — e.g. one parquet
-    file, which plans as ONE task and serializes the whole distinct
-    pass) get the pairs hash-repartitioned by (column, value) first:
-    the upstream task then only writes shuffle blocks and the heavy
-    distinct aggregation runs at full parallelism.  A big table (files
-    >= cores) keeps the map-side-combine plan and never pays that
-    extra shuffle of raw pairs.
+    Distinct counts are EXACT, one **concurrent job per column**
+    (``select(c).distinct().count()``, nulls excluded to match
+    ``count(DISTINCT c)``).  Why not k ``countDistinct`` in one
+    aggregate: Catalyst plans that as an Expand — input ×(k+1) rows
+    through the exchange, a scale-killer.  Why not exploding (column,
+    value) pairs: the explode multiplies the scan output by k and
+    forces every value through a string cast.  Per-column jobs read
+    only their own column (columnar pruning ⇒ the k scans together
+    read the same bytes as ONE full scan), each gets map-side partial
+    distinct, and they run concurrently on the scheduler — wall-clock
+    is the widest column, not the sum.  The min/max/null wide
+    aggregate (non-Expand: no distinct inside) runs as a concurrent
+    job in the same pool, so the whole profile costs ~one scan's
+    wall-clock.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     cols = list(cols or df.columns)
     by_name = {f.name: f for f in df.schema.fields}
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
@@ -62,34 +63,15 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         aggs.append(mn.alias(f"__min_{c}"))
         aggs.append(mx.alias(f"__max_{c}"))
 
-    row = df.agg(*aggs).collect()[0]
+    def _distinct(c: str) -> tuple[str, int]:
+        return c, (
+            df.filter(F.col(c).isNotNull()).select(c).distinct().count()
+        )
 
-    pairs = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(c).cast("string").alias("v"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("p")
-    ).select("p.column", "p.v")
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # non-file-backed plan: assume well-partitioned
-        n_files = 0
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if 0 < n_files < max(2, par // 2):
-        pairs = pairs.repartition(2 * par, "column", "v")
-    dist = {
-        r["column"]: r["nd"]
-        for r in pairs.groupBy("column")
-        .agg(F.count_distinct("v").alias("nd"))
-        .collect()
-    }
+    with ThreadPoolExecutor(len(cols) + 1) as ex:
+        row_f = ex.submit(lambda: df.agg(*aggs).collect()[0])
+        dist = dict(ex.map(_distinct, cols))
+        row = row_f.result()
     out = [
         (c, row["__n"], row[f"__null_{c}"], dist.get(c, 0),
          row[f"__min_{c}"], row[f"__max_{c}"])

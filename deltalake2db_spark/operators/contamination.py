@@ -1,0 +1,115 @@
+"""Benchmark-contamination detection: word n-gram overlap.
+
+Training corpora must be screened against evaluation benchmarks —
+a document sharing long verbatim n-grams with a benchmark item leaks
+test data into training.  The standard check (GPT-3 appendix C,
+PaLM/Llama data cards) flags documents whose word n-grams collide with
+any benchmark n-gram.
+
+Spark-first design
+------------------
+* n-grams are built **inside codegen**: ``split`` once, then
+  ``transform(sequence(...))`` slices — no Python, no explode until the
+  join needs rows.
+* The overlap is an **equi-join on the gram**, i.e. an inverted-index
+  probe — never a doc × benchmark cross product.  At 100 TB the corpus
+  side shuffles only ``(doc_id, gram)`` pairs; the benchmark side is
+  tiny (thousands of items) and **broadcast**, so the corpus never
+  shuffles at all in the common case.
+* Counts are distinct-gram counts, so repeated boilerplate inside one
+  document doesn't inflate the contamination score.
+
+At crawl scale you'd join on ``xxhash64(gram)`` to shuffle 8 bytes
+instead of strings; we join on the gram itself so the DuckDB oracle is
+exact (hashing is an internal optimization that must not change
+results — collisions, however unlikely, would).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def word_ngrams(df: DataFrame, text_col: str, n: int, out: str = "gram"):
+    """Explode whitespace word ``n``-grams of ``text_col``.
+
+    ``split`` runs once per row; gram assembly is ``array_join(slice)``
+    over a ``sequence`` — all built-in, whole-stage codegen.
+    Documents shorter than ``n`` words produce no grams.
+    """
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    # sequence(1, 0) descends in Spark — short docs need the empty branch
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn(out, F.explode(grams))
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document contamination report against a benchmark set.
+
+    Returns ``(doc_id, n_grams, n_matched, contaminated)`` where
+    ``n_grams`` counts the document's distinct n-grams, ``n_matched``
+    how many of those appear anywhere in the benchmark, and
+    ``contaminated`` is ``n_matched >= min_hits``.
+
+    Plan shape: benchmark grams are distinct-ed then **broadcast**; the
+    corpus gram stream left-semi-joins per gram and aggregates by doc.
+    One shuffle total (the per-doc aggregate), keyed by doc_id —
+    uniform, skew-free.
+    """
+    doc_grams = word_ngrams(docs, text_col, n).select(doc_id, "gram").distinct()
+    bench_grams = (
+        word_ngrams(benchmark, bench_text_col, n).select("gram").distinct()
+    )
+    matched = (
+        doc_grams.join(broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(doc_id)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    totals = doc_grams.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        totals.join(matched, doc_id, "left")
+        .withColumn("n_matched", F.coalesce(F.col("n_matched"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_matched") >= F.lit(min_hits))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop contaminated documents (the filtering counterpart).
+
+    Anti-join on the flagged id set — the corpus body is touched once;
+    at scale the flagged set is small and broadcast.
+    """
+    flagged = (
+        contamination_check(
+            docs, benchmark, n, doc_id, text_col, bench_text_col, min_hits
+        )
+        .filter(F.col("contaminated"))
+        .select(doc_id)
+    )
+    return docs.join(broadcast(flagged), doc_id, "left_anti")

@@ -304,6 +304,136 @@ def lsh_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = floor(x_i/s + .5)``
+    with ``s = max(|x|)/127``.
+
+    4× smaller vectors (the storage/bandwidth win that makes 100 TB of
+    embeddings shippable) at <1% cosine error.  The rounding is spelled
+    ``floor(x/s + 0.5)`` — not engine ``round()`` — because that exact
+    IEEE-double sequence reproduces bit-for-bit on any engine (the
+    DuckDB oracle recomputes it); all math is forced to double first so
+    no float-vs-double promotion divergence can creep in.  Map-side
+    projection, zero shuffles, whole-stage codegen.
+    """
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(xs, F.abs))
+    scale = F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0)
+    q = F.transform(xs, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    return df.withColumn(out, q).withColumn(
+        "qscale", F.round(scale, 9)
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Exact top-k over the *quantized* vectors (the ANN serving path).
+
+    Cosine of dequantized vectors = ``int_dot / (sqrt(na)*sqrt(nb))``
+    — the per-vector scales cancel, so scoring is pure int64 dot
+    products (exact in float64 GEMM: |q| <= 127 so products stay far
+    below 2^53) plus one IEEE sqrt per side.  Fully deterministic
+    across engines — this gate is hash-matched against DuckDB, unlike
+    float-sum scoring which depends on reduction order.
+
+    ``impl='arrow'``: one int-GEMM per Arrow batch, batch-local top-k,
+    corpus never shuffles (same shape as ``brute_force_topk``).
+    """
+    qc = quantize_int8(corpus, id_col, vec_col)
+    qq = quantize_int8(queries, id_col, vec_col)
+    if impl == "column":
+        q = F.broadcast(
+            qq.select(
+                F.col(id_col).alias(query_id_col), F.col("qvec").alias("__qv")
+            )
+        )
+        joined = qc.crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
+        idot = F.aggregate(
+            F.zip_with(
+                F.col("qvec"), F.col("__qv"),
+                lambda a, b: a.cast("bigint") * b.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(c, lambda a: a.cast("bigint") * a.cast("bigint")),
+                F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+            ).cast("double")
+        )
+        sim = F.round(idot.cast("double") / (nrm(F.col("qvec")) * nrm(F.col("__qv"))), 4)
+        scored = joined.select(query_id_col, id_col, sim.alias("sim"))
+    else:
+        scored = _arrow_scores_topk_int(
+            qc.select(id_col, F.col("qvec").alias(vec_col)),
+            qq.select(id_col, F.col("qvec").alias(vec_col)),
+            k, id_col, vec_col, query_id_col,
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def _arrow_scores_topk_int(corpus, queries, k, id_col, vec_col, query_id_col):
+    """Integer-exact batch scorer: ``round(idot / (ne_i * nq_j), 4)``.
+
+    The GEMM runs in float64 over int vectors (|q| <= 127 ⇒ every dot
+    is exact), and the norm product / division sequence matches the
+    column impl and the SQL oracle operation-for-operation, so all
+    three produce identical doubles.
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    nq = np.sqrt((Q * Q).sum(axis=1))
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            E = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ne = np.sqrt((E * E).sum(axis=1))
+            S = np.round((E @ Q.T) / np.outer(ne, nq), 4)
+            out_q, out_id, out_sim = [], [], []
+            for j in range(len(qids)):
+                col = S[:, j]
+                mask = ids != qids[j]
+                cand_ids, cand_sims = ids[mask], col[mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.extend([qids[j]] * len(order))
+                out_id.extend(cand_ids[order])
+                out_sim.extend(cand_sims[order])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "sim": out_sim}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema=f"{query_id_col} long, {id_col} long, sim double"
+    )
+
+
 def ivf_index(
     df: DataFrame,
     n_centroids: int = 16,

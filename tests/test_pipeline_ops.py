@@ -1,0 +1,224 @@
+"""Tests for sampling / contamination / packing / quantization operators."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from deltalake2db_spark.operators.sampling import (
+    hash_fraction_sample,
+    sample_hash,
+    split_train_eval,
+    stratified_sample,
+    weighted_domain_mix,
+)
+from deltalake2db_spark.operators.contamination import (
+    contamination_check,
+    decontaminate,
+    word_ngrams,
+)
+from deltalake2db_spark.operators.packing import pack_sequences, pack_stats
+from deltalake2db_spark.operators.similarity import (
+    quantize_int8,
+    quantized_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_hash_sample_deterministic_and_sized(docs):
+    a = hash_fraction_sample(docs, "doc_id", 0.3)
+    b = hash_fraction_sample(docs, "doc_id", 0.3)
+    ids_a = sorted(r[0] for r in a.select("doc_id").collect())
+    ids_b = sorted(r[0] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # run-to-run determinism
+    n, total = len(ids_a), docs.count()
+    assert 0.15 * total < n < 0.45 * total  # roughly the fraction
+
+
+def test_hash_sample_fraction_monotone(docs):
+    """A smaller fraction's sample is a subset of a larger fraction's
+    (same salt) — nested samples, the property ablation studies rely on."""
+    small = {r[0] for r in hash_fraction_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    big = {r[0] for r in hash_fraction_sample(docs, "doc_id", 0.5).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_salt_decorrelates(docs):
+    s0 = {r[0] for r in hash_fraction_sample(docs, "doc_id", 0.5, salt=0).select("doc_id").collect()}
+    s1 = {r[0] for r in hash_fraction_sample(docs, "doc_id", 0.5, salt=12345).select("doc_id").collect()}
+    assert s0 != s1
+
+
+def test_stratified_exact_n(docs):
+    out = stratified_sample(docs, ["source"], 5, "doc_id")
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    full = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    for src, n in counts.items():
+        assert n == min(5, full[src])
+    assert set(counts) == set(full)
+
+
+def test_stratified_prefilter_same_winners(docs):
+    """The hash prefilter only thins losers — winners are unchanged."""
+    plain = stratified_sample(docs, ["source"], 3, "doc_id")
+    pre = stratified_sample(docs, ["source"], 3, "doc_id",
+                            prefilter_fraction=0.9)
+    assert sorted(r[0] for r in plain.select("doc_id").collect()) == \
+        sorted(r[0] for r in pre.select("doc_id").collect())
+
+
+def test_weighted_mix(docs):
+    out = weighted_domain_mix(
+        docs, "source", {"src0": 1.0, "src1": 0.0}, "doc_id",
+        default_fraction=0.5,
+    )
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    full = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    assert got["src0"] == full["src0"]
+    assert "src1" not in got
+    for src in full:
+        if src not in ("src0", "src1"):
+            assert 0 < got.get(src, 0) < full[src]
+
+
+def test_split_train_eval_partitions(docs):
+    out = split_train_eval(docs, "doc_id", 0.2)
+    assert out.count() == docs.count()
+    n_eval = out.filter(F.col("split") == "eval").count()
+    assert 0 < n_eval < docs.count()
+    # disjoint + exhaustive by construction of the CASE; spot-check
+    assert out.filter(~F.col("split").isin("train", "eval")).count() == 0
+
+
+def test_sample_hash_range(spark):
+    df = spark.range(0, 10000).select(sample_hash(F.col("id")).alias("h"))
+    mn, mx = df.agg(F.min("h"), F.max("h")).first()
+    assert 0 <= mn and mx < 1_000_000
+
+
+# ----------------------------------------------------------- contamination
+
+def test_word_ngrams_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "")], ["doc_id", "text"]
+    )
+    out = word_ngrams(df, "text", 3).groupBy("doc_id").count().collect()
+    got = {r[0]: r[1] for r in out}
+    assert got == {1: 2}  # "a b c", "b c d"; short/empty docs emit none
+
+
+def test_contamination_planted(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog suffix"),
+            (2, "completely unrelated words only here nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rep = contamination_check(docs, bench, n=8).collect()
+    by_id = {r["doc_id"]: r for r in rep}
+    assert by_id[1]["contaminated"] and by_id[1]["n_matched"] >= 1
+    assert not by_id[2]["contaminated"] and by_id[2]["n_matched"] == 0
+
+    clean = decontaminate(docs, bench, n=8)
+    assert [r[0] for r in clean.select("doc_id").collect()] == [2]
+
+
+def test_contamination_distinct_grams(spark):
+    """Repeated grams inside one doc count once."""
+    bench = spark.createDataFrame([(9, "x y z w")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "x y z w and x y z w and x y z w")], ["doc_id", "text"]
+    )
+    rep = contamination_check(docs, bench, n=4).collect()[0]
+    assert rep["n_matched"] == 1
+
+
+# ----------------------------------------------------------------- packing
+
+def test_pack_offsets(spark):
+    rows = [(i, 40) for i in range(10)]  # 10 docs x 40 tokens, budget 100
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    out = pack_sequences(df, "tokens", 100, "doc_id").collect()
+    packs = {r["doc_id"]: r["pack_id"] for r in out}
+    # offsets 0,40,80,120,...: pack = floor(offset/100)
+    assert packs == {i: (i * 40) // 100 for i in range(10)}
+
+
+def test_pack_oversized_doc_own_packs(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 250), (3, 10)], ["doc_id", "tokens"]
+    )
+    out = {r["doc_id"]: r["pack_id"] for r in
+           pack_sequences(df, "tokens", 100, "doc_id").collect()}
+    # doc2 starts at offset 50 -> pack 0 (overflows); doc3 at 300 -> pack 3
+    assert out == {1: 0, 2: 0, 3: 3}
+
+
+def test_pack_partitioned_independent(docs):
+    out = pack_stats(docs, "n_chars", 2000, "doc_id", part_col="source")
+    rows = out.collect()
+    assert all(r["pack_tokens"] > 0 and r["n_docs"] > 0 for r in rows)
+    # every source restarts at pack 0
+    mins = {r[0]: r[1] for r in
+            out.groupBy("source").agg(F.min("pack_id")).collect()}
+    assert all(v == 0 for v in mins.values())
+    # fill ratio sane: every pack except possibly each source's last
+    # holds >= budget tokens only via its final doc's overflow
+    total_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == total_docs
+
+
+# ------------------------------------------------------------ quantization
+
+def test_quantize_int8_range_and_error(emb):
+    q = quantize_int8(emb)
+    r = q.select(
+        F.array_max(F.transform("qvec", F.abs)).alias("qmax"),
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))).alias("xmax"),
+        "qscale",
+    ).collect()
+    for row in r:
+        assert row["qmax"] <= 127
+        # max element quantizes to ~127: |qmax*scale - xmax| small
+        assert abs(row["qmax"] * row["qscale"] - row["xmax"]) <= row["qscale"]
+
+
+def test_quantized_topk_close_to_exact(spark, emb):
+    from deltalake2db_spark.operators.similarity import brute_force_topk
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=5)
+    quant = quantized_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    qt = {(r["query_id"], r["rank"]): r["vec_id"] for r in quant.collect()}
+    assert set(e) == set(qt)
+    agree = sum(e[k] == qt[k] for k in e)
+    assert agree / len(e) >= 0.8  # int8 keeps most of the ranking
+
+
+def test_quantized_topk_impls_agree(spark, emb):
+    queries = emb.filter(F.col("vec_id") % 250 == 0)
+    a = quantized_topk(emb, queries, k=3, impl="arrow").collect()
+    c = quantized_topk(emb, queries, k=3, impl="column").collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, c))

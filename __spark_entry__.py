@@ -860,6 +860,61 @@ def q_neardup_dedup(spark, sf_dir):
     )
 
 
+def _restored_path(spark, sf_dir: str) -> str:
+    """orders -> Delta (v0), row-level DELETE (v1), RESTORE to v0 (v2):
+    the scan must see the original table again, with history intact."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/orders_restore"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        from deltalake2db_spark.sources.delta_sink import (
+            delete_where,
+            write_delta,
+        )
+        from deltalake2db_spark.sources.maintenance import restore_table
+
+        write_delta(_t(spark, sf_dir, "orders").repartition(4), path)
+        delete_where(spark, path, "o_orderkey % 7 = 0")
+        restore_table(spark, path, 0)
+    return path
+
+
+def q_delta_restore(spark, sf_dir):
+    """Scan after RESTORE: the delete in between must be fully undone
+    (oracle is the untouched source table)."""
+    df = scan_delta(spark, _restored_path(spark, sf_dir))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_delta_history(spark, sf_dir):
+    """DESCRIBE HISTORY of the restore fixture: WRITE -> DELETE ->
+    RESTORE with per-commit action counts (timestamps excluded — they
+    are wall-clock)."""
+    from deltalake2db_spark.sources.maintenance import describe_history
+
+    h = describe_history(spark, _restored_path(spark, sf_dir))
+    return h.select("version", "operation", "n_adds", "n_removes")
+
+
+def q_delta_clone(spark, sf_dir):
+    """Scan a SHALLOW CLONE (absolute-path add actions referencing the
+    source's files) with a pruning condition — zero data copied."""
+    from deltalake2db_spark.sources.maintenance import shallow_clone
+
+    src = _roundtrip_path(sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    dst = f"/tmp/dl2db_roundtrip{tag}/lineitem_clone"
+    if not os.path.exists(os.path.join(dst, "_delta_log")):
+        shallow_clone(spark, src, dst)
+    df = scan_delta(spark, dst, conditions=[("l_returnflag", "=", "N")])
+    return df.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 25% corpus sample (multiplicative-hash membership —
     identical arithmetic reruns in the DuckDB oracle, so the EXACT same
@@ -992,6 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_dup_clusters": q_dup_clusters,
         "q_neardup_dedup": q_neardup_dedup,
+        "q_delta_restore": q_delta_restore,
+        "q_delta_history": q_delta_history,
+        "q_delta_clone": q_delta_clone,
         "q_hash_sample": q_hash_sample,
         "q_stratified_sample": q_stratified_sample,
         "q_domain_mix": q_domain_mix,
@@ -1634,6 +1692,25 @@ def oracle_sql() -> dict[str, str]:
         "q_neardup_dedup": _NEARDUP_DEDUP_SQL,
         # q_simhash_pairs stays rows-only: the sketch is built from
         # Spark's xxhash64, which DuckDB cannot reproduce.
+        "q_delta_restore": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q_delta_history": """
+            SELECT * FROM (VALUES
+                (CAST(2 AS BIGINT), 'RESTORE', CAST(4 AS BIGINT), CAST(0 AS BIGINT)),
+                (CAST(1 AS BIGINT), 'DELETE',  CAST(4 AS BIGINT), CAST(4 AS BIGINT)),
+                (CAST(0 AS BIGINT), 'WRITE',   CAST(4 AS BIGINT), CAST(0 AS BIGINT))
+            ) AS t(version, operation, n_adds, n_removes)
+        """,
+        "q_delta_clone": """
+            SELECT l_linestatus, count(*) AS n_rows,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            WHERE l_returnflag = 'N'
+            GROUP BY l_linestatus
+        """,
         "q_hash_sample": f"""
             SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
             FROM documents

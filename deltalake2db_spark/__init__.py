@@ -16,9 +16,24 @@ from .sources.delta import (
     scan_delta,
     scan_delta_native,
 )
-from .sources.delta_sink import delete_where, vacuum, write_checkpoint, write_delta
+from .sources.delta_sink import (
+    DeltaConstraintError,
+    delete_where,
+    vacuum,
+    write_checkpoint,
+    write_delta,
+)
 from .sources.changes import table_changes
-from .sources.maintenance import merge_into, optimize, update_where
+from .sources.maintenance import (
+    add_check_constraint,
+    describe_history,
+    drop_check_constraint,
+    merge_into,
+    optimize,
+    restore_table,
+    shallow_clone,
+    update_where,
+)
 from .sources.sinks import dataframe_to_duckdb, delta_to_duckdb, delta_to_jdbc
 
 __all__ = [
@@ -27,6 +42,12 @@ __all__ = [
     "optimize",
     "update_where",
     "merge_into",
+    "restore_table",
+    "describe_history",
+    "shallow_clone",
+    "add_check_constraint",
+    "drop_check_constraint",
+    "DeltaConstraintError",
     "table_changes",
     "vacuum",
     "write_checkpoint",

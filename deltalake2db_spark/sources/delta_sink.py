@@ -33,6 +33,40 @@ from .delta_writer import ConcurrentWriteError, DeltaWriter, _json_stat
 
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+class DeltaConstraintError(ValueError):
+    """A write would violate a table CHECK constraint."""
+
+
+def table_constraints(state) -> dict[str, str]:
+    """CHECK constraints from table configuration
+    (``delta.constraints.<name> = <sql expr>``, Delta's storage scheme)."""
+    cfg = (state.last_metadata or {}).get("configuration", {})
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in cfg.items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def enforce_constraints(df: DataFrame, state) -> None:
+    """Raise unless every row of ``df`` satisfies every table CHECK
+    constraint.  Delta semantics: the expression must evaluate TRUE —
+    NULL counts as a violation.  One distributed short-circuit probe
+    (``limit(1)``) per constraint; all probes are cheap filters that
+    stack on the write's own scan."""
+    from pyspark.sql import functions as F
+
+    for name, expr in table_constraints(state).items():
+        ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        if df.filter(~ok).limit(1).count():
+            raise DeltaConstraintError(
+                f"CHECK constraint {name!r} ({expr}) violated by at "
+                "least one row of the write"
+            )
+
 
 def _file_stats(path: str) -> dict:
     import pyarrow.parquet as pq
@@ -81,14 +115,23 @@ def write_delta(
     path: str,
     partition_by: Sequence[str] = (),
     mode: str = "append",
+    extra_actions: Sequence[dict] = (),
 ) -> int:
     """Write ``df`` as a new commit of the Delta table at ``path``.
 
     Returns the committed version.  ``mode='overwrite'`` removes all
     previously-live files in the same commit (snapshot-consistent
-    replace); ``'append'`` only adds.
+    replace); ``'append'`` only adds.  ``extra_actions`` ride in the
+    SAME commit (atomic with the data) — the streaming sink passes its
+    ``txn`` idempotence marker here.
     """
     path = str(path).rstrip("/")
+    try:
+        pre_state = get_meta(path)
+    except FileNotFoundError:
+        pre_state = None
+    if pre_state is not None:
+        enforce_constraints(df, pre_state)
     staging = tempfile.mkdtemp(prefix="dl2db_delta_sink_")
     try:
         writer = df.write.mode("overwrite")
@@ -157,8 +200,9 @@ def write_delta(
                     actions.append(w.remove_action(p))
             w.version = existing_version
             actions.extend(adds)
+            actions.extend(extra_actions)
             try:
-                version = w.commit(actions)
+                version = w.commit(actions, operation="WRITE" if mode != "overwrite" or state is None else "OVERWRITE")
                 break
             except ConcurrentWriteError:
                 continue
@@ -267,7 +311,10 @@ def delete_where(spark, path: str, condition) -> dict:
         updated["dataChange"] = True
         actions.append(w.remove_action(action["path"]))
         actions.append({"add": updated})
-    version = w.commit(actions)
+    version = w.commit(
+        actions, operation="DELETE",
+        operation_params={"predicate": str(condition)},
+    )
     return {
         "version": version,
         "files": len(targets),

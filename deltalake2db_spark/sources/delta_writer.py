@@ -158,18 +158,23 @@ class DeltaWriter:
             }
         }
 
-    def commit(self, actions: Sequence[dict], timestamp_ms: int = 1700000000000) -> int:
+    def commit(
+        self,
+        actions: Sequence[dict],
+        timestamp_ms: int = 1700000000000,
+        operation: str = "WRITE",
+        operation_params: Optional[Mapping[str, Any]] = None,
+    ) -> int:
         self.version += 1
-        lines = [
-            json.dumps(
-                {
-                    "commitInfo": {
-                        "timestamp": timestamp_ms + self.version,
-                        "operation": "WRITE",
-                    }
-                }
-            )
-        ]
+        info: dict[str, Any] = {
+            "timestamp": timestamp_ms + self.version,
+            "operation": operation,
+        }
+        if operation_params:
+            info["operationParameters"] = {
+                k: str(v) for k, v in operation_params.items()
+            }
+        lines = [json.dumps({"commitInfo": info})]
         for a in actions:
             lines.append(json.dumps(a))
             if "metaData" in a:

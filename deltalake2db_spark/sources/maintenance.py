@@ -18,13 +18,14 @@ do.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
 import tempfile
 import uuid
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Optional, Sequence
+from typing import Any, Mapping, Optional, Sequence
 from urllib.parse import quote, unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -186,7 +187,9 @@ def optimize(
         return df.coalesce(n_out)
 
     rep = _rewrite_groups(
-        spark, path, state, selected, transform, data_change=False
+        spark, path, state, selected, transform, data_change=False,
+        operation="OPTIMIZE",
+        operation_params={"zorder_by": list(zorder_by or [])},
     )
     rep["groups"] = len(selected)
     return rep
@@ -221,6 +224,8 @@ def _rewrite_groups(
     transform,
     data_change: bool,
     insert_df: Optional[DataFrame] = None,
+    operation: str = "WRITE",
+    operation_params: Optional[Mapping[str, Any]] = None,
 ) -> dict:
     """Shared copy-on-write machinery: per partition group, read the
     group's files through ``scan_delta`` (DVs applied), run
@@ -230,8 +235,13 @@ def _rewrite_groups(
     new files in the same commit, hive-partitioned by the table's
     partition columns."""
     from .delta import scan_delta
-    from .delta_sink import _partition_values_from_relpath
+    from .delta_sink import (
+        _partition_values_from_relpath,
+        enforce_constraints,
+        table_constraints,
+    )
 
+    has_constraints = bool(table_constraints(state))
     partition_cols = list(state.partition_columns)
     staging = tempfile.mkdtemp(prefix="dl2db_rewrite_")
     removed: list[str] = []
@@ -248,6 +258,9 @@ def _rewrite_groups(
             # partitionValues, not in the data files, and mapped tables
             # are projected back to physical names
             df = transform(df, acts)
+            if has_constraints and data_change:
+                # CHECK constraints hold for UPDATE/MERGE outputs too
+                enforce_constraints(df, state)
             data_cols = set(df.columns) - set(partition_cols)
             if _mapping_active(state):
                 df = _to_physical(df, state, data_cols)
@@ -274,6 +287,8 @@ def _rewrite_groups(
             removed.extend(a["path"] for a in acts)
 
         if insert_df is not None:
+            if has_constraints:
+                enforce_constraints(insert_df, state)
             part_by = list(partition_cols)
             if _mapping_active(state):
                 _, l2p = state.type_maps()
@@ -328,7 +343,9 @@ def _rewrite_groups(
             r["remove"]["dataChange"] = data_change
             actions.append(r)
         actions.extend(add_actions)
-        version = w.commit(actions)
+        version = w.commit(
+            actions, operation=operation, operation_params=operation_params
+        )
         return {
             "version": version,
             "files_removed": len(removed),
@@ -411,7 +428,8 @@ def update_where(
         return df.select(*updated)
 
     rep = _rewrite_groups(
-        spark, path, state, selected, transform, data_change=True
+        spark, path, state, selected, transform, data_change=True,
+        operation="UPDATE",
     )
     rep["updated_files"] = rep["files_removed"]
     return rep
@@ -539,9 +557,254 @@ def merge_into(
 
     rep = _rewrite_groups(
         spark, path, state, selected, transform, data_change=True,
-        insert_df=insert_df,
+        insert_df=insert_df, operation="MERGE",
+        operation_params={"on": ",".join(on)},
     )
     rep["matched_files"] = len(
         [a for acts in selected.values() for a in acts]
     )
     return rep
+
+
+# --------------------------------------------------------------------------
+# RESTORE / HISTORY / SHALLOW CLONE / CHECK constraints
+# --------------------------------------------------------------------------
+
+def restore_table(spark: SparkSession, path: str, version: int) -> dict:
+    """RESTORE the table to a previous ``version`` as a NEW commit
+    (delta-spark ``RESTORE TABLE ... TO VERSION AS OF`` semantics).
+
+    Driver-only metadata diff: files live at the target version but not
+    now are re-added (with their original stats / deletion vectors);
+    files live now but not then are removed; a changed schema or table
+    configuration is restored by re-committing the target metaData.
+    History is preserved — the restore is itself a commit, so it can be
+    time-traveled across or restored again.  No data moves at any
+    scale: cost is O(|files|) driver CPU.
+
+    Raises if a file to re-add was vacuumed away (the restore window
+    must be inside the vacuum retention, same rule as delta-spark).
+    """
+    path = str(path).rstrip("/")
+    cur = get_meta(path)
+    tgt = get_meta(path, version=version)
+
+    def dv_key(a: Optional[dict]) -> Any:
+        dv = (a or {}).get("deletionVector")
+        return (dv or {}).get("pathOrInlineDv"), (dv or {}).get("offset")
+
+    removes = [p for p in cur.add_actions if p not in tgt.add_actions]
+    adds = [
+        a for p, a in tgt.add_actions.items()
+        if p not in cur.add_actions
+        or dv_key(a) != dv_key(cur.add_actions.get(p))
+    ]
+    missing = [
+        a["path"] for a in adds
+        if "://" not in a["path"]
+        and not os.path.exists(os.path.join(path, unquote(a["path"])))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot RESTORE {path} to v{version}: {len(missing)} data "
+            f"file(s) were vacuumed, e.g. {missing[0]!r}"
+        )
+
+    w = DeltaWriter(path)
+    w.version = cur.version
+    actions: list[dict] = []
+    if (tgt.last_metadata or {}) != (cur.last_metadata or {}):
+        actions.append({"metaData": dict(tgt.last_metadata)})
+    actions.extend(w.remove_action(p) for p in removes)
+    for a in adds:
+        re_add = dict(a)
+        re_add["dataChange"] = True
+        actions.append({"add": re_add})
+    new_version = w.commit(
+        actions, operation="RESTORE", operation_params={"version": version}
+    )
+    return {
+        "version": new_version,
+        "restored_version": version,
+        "files_added": len(adds),
+        "files_removed": len(removes),
+    }
+
+
+def describe_history(
+    spark: SparkSession,
+    path: str,
+    storage_options: Optional[Mapping[str, Any]] = None,
+) -> "DataFrame":
+    """Table history from commitInfo actions, newest first — the
+    ``DESCRIBE HISTORY`` surface (version, timestamp, operation,
+    operationParameters, action counts per commit).
+
+    Reads the JSON commits driver-side (metadata is driver-sized by
+    construction); commits compacted away below a checkpoint horizon
+    simply don't appear, matching other engines.
+    """
+    from ..plans.meta import _LOG_DIR, _commit_name, MetadataIO
+
+    path = str(path).rstrip("/")
+    io = MetadataIO(storage_options)
+    state = get_meta(path, storage_options)
+    rows = []
+    for v in range(state.version, -1, -1):
+        fn = f"{path}/{_LOG_DIR}/{_commit_name(v)}.json"
+        try:
+            acts = io.read_jsonl(fn)
+        except FileNotFoundError:
+            break  # older commits compacted into a checkpoint
+        info = next(
+            (a["commitInfo"] for a in acts if "commitInfo" in a), {}
+        )
+        rows.append((
+            v,
+            int(info.get("timestamp") or 0),
+            str(info.get("operation") or ""),
+            {k: str(vv) for k, vv in
+             (info.get("operationParameters") or {}).items()},
+            sum(1 for a in acts if "add" in a),
+            sum(1 for a in acts if "remove" in a),
+        ))
+    schema = T.StructType([
+        T.StructField("version", T.LongType(), False),
+        T.StructField("timestamp", T.LongType(), False),
+        T.StructField("operation", T.StringType(), False),
+        T.StructField(
+            "operationParameters",
+            T.MapType(T.StringType(), T.StringType()), False,
+        ),
+        T.StructField("n_adds", T.LongType(), False),
+        T.StructField("n_removes", T.LongType(), False),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    storage_options: Optional[Mapping[str, Any]] = None,
+) -> dict:
+    """Zero-copy SHALLOW CLONE: a new table whose add actions reference
+    the source's data files by ABSOLUTE path (the Delta spec allows
+    absolute add paths; ``MetaState.file_uri`` resolves them).
+
+    Deletion-vector descriptors are rewritten from table-root-relative
+    (``u``) to absolute (``p``) so the clone reads the source's DV
+    sidecars in place.  The clone then evolves independently — new
+    commits write files under the clone root; the source is never
+    touched.  Cost is O(|files|) metadata, zero data bytes — at 100 TB
+    this is how you fork a table for an experiment in seconds.
+    """
+    from .delta import scan_delta  # noqa: F401 (parity import)
+    from ..plans.deletion_vectors import dv_file_path
+
+    src = str(src_path).rstrip("/")
+    dst = str(dst_path).rstrip("/")
+    state = get_meta(src, storage_options)
+    os.makedirs(os.path.join(dst, "_delta_log"), exist_ok=True)
+
+    w = DeltaWriter(dst)
+    actions: list[dict] = [
+        {"protocol": dict(state.protocol or {"minReaderVersion": 1,
+                                             "minWriterVersion": 2})},
+        w.metadata_action(
+            json.loads(state.last_metadata["schemaString"]),
+            partition_columns=state.last_metadata.get(
+                "partitionColumns", []
+            ),
+            configuration=state.last_metadata.get("configuration", {}),
+        ),
+    ]
+    for a in state.add_actions.values():
+        c = dict(a)
+        if "://" not in c["path"]:
+            c["path"] = "file://" + os.path.join(src, unquote(c["path"]))
+        dv = c.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            c["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": dv_file_path(dv, src),
+            }
+        c["dataChange"] = True
+        actions.append({"add": c})
+    v = w.commit(
+        actions, operation="CLONE",
+        operation_params={"source": src, "isShallow": True},
+    )
+    return {
+        "version": v,
+        "files_referenced": len(state.add_actions),
+        "source": src,
+    }
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> dict:
+    """ALTER TABLE ADD CONSTRAINT (CHECK): existing rows are validated
+    distributed (one short-circuit probe), then the constraint is
+    stored in table configuration (``delta.constraints.<name>``) and
+    ``minWriterVersion`` raised to 3 per the protocol — after which
+    every ``write_delta`` append/overwrite enforces it."""
+    from .delta import scan_delta
+    from .delta_sink import DeltaConstraintError, _CONSTRAINT_PREFIX
+
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    key = _CONSTRAINT_PREFIX + name
+    cfg = dict((state.last_metadata or {}).get("configuration", {}))
+    if key in cfg:
+        raise ValueError(f"constraint {name!r} already exists on {path}")
+    ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+    if scan_delta(spark, state).filter(~ok).limit(1).count():
+        raise DeltaConstraintError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing "
+            "rows violate it"
+        )
+    cfg[key] = expr
+    md = dict(state.last_metadata)
+    md["configuration"] = cfg
+
+    w = DeltaWriter(path)
+    w.version = state.version
+    actions: list[dict] = []
+    proto = dict(state.protocol or {"minReaderVersion": 1,
+                                    "minWriterVersion": 2})
+    if int(proto.get("minWriterVersion", 2)) < 3:
+        proto["minWriterVersion"] = 3
+        actions.append({"protocol": proto})
+    actions.append({"metaData": md})
+    v = w.commit(
+        actions, operation="ADD CONSTRAINT",
+        operation_params={"name": name, "expr": expr},
+    )
+    return {"version": v, "name": name, "expr": expr}
+
+
+def drop_check_constraint(
+    spark: SparkSession, path: str, name: str
+) -> dict:
+    """ALTER TABLE DROP CONSTRAINT — removes the configuration entry."""
+    from .delta_sink import _CONSTRAINT_PREFIX
+
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    key = _CONSTRAINT_PREFIX + name
+    cfg = dict((state.last_metadata or {}).get("configuration", {}))
+    if key not in cfg:
+        raise ValueError(f"no constraint {name!r} on {path}")
+    del cfg[key]
+    md = dict(state.last_metadata)
+    md["configuration"] = cfg
+    w = DeltaWriter(path)
+    w.version = state.version
+    v = w.commit(
+        [{"metaData": md}], operation="DROP CONSTRAINT",
+        operation_params={"name": name},
+    )
+    return {"version": v, "name": name}

@@ -915,6 +915,35 @@ def q_delta_clone(spark, sf_dir):
     )
 
 
+def q_delta_schema_ddl(spark, sf_dir):
+    """ALTER TABLE chain: upgrade to column mapping, RENAME
+    o_totalprice -> price, DROP o_orderpriority, ADD note — all
+    metadata-only commits; the scan then reads old parquet through the
+    new logical schema."""
+    from deltalake2db_spark.sources.maintenance import (
+        add_column,
+        drop_column,
+        enable_column_mapping,
+        rename_column,
+    )
+    from deltalake2db_spark.sources.delta_sink import write_delta
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/orders_ddl"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        write_delta(_t(spark, sf_dir, "orders").repartition(4), path)
+        enable_column_mapping(spark, path)
+        rename_column(spark, path, "o_totalprice", "price")
+        drop_column(spark, path, "o_orderpriority")
+        add_column(spark, path, "note", "string")
+    df = scan_delta(spark, path)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("total"),
+        F.count("note").alias("n_notes"),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 25% corpus sample (multiplicative-hash membership —
     identical arithmetic reruns in the DuckDB oracle, so the EXACT same
@@ -1050,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
         "q_delta_clone": q_delta_clone,
+        "q_delta_schema_ddl": q_delta_schema_ddl,
         "q_hash_sample": q_hash_sample,
         "q_stratified_sample": q_stratified_sample,
         "q_domain_mix": q_domain_mix,
@@ -1710,6 +1740,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_returnflag = 'N'
             GROUP BY l_linestatus
+        """,
+        "q_delta_schema_ddl": """
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS total,
+                   CAST(0 AS BIGINT) AS n_notes
+            FROM orders GROUP BY o_orderstatus
         """,
         "q_hash_sample": f"""
             SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars

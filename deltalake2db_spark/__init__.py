@@ -26,10 +26,14 @@ from .sources.delta_sink import (
 from .sources.changes import table_changes
 from .sources.maintenance import (
     add_check_constraint,
+    add_column,
     describe_history,
     drop_check_constraint,
+    drop_column,
+    enable_column_mapping,
     merge_into,
     optimize,
+    rename_column,
     restore_table,
     shallow_clone,
     update_where,
@@ -48,6 +52,10 @@ __all__ = [
     "add_check_constraint",
     "drop_check_constraint",
     "DeltaConstraintError",
+    "enable_column_mapping",
+    "add_column",
+    "rename_column",
+    "drop_column",
     "table_changes",
     "vacuum",
     "write_checkpoint",

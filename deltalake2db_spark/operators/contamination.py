@@ -68,25 +68,33 @@ def contamination_check(
     ``contaminated`` is ``n_matched >= min_hits``.
 
     Plan shape: benchmark grams are distinct-ed then **broadcast**; the
-    corpus gram stream left-semi-joins per gram and aggregates by doc.
-    One shuffle total (the per-doc aggregate), keyed by doc_id —
-    uniform, skew-free.
+    corpus gram stream is scanned ONCE — a broadcast left join tags
+    each gram hit/miss and a single doc_id-keyed aggregate counts both
+    totals and hits (computing them as separate branches would explode
+    + distinct the corpus grams twice).  One shuffle total, keyed by
+    doc_id — uniform, skew-free.
     """
+    # under-parallel inputs (fewer splits than cores — e.g. one parquet
+    # file) serialize the explode in one task; spreading the raw docs
+    # first costs a doc-sized shuffle ONLY in that degenerate case — a
+    # real corpus (files >= cores) skips it and never shuffles text
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     doc_grams = word_ngrams(docs, text_col, n).select(doc_id, "gram").distinct()
     bench_grams = (
-        word_ngrams(benchmark, bench_text_col, n).select("gram").distinct()
+        word_ngrams(benchmark, bench_text_col, n)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    matched = (
-        doc_grams.join(broadcast(bench_grams), "gram", "left_semi")
-        .groupBy(doc_id)
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
-    totals = doc_grams.groupBy(doc_id).agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
+    flagged = doc_grams.join(broadcast(bench_grams), "gram", "left")
     return (
-        totals.join(matched, doc_id, "left")
-        .withColumn("n_matched", F.coalesce(F.col("n_matched"), F.lit(0)))
+        flagged.groupBy(doc_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_matched"),
+        )
         .withColumn("contaminated", F.col("n_matched") >= F.lit(min_hits))
     )
 

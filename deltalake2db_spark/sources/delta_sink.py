@@ -132,6 +132,15 @@ def write_delta(
         pre_state = None
     if pre_state is not None:
         enforce_constraints(df, pre_state)
+        cfg = (pre_state.last_metadata or {}).get("configuration", {})
+        if cfg.get("delta.columnMapping.mode", "none") != "none":
+            # mapped tables store PHYSICAL column names in parquet;
+            # project the logical input (and partition_by) before writing
+            from .maintenance import _to_physical
+
+            df = _to_physical(df, pre_state, set(df.columns))
+            _, l2p = pre_state.type_maps()
+            partition_by = [l2p.get(c, c) for c in partition_by]
     staging = tempfile.mkdtemp(prefix="dl2db_delta_sink_")
     try:
         writer = df.write.mode("overwrite")

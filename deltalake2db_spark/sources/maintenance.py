@@ -808,3 +808,168 @@ def drop_check_constraint(
         operation_params={"name": name},
     )
     return {"version": v, "name": name}
+
+
+# --------------------------------------------------------------------------
+# Schema evolution DDL (ALTER TABLE ADD/RENAME/DROP COLUMN)
+# --------------------------------------------------------------------------
+
+def _max_column_id(schema_json: dict) -> int:
+    best = 0
+
+    def walk(fields):
+        nonlocal best
+        for f in fields:
+            cid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+            if cid:
+                best = max(best, int(cid))
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t["fields"])
+    walk(schema_json.get("fields", []))
+    return best
+
+
+def _commit_metadata(path: str, state, md: dict, operation: str,
+                     params: Mapping[str, Any],
+                     protocol: Optional[dict] = None) -> int:
+    w = DeltaWriter(path)
+    w.version = state.version
+    actions: list[dict] = []
+    if protocol is not None:
+        actions.append({"protocol": protocol})
+    actions.append({"metaData": md})
+    return w.commit(actions, operation=operation, operation_params=params)
+
+
+def enable_column_mapping(spark: SparkSession, path: str) -> dict:
+    """Upgrade an unmapped table to ``columnMapping.mode=name``.
+
+    Existing fields keep their current names as physicalName (no data
+    rewrite — exactly delta-spark's upgrade path); new columns added
+    afterwards get fresh ``col-N`` physical names, so renames and drops
+    become metadata-only from here on.  Protocol: reader 2 / writer 5.
+    """
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    cfg = dict((state.last_metadata or {}).get("configuration", {}))
+    if cfg.get("delta.columnMapping.mode", "none") != "none":
+        raise ValueError(f"{path} already column-mapped")
+
+    sj = json.loads(state.last_metadata["schemaString"])
+    counter = [0]
+
+    def walk_field(f: dict) -> dict:
+        counter[0] += 1
+        md = dict(f.get("metadata") or {})
+        md.setdefault("delta.columnMapping.id", counter[0])
+        md.setdefault("delta.columnMapping.physicalName", f["name"])
+        return {**f, "metadata": md}
+
+    sj = {"type": "struct",
+          "fields": [walk_field(f) for f in sj["fields"]]}
+    cfg["delta.columnMapping.mode"] = "name"
+    cfg["delta.columnMapping.maxColumnId"] = str(counter[0])
+    md = dict(state.last_metadata)
+    md["schemaString"] = json.dumps(sj)
+    md["configuration"] = cfg
+    proto = dict(state.protocol or {})
+    proto["minReaderVersion"] = max(int(proto.get("minReaderVersion", 1)), 2)
+    proto["minWriterVersion"] = max(int(proto.get("minWriterVersion", 2)), 5)
+    v = _commit_metadata(path, state, md, "UPGRADE COLUMN MAPPING",
+                         {"mode": "name"}, protocol=proto)
+    return {"version": v, "columns": counter[0]}
+
+
+def add_column(
+    spark: SparkSession, path: str, name: str, delta_type: str,
+) -> dict:
+    """ALTER TABLE ADD COLUMN (nullable): metadata-only — existing
+    files simply lack the column and the reader NULL-backfills (P6).
+    On mapped tables the new field gets a fresh id + physical name."""
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    sj = json.loads(state.last_metadata["schemaString"])
+    if any(f["name"] == name for f in sj["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    cfg = dict((state.last_metadata or {}).get("configuration", {}))
+    field: dict = {"name": name, "type": delta_type, "nullable": True,
+                   "metadata": {}}
+    if cfg.get("delta.columnMapping.mode", "none") != "none":
+        cid = max(_max_column_id(sj),
+                  int(cfg.get("delta.columnMapping.maxColumnId", 0))) + 1
+        field["metadata"] = {
+            "delta.columnMapping.id": cid,
+            "delta.columnMapping.physicalName": f"col-{cid:02d}",
+        }
+        cfg["delta.columnMapping.maxColumnId"] = str(cid)
+    sj["fields"] = sj["fields"] + [field]
+    md = dict(state.last_metadata)
+    md["schemaString"] = json.dumps(sj)
+    md["configuration"] = cfg
+    v = _commit_metadata(path, state, md, "ADD COLUMNS",
+                         {"column": name, "type": delta_type})
+    return {"version": v, "column": name}
+
+
+def rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> dict:
+    """ALTER TABLE RENAME COLUMN — metadata-only, REQUIRES column
+    mapping (the parquet files keep the physical name; only the logical
+    label changes).  Unmapped tables must call
+    ``enable_column_mapping`` first, same rule as delta-spark."""
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    cfg = (state.last_metadata or {}).get("configuration", {})
+    if cfg.get("delta.columnMapping.mode", "none") == "none":
+        raise ValueError(
+            "RENAME COLUMN requires columnMapping (run "
+            "enable_column_mapping first) — without it the parquet "
+            "column names would have to be rewritten"
+        )
+    sj = json.loads(state.last_metadata["schemaString"])
+    names = [f["name"] for f in sj["fields"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old in state.partition_columns:
+        pc = [new if c == old else c
+              for c in state.last_metadata.get("partitionColumns", [])]
+    else:
+        pc = state.last_metadata.get("partitionColumns", [])
+    sj["fields"] = [
+        {**f, "name": new} if f["name"] == old else f for f in sj["fields"]
+    ]
+    md = dict(state.last_metadata)
+    md["schemaString"] = json.dumps(sj)
+    md["partitionColumns"] = pc
+    v = _commit_metadata(path, state, md, "RENAME COLUMN",
+                         {"old": old, "new": new})
+    return {"version": v, "old": old, "new": new}
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> dict:
+    """ALTER TABLE DROP COLUMN — metadata-only under column mapping
+    (the physical data stays in the files, unread)."""
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    cfg = (state.last_metadata or {}).get("configuration", {})
+    if cfg.get("delta.columnMapping.mode", "none") == "none":
+        raise ValueError(
+            "DROP COLUMN requires columnMapping (run "
+            "enable_column_mapping first)"
+        )
+    if name in state.partition_columns:
+        raise ValueError(f"cannot drop partition column {name!r}")
+    sj = json.loads(state.last_metadata["schemaString"])
+    if not any(f["name"] == name for f in sj["fields"]):
+        raise ValueError(f"no column {name!r}")
+    if len(sj["fields"]) == 1:
+        raise ValueError("cannot drop the last column")
+    sj["fields"] = [f for f in sj["fields"] if f["name"] != name]
+    md = dict(state.last_metadata)
+    md["schemaString"] = json.dumps(sj)
+    v = _commit_metadata(path, state, md, "DROP COLUMNS", {"column": name})
+    return {"version": v, "column": name}

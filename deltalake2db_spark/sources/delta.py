@@ -304,6 +304,28 @@ def _apply_deletion_vectors(
     total = sum(
         int(a["deletionVector"].get("cardinality") or 0) for a in dv_actions
     )
+    if total <= _DV_DRIVER_ROWS:
+        # small DVs: decode the bitmaps driver-side (they are already
+        # driver-sized metadata at this cardinality) and broadcast the
+        # literal (file, row index) table — skips a Python-worker
+        # round trip per query; the executor path below remains the
+        # scale route for crawl-sized deletes
+        from ..plans.deletion_vectors import read_descriptor as _read
+        from ..plans.meta import MetadataIO
+
+        opener = MetadataIO(storage_options)._open
+        pairs = [
+            (fk, int(ri))
+            for fk, dv_json in rows
+            for ri in _read(_json.loads(dv_json), table_root, opener=opener)
+        ]
+        dv_rows = F.broadcast(
+            spark.createDataFrame(
+                pairs, schema=f"{_DV_KEY} string, {_DV_RI} long"
+            )
+        )
+        out = df.join(dv_rows, on=[_DV_KEY, _DV_RI], how="left_anti")
+        return out if keep_pos else out.drop(_DV_KEY, _DV_RI)
     desc_df = spark.createDataFrame(
         rows, schema=f"{_DV_KEY} string, __dv_json string"
     )
@@ -336,6 +358,9 @@ def _apply_deletion_vectors(
 
 
 _DV_BROADCAST_ROWS = 4_000_000
+# below this many deleted rows the bitmaps decode driver-side (no
+# Python worker round trip); createDataFrame of ~100k tuples is ~100ms
+_DV_DRIVER_ROWS = 100_000
 
 
 def scan_delta_native(

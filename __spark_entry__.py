@@ -993,6 +993,26 @@ def q_contamination(spark, sf_dir):
     return contamination_check(d, bench, n=8)
 
 
+def q_quality_rules(spark, sf_dir):
+    """Gopher-style repetition metrics per document: top/duplicate
+    occurrence fractions for word 1/2/3-grams, 6-decimal-rounded IEEE
+    divisions of exact counts (hash-matched against the oracle)."""
+    from deltalake2db_spark.operators.quality import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_metrics(d, "text", "doc_id", ns=(1, 2, 3))
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-5 distinctive terms per source — integer IDF surrogate
+    (tf * (n_groups - df + 1)) so the oracle is exact; deterministic
+    tie-break on (score desc, word asc)."""
+    from deltalake2db_spark.operators.tfidf import top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return top_terms(d, "text", "source", k=5)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (streaming offset semantics) per
     source shard; pack-level fill report."""
@@ -1084,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_domain_mix": q_domain_mix,
         "q_contamination": q_contamination,
+        "q_quality_rules": q_quality_rules,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_pack_sequences": q_pack_sequences,
         "q_quantize_int8": q_quantize_int8,
         "q_quantized_topk": q_quantized_topk,
@@ -1797,6 +1819,65 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(m.n_matched, 0) AS n_matched,
                    coalesce(m.n_matched, 0) >= 1 AS contaminated
             FROM totals t LEFT JOIN m ON t.doc_id = m.doc_id
+        """,
+        "q_quality_rules": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, 1 AS n, unnest(w) AS gram FROM toks
+                UNION ALL
+                SELECT doc_id, 2, array_to_string(w[i:i+1], ' ')
+                FROM toks, UNNEST(range(1, len(w))) AS t(i)
+                UNION ALL
+                SELECT doc_id, 3, array_to_string(w[i:i+2], ' ')
+                FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            counts AS (
+                SELECT doc_id, n, gram, count(*) AS c
+                FROM grams GROUP BY doc_id, n, gram
+            ),
+            per_n AS (
+                SELECT doc_id, n, sum(c) AS total, max(c) AS top,
+                       coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS dup
+                FROM counts GROUP BY doc_id, n
+            )
+            SELECT doc_id,
+                round(max(CASE WHEN n = 1 THEN top / total END), 6) AS top1_frac,
+                round(max(CASE WHEN n = 1 THEN dup / total END), 6) AS dup1_frac,
+                round(max(CASE WHEN n = 2 THEN top / total END), 6) AS top2_frac,
+                round(max(CASE WHEN n = 2 THEN dup / total END), 6) AS dup2_frac,
+                round(max(CASE WHEN n = 3 THEN top / total END), 6) AS top3_frac,
+                round(max(CASE WHEN n = 3 THEN dup / total END), 6) AS dup3_frac
+            FROM per_n GROUP BY doc_id
+        """,
+        "q_tfidf_terms": r"""
+            WITH toks AS (
+                SELECT source AS "group",
+                       unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents
+            ),
+            tf AS (
+                SELECT "group", word, count(*) AS term_freq
+                FROM toks GROUP BY "group", word
+            ),
+            dfreq AS (
+                SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
+            ),
+            ng AS (SELECT count(DISTINCT "group") AS n FROM tf),
+            scored AS (
+                SELECT t."group", t.word, t.term_freq, d.doc_freq,
+                       t.term_freq * ((SELECT n FROM ng) - d.doc_freq + 1)
+                           AS score
+                FROM tf t JOIN dfreq d USING (word)
+            )
+            SELECT "group", rank, word, term_freq, doc_freq, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY "group"
+                    ORDER BY score DESC, word ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
         "q_pack_sequences": """
             WITH packed AS (

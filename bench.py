@@ -6,48 +6,56 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Per-query time excludes session startup (BASELINE.md note); each query
 is fully materialized via a count-style collect so lazy plans can't hide
 work.
+
+Measurement isolation: ~60 distinct query shapes through ONE shared JVM
+deoptimize each other — HotSpot call sites go megamorphic and hot
+codegen classes get recompiled mid-run (measured: the inverted-index
+Jaccard join is a stable 4.4 s in a fresh JVM but 16.5 s after ~40
+other queries, with 1 GiB code cache and widened type profiles
+already applied).  A real deployment runs a job per JVM — so the
+bench does too: queries are measured in CHUNKS, each chunk in its own
+child process/JVM, warmed at sf0.001 before its measured best-of-2
+pass.  Chunk session startup is excluded from per-query time.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+CHUNK = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "10"))
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+def run_chunk(names: list[str], sf_dir: str) -> None:
+    """Child mode: measure the named queries, print one JSON line."""
     import __spark_entry__ as entry
     from deltalake2db_spark import get_spark
 
     spark = get_spark("bench")
     qs = entry.queries()
 
-    # steady-state measurement: one warmup pass at the smallest SF
-    # compiles/JITs every codegen path (md5, regex, window, arrow) so
-    # the measured pass reflects per-query cost, not JVM warmup
-    # (BASELINE.md: "measure per-query time excluding session startup")
+    # steady-state: one warmup pass at the smallest SF compiles/JITs
+    # every codegen path this chunk needs (md5, regex, window, arrow)
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name, fn in qs.items():
+    for name in names:
         try:
-            fn(spark, warm_dir).count()
+            qs[name](spark, warm_dir).count()
         except Exception:
             pass
 
-    # best-of-2: shuffle-file cleanup / GC / JIT recompiles add ±50%
-    # run-to-run noise on the heavy queries; min of two measured runs is
-    # the steady-state per-query cost
     times: dict[str, float] = {}
-    for name, fn in qs.items():
-        # steady-state hygiene: broadcast/shuffle blocks from earlier
-        # queries are reclaimed by ContextCleaner only after a driver GC,
-        # which a 128 GiB heap almost never triggers on its own — without
-        # this the heavy joins late in the run degrade ~2x
+    for name in names:
+        fn = qs[name]
+        # broadcast/shuffle blocks from earlier queries are reclaimed by
+        # ContextCleaner only after a driver GC, which a large heap
+        # almost never triggers on its own
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         runs, n = [], 0
@@ -67,7 +75,43 @@ def main() -> None:
             continue
         times[name] = round(min(runs), 3)
         allruns = "/".join(f"{r:.2f}" for r in runs)
-        print(f"# {name}: {times[name]:.2f}s ({n} rows) [{allruns}]", file=sys.stderr)
+        print(
+            f"# {name}: {times[name]:.2f}s ({n} rows) [{allruns}]",
+            file=sys.stderr,
+        )
+    print(json.dumps(times))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--chunk":
+        run_chunk(sys.argv[2].split(","), sf_dir)
+        return
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    times: dict[str, float] = {}
+    for i in range(0, len(names), CHUNK):
+        chunk = names[i : i + CHUNK]
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--chunk", ",".join(chunk)],
+            capture_output=True,
+            text=True,
+            env=os.environ,
+        )
+        sys.stderr.write(proc.stderr)
+        line = ""
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                break
+        try:
+            times.update(json.loads(line))
+        except Exception:
+            for name in chunk:  # child died before reporting
+                times[name] = -1.0
+            print(f"# chunk {chunk} crashed: {proc.returncode}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     oracle_names = set(entry.oracle_sql())

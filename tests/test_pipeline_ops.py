@@ -222,3 +222,40 @@ def test_quantized_topk_impls_agree(spark, emb):
     c = quantized_topk(emb, queries, k=3, impl="column").collect()
     key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["sim"])  # noqa: E731
     assert sorted(map(key, a)) == sorted(map(key, c))
+
+
+# ---------------------------------------------------------------- quality
+
+def test_repetition_metrics_known_doc(spark):
+    from deltalake2db_spark.operators.quality import repetition_metrics
+
+    # "a a b a" -> words: a:3,b:1  total 4, top 3, dup 3
+    # bigrams: "a a","a b","b a" all distinct -> top 1/3, dup 0
+    # trigrams: "a a b","a b a" -> top 1/2, dup 0
+    df = spark.createDataFrame([(1, "a a b a")], ["doc_id", "text"])
+    row = repetition_metrics(df).collect()[0]
+    assert row.top1_frac == 0.75 and row.dup1_frac == 0.75
+    assert row.top2_frac == round(1 / 3, 6) and row.dup2_frac == 0.0
+    assert row.top3_frac == 0.5 and row.dup3_frac == 0.0
+
+
+def test_repetition_metrics_short_doc_nulls(spark):
+    from deltalake2db_spark.operators.quality import repetition_metrics
+
+    # single word: no bigrams/trigrams -> NULL metrics for those orders
+    df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    row = repetition_metrics(df).collect()[0]
+    assert row.top1_frac == 1.0 and row.dup1_frac == 0.0
+    assert row.top2_frac is None and row.top3_frac is None
+
+
+def test_quality_flags_spammy_vs_clean(spark):
+    from deltalake2db_spark.operators.quality import quality_flags
+
+    spam = " ".join(["buy now"] * 50)          # one bigram dominates
+    clean = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, spam), (2, clean)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.keep for r in quality_flags(df).collect()}
+    assert rows == {1: False, 2: True}

@@ -249,6 +249,23 @@ def test_repetition_metrics_short_doc_nulls(spark):
     assert row.top2_frac is None and row.top3_frac is None
 
 
+def test_repetition_metrics_arrow_matches_expressions(spark):
+    from deltalake2db_spark.operators.quality import repetition_metrics
+
+    docs = [
+        (1, "a a b a"),
+        (2, "solo"),
+        (3, ""),
+        (4, "x y x y x y"),
+        (5, "one two three four five six"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    key = lambda r: tuple(r)  # noqa: E731
+    arrow = sorted(map(key, repetition_metrics(df, use_arrow=True).collect()))
+    exprs = sorted(map(key, repetition_metrics(df, use_arrow=False).collect()))
+    assert arrow == exprs
+
+
 def test_quality_flags_spammy_vs_clean(spark):
     from deltalake2db_spark.operators.quality import quality_flags
 

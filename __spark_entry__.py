@@ -1013,6 +1013,18 @@ def q_tfidf_terms(spark, sf_dir):
     return top_terms(d, "text", "source", k=5)
 
 
+def q_perplexity(spark, sf_dir):
+    """Unigram LM document scoring (CCNet-style quality signal):
+    Laplace-smoothed cross-entropy + perplexity over a capped
+    deterministic vocabulary, plus an all-integer avg-token-count
+    rarity surrogate.  Model is a broadcast top-V table; scoring is
+    one doc-keyed shuffle."""
+    from deltalake2db_spark.operators.lm import perplexity_score
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_score(d, "text", "doc_id", top_v=1024)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (streaming offset semantics) per
     source shard; pack-level fill report."""
@@ -1106,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_quality_rules": q_quality_rules,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_perplexity": q_perplexity,
         "q_pack_sequences": q_pack_sequences,
         "q_quantize_int8": q_quantize_int8,
         "q_quantized_topk": q_quantized_topk,
@@ -1878,6 +1891,34 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, word ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "q_perplexity": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents
+            ),
+            vocab AS (
+                SELECT word, cnt FROM (
+                    SELECT word, count(*) AS cnt,
+                           row_number() OVER (
+                               ORDER BY count(*) DESC, word ASC) AS r
+                    FROM toks GROUP BY word
+                ) WHERE r <= 1024
+            ),
+            tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab)
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   round(ln((SELECT n + v + 1 FROM tot))
+                         - sum(ln(coalesce(vc.cnt, 0) + 1)) / count(*),
+                         6) AS cross_entropy,
+                   round(exp(ln((SELECT n + v + 1 FROM tot))
+                             - sum(ln(coalesce(vc.cnt, 0) + 1)) / count(*)),
+                         6) AS perplexity,
+                   round(sum(coalesce(vc.cnt, 0)) * 1.0 / count(*), 6)
+                       AS avg_token_count
+            FROM toks t LEFT JOIN vocab vc USING (word)
+            GROUP BY t.doc_id
         """,
         "q_pack_sequences": """
             WITH packed AS (

@@ -1,0 +1,119 @@
+"""Unigram language-model scoring (CCNet/KenLM-style quality signal).
+
+Training-data pipelines score documents by how "surprising" their
+tokens are under a language model trained on the corpus itself (or a
+trusted reference corpus); high cross-entropy documents are gibberish
+or boilerplate candidates.  A full KenLM n-gram model needs external
+artifacts, but the classic first-pass filter — a *unigram* model with
+Laplace smoothing over a capped vocabulary — is exactly expressible
+with DataFrame operators, and that is what this module implements.
+
+Model definition (deterministic, engine-independent):
+
+* tokens(d)   = ``split(trim(text), '\\s+')``
+* vocab       = top ``top_v`` corpus words by ``(count DESC, word ASC)``
+* ``N``       = sum of vocab counts, ``V`` = len(vocab)
+* ``c(w)``    = vocab count, or 0 for out-of-vocabulary words
+* ``p(w)``    = (c(w) + 1) / (N + V + 1)      (Laplace, +1 OOV bucket)
+* cross_entropy(d) = -(1/T) * sum ln p(w)
+                   = ln(N + V + 1) - sum(ln(c(w)+1)) / T
+* perplexity(d)    = exp(cross_entropy(d))
+* avg_token_count(d) = sum(c(w)) / T   — an all-integer-sum rarity
+  surrogate (exact BIGINT arithmetic until one final division), for
+  pipelines that need bit-exact reproducibility across engines.
+
+Spark-first design
+------------------
+* The corpus is tokenized ONCE (map-side explode); the token stream
+  feeds both the vocab aggregate and the scoring join.
+* Vocab selection is a distributed top-k (``orderBy().limit()`` →
+  TakeOrderedAndProject), not a single-partition window sort — at
+  100 TB the vocabulary aggregate shuffles (word, count) pairs that
+  map-side combine collapses per task, then only ``top_v`` rows
+  survive to the driver-sized model.
+* Scoring joins tokens against the *broadcast* vocab (``top_v`` rows
+  is model-sized by construction, never corpus-sized), then one
+  doc-keyed aggregate — a single corpus-sized shuffle on doc_id.
+* ``N``/``V`` ride in as a broadcast one-row cross join: the plan
+  stays lazy and composable, no driver ``.collect()``.
+
+Reference scope note: the reference engine (bmsuisse/deltalake2db) has
+no text operators at all (SURVEY.md §2.5); this is a north-star
+extension for LLM-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+TOKEN_SPLIT = "\\s+"
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
+    words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(*cols, F.explode(words).alias("__word"))
+
+
+def unigram_vocab(
+    df: DataFrame, text_col: str = "text", top_v: int = 65536
+) -> DataFrame:
+    """``(__word, __cnt)`` for the ``top_v`` most frequent corpus words.
+
+    Deterministic tie-break ``(count DESC, word ASC)`` so the model is
+    reproducible run-to-run and engine-to-engine.
+    """
+    counts = (
+        _tokens(df, text_col).groupBy("__word").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+    )
+    return counts.orderBy(F.col("__cnt").desc(), F.col("__word").asc()).limit(top_v)
+
+
+def perplexity_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 65536,
+    counts_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document unigram LM scores.
+
+    Returns ``(id_col, n_tokens, cross_entropy, perplexity,
+    avg_token_count)``.  ``counts_df`` lets callers score against a
+    model trained on a *different* (e.g. trusted) corpus; by default
+    the model is trained on ``df`` itself.
+    """
+    vocab = unigram_vocab(counts_df if counts_df is not None else df,
+                          text_col, top_v)
+    totals = vocab.agg(
+        F.sum("__cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
+    )
+    toks = _tokens(df, text_col, id_col)
+    scored = (
+        toks.join(broadcast(vocab), "__word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(1))).alias(
+                "__sum_ln"
+            ),
+            F.sum(F.coalesce(F.col("__cnt"), F.lit(0))).alias("__sum_cnt"),
+        )
+        .crossJoin(broadcast(totals))
+    )
+    ce = F.log(F.col("__n") + F.col("__v") + F.lit(1)) - F.col("__sum_ln") / F.col(
+        "n_tokens"
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+        F.round(F.col("__sum_cnt") / F.col("n_tokens"), 6).alias(
+            "avg_token_count"
+        ),
+    )

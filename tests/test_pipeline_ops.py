@@ -224,6 +224,61 @@ def test_quantized_topk_impls_agree(spark, emb):
     assert sorted(map(key, a)) == sorted(map(key, c))
 
 
+# ---------------------------------------------------------------- lm
+
+def test_perplexity_known_values(spark):
+    import math
+
+    from deltalake2db_spark.operators.lm import perplexity_score
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in perplexity_score(df, top_v=100).collect()}
+    # counts a:2 b:2 c:1 -> N=5 V=3, p(w)=(c+1)/9
+    ce1 = math.log(9) - 3 * math.log(3) / 3
+    ce2 = math.log(9) - (math.log(3) + math.log(2)) / 2
+    assert rows[1].cross_entropy == round(ce1, 6)
+    assert rows[1].perplexity == round(math.exp(ce1), 6)
+    assert rows[1].avg_token_count == 2.0
+    assert rows[2].cross_entropy == round(ce2, 6)
+    assert rows[2].n_tokens == 2
+
+
+def test_perplexity_oov_with_capped_vocab(spark):
+    import math
+
+    from deltalake2db_spark.operators.lm import perplexity_score
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["doc_id", "text"])
+    # top_v=2 keeps {a:2, b:2}; "c" is OOV -> count 0.  N=4 V=2.
+    rows = {r.doc_id: r for r in perplexity_score(df, top_v=2).collect()}
+    ce2 = math.log(7) - (math.log(3) + math.log(1)) / 2
+    assert rows[2].cross_entropy == round(ce2, 6)
+    assert rows[2].avg_token_count == 1.0  # (2 + 0) / 2
+
+
+def test_perplexity_matches_duckdb_oracle(spark, docs):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql()["q_perplexity"].replace("<= 1024", "<= 64")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF_DIR, 'documents.parquet')}')"
+    )
+    oracle = {
+        r[0]: r[1:] for r in con.execute(sql).fetchall()
+    }
+    from deltalake2db_spark.operators.lm import perplexity_score
+
+    got = {
+        r[0]: tuple(r)[1:]
+        for r in perplexity_score(docs, top_v=64).collect()
+    }
+    assert got == oracle
+
+
 # ---------------------------------------------------------------- quality
 
 def test_repetition_metrics_known_doc(spark):

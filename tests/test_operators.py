@@ -43,6 +43,24 @@ def test_ngram_jaccard(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_dense_matches_index(spark):
+    import os
+
+    from conftest import SF_DIR
+
+    corpus = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    key = lambda r: tuple(r)  # noqa: E731
+    idx = sorted(map(key, D.ngram_jaccard_pairs(
+        corpus, n=2, threshold=0.05, impl="index").collect()))
+    # max_block=16 forces m>1: exercises diagonal AND cross-block groups
+    dense = sorted(map(key, D.ngram_jaccard_pairs(
+        corpus, n=2, threshold=0.05, impl="dense", max_block=16).collect()))
+    auto = sorted(map(key, D.ngram_jaccard_pairs(
+        corpus, n=2, threshold=0.05, impl="auto").collect()))
+    assert idx == dense == auto
+    assert len(idx) > 0
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in
              D.minhash_lsh_pairs(docs, n=2, num_hashes=32, bands=16, threshold=0.5).collect()}

@@ -1013,6 +1013,50 @@ def q_tfidf_terms(spark, sf_dir):
     return top_terms(d, "text", "source", k=5)
 
 
+def _fixed_centroids(spark, sf_dir, k=8):
+    """Deterministic centroid model for the kmeans gates: the embedding
+    vectors of the k lowest vec_ids — replayable in the SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.col("vec_id").asc())
+        .limit(k)
+        .collect()
+    )
+    return [list(map(float, r["embedding"])) for r in rows]
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment against a fixed deterministic
+    centroid model (vectors of vec_id 0..7).  Column-expression
+    distance folds are bit-identical to the oracle's ordered sums;
+    ties break to the lowest cell in both engines."""
+    from deltalake2db_spark.operators.kmeans import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    return kmeans_assign(emb, cents, impl="column").select(
+        "vec_id", "label", "cell"
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: k-means cells as blocking, drop within-cell cosine
+    near-duplicates keeping the min-id representative.  Fixed centroid
+    model so the oracle replays the full pipeline."""
+    from deltalake2db_spark.operators.kmeans import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    return semantic_dedup(
+        emb,
+        centroids=cents,
+        threshold=0.25,
+        assign_impl="column",
+        pairs_impl="arrow",
+    ).select("vec_id", "label", "cell")
+
+
 def q_perplexity(spark, sf_dir):
     """Unigram LM document scoring (CCNet-style quality signal):
     Laplace-smoothed cross-entropy + perplexity over a capped
@@ -1118,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_quality_rules": q_quality_rules,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_kmeans_assign": q_kmeans_assign,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_perplexity": q_perplexity,
         "q_pack_sequences": q_pack_sequences,
         "q_quantize_int8": q_quantize_int8,
@@ -1177,6 +1223,51 @@ WITH pairs AS (
 SELECT id_a, id_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim
 FROM pairs
 WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.25
+"""
+
+_KMEANS_ASSIGN_CTE = """
+c AS (
+  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8
+), dists AS (
+  SELECT e.vec_id, c.cell,
+         sum((e.embedding[i.i+1]::DOUBLE - c.ce[i.i+1]::DOUBLE)
+             * (e.embedding[i.i+1]::DOUBLE - c.ce[i.i+1]::DOUBLE)) AS dist
+  FROM embeddings e, c, range(0, 64) i(i)
+  GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS r
+    FROM dists
+  ) WHERE r = 1
+)
+"""
+
+_KMEANS_ASSIGN_SQL = f"""
+WITH {_KMEANS_ASSIGN_CTE}
+SELECT e.vec_id, e.label, a.cell
+FROM embeddings e JOIN assign a USING (vec_id)
+"""
+
+_SEMANTIC_DEDUP_SQL = f"""
+WITH {_KMEANS_ASSIGN_CTE},
+ae AS (
+  SELECT e.vec_id, e.label, e.embedding, a.cell
+  FROM embeddings e JOIN assign a USING (vec_id)
+), pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         sum(x.embedding[i.i+1]::DOUBLE * y.embedding[i.i+1]::DOUBLE) AS dot,
+         sum(x.embedding[i.i+1]::DOUBLE * x.embedding[i.i+1]::DOUBLE) AS na,
+         sum(y.embedding[i.i+1]::DOUBLE * y.embedding[i.i+1]::DOUBLE) AS nb
+  FROM ae x, ae y, range(0, 64) i(i)
+  WHERE x.cell = y.cell AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+), losers AS (
+  SELECT DISTINCT id_b FROM pairs
+  WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.25
+)
+SELECT vec_id, label, cell FROM ae
+WHERE vec_id NOT IN (SELECT id_b FROM losers)
 """
 
 _JACCARD_SQL = """
@@ -1892,6 +1983,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
+        "q_kmeans_assign": _KMEANS_ASSIGN_SQL,
+        "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "q_perplexity": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -1,0 +1,166 @@
+"""k-means clustering and SemDeDup-style semantic deduplication.
+
+SemDeDup (Abbas et al., 2023, arXiv:2303.09540 — public) removes
+semantic duplicates from web-scale corpora by (1) clustering document
+embeddings with k-means and (2) dropping all-but-one member of every
+within-cluster near-duplicate pair.  Clustering bounds the pair search
+to sum-of-cluster² instead of corpus² — the same blocking idea as
+``similarity.neardup_pairs_blocked``, with learned blocks.
+
+Scale design (1e9+ vectors):
+
+* **Assignment** is map-side only: centroids are a driver-sized k×dim
+  list broadcast into the plan (k is hundreds-to-thousands; SemDeDup
+  used 50k clusters for 5B docs — still megabytes).  Two
+  implementations: a numpy GEMM per Arrow batch (``impl='arrow'``, the
+  throughput path) and a pure-expression chain (``impl='column'``,
+  whole-stage codegen, bit-reproducible against a SQL oracle).
+* **Update** step aggregates ``(cell, dim_index, value)`` with map-side
+  partial combine — each task emits at most k×dim partial sums no
+  matter how many vectors it scanned, so the shuffle is model-sized,
+  not corpus-sized.
+* The centroid state itself lives on the driver between iterations
+  (same pattern as ``similarity.ivf_index``; judged driver-sized).
+
+The reference engine (bmsuisse/deltalake2db) has no vector operators
+(SURVEY.md §2.5); this module is a north-star extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_l2(vec_col, centroid: list[float]):
+    """Squared L2 distance as a sequential fold — the same left-to-right
+    IEEE-double accumulation a SQL oracle's ordered sum performs."""
+    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(
+        F.col(vec_col), carr, lambda x, c: (x.cast("double") - c) ** 2
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cell",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Nearest-centroid assignment (squared-L2, ties -> lowest cell id).
+
+    ``impl='column'`` evaluates one fold per centroid inside whole-stage
+    codegen — bit-identical to an ordered-sum SQL oracle, used by the
+    correctness gates.  ``impl='arrow'`` does one ``(batch × k)`` numpy
+    distance matrix per Arrow batch — the 100 TB path (k expression
+    folds stop scaling once k is large).
+    """
+    if impl == "column":
+        best_cell = F.lit(-1)
+        best_d = F.lit(float("inf"))
+        for ci, c in enumerate(centroids):
+            d = _sq_l2(vec_col, c)
+            improved = d < best_d
+            best_cell = F.when(improved, F.lit(ci)).otherwise(best_cell)
+            best_d = F.when(improved, d).otherwise(best_d)
+        return df.withColumn(out, best_cell)
+
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, IntegerType())]
+    )
+
+    def assign_batches(batches):
+        import pandas as pd
+
+        c_sq = (cents * cents).sum(axis=1)
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(X) == 0:
+                yield pdf.assign(**{out: pd.Series([], dtype="int32")})
+                continue
+            # dist² = |x|² - 2x·c + |c|²; |x|² is constant per row, so
+            # argmin needs only -2x·c + |c|² — one GEMM per batch
+            d = -2.0 * (X @ cents.T) + c_sq[None, :]
+            yield pdf.assign(**{out: np.argmin(d, axis=1).astype(np.int32)})
+
+    return df.mapInPandas(assign_batches, schema)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's algorithm; deterministic init = vectors of the ``k``
+    lowest ids (reproducible run-to-run AND expressible in a SQL
+    oracle, unlike random init).  Empty cells keep their previous
+    centroid.  Returns the k×dim centroid list (driver-sized model
+    state, like ``ivf_index``)."""
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in seed_rows]
+    for _ in range(iters):
+        assigned = kmeans_assign(df, centroids, id_col, vec_col, impl="arrow")
+        rows = (
+            assigned.select("cell", F.posexplode(vec_col).alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+            .collect()
+        )
+        for r in rows:
+            centroids[r["cell"]] = [float(e["m"]) for e in r["ms"]]
+    return centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_impl: str = "arrow",
+    pairs_impl: str = "arrow",
+    max_block: int = 20_000,
+) -> DataFrame:
+    """SemDeDup: k-means cells as blocks, drop every vector that has a
+    within-cell cosine >= ``threshold`` pair with a LOWER id (min-id
+    representative survives — deterministic).
+
+    Returns the surviving rows of ``df`` plus their ``cell``.  Pass
+    precomputed ``centroids`` to skip the fit (the gate does, so the
+    oracle can replay the assignment; ``assign_impl='column'`` there
+    keeps the distance folds bit-identical to the oracle's ordered
+    sums)."""
+    from .similarity import neardup_pairs_blocked
+
+    if centroids is None:
+        centroids = kmeans_fit(df, k, iters, id_col, vec_col)
+    assigned = kmeans_assign(df, centroids, id_col, vec_col, impl=assign_impl)
+    pairs = neardup_pairs_blocked(
+        assigned,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+        impl=pairs_impl,
+        max_block=max_block,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(losers, id_col, "left_anti")

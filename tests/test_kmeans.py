@@ -1,0 +1,85 @@
+"""Tests for k-means clustering + SemDeDup semantic dedup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from deltalake2db_spark.operators.kmeans import (
+    kmeans_assign,
+    kmeans_fit,
+    semantic_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def _centroids(emb, k=4):
+    rows = emb.orderBy("vec_id").limit(k).collect()
+    return [list(map(float, r["embedding"])) for r in rows]
+
+
+def test_assign_arrow_matches_column(emb):
+    cents = _centroids(emb)
+    a = {r["vec_id"]: r["cell"]
+         for r in kmeans_assign(emb, cents, impl="arrow").collect()}
+    c = {r["vec_id"]: r["cell"]
+         for r in kmeans_assign(emb, cents, impl="column").collect()}
+    assert a == c
+    assert set(a.values()) <= set(range(4))
+
+
+def test_assign_seed_vectors_map_to_own_cell(emb):
+    # a centroid IS vector i, so vector i's distance to cell i is 0
+    cents = _centroids(emb)
+    got = {r["vec_id"]: r["cell"]
+           for r in kmeans_assign(emb, cents, impl="column").collect()}
+    for i in range(4):
+        assert got[i] == i
+
+
+def test_kmeans_fit_deterministic_and_improves(spark, emb):
+    import numpy as np
+
+    c1 = kmeans_fit(emb, k=4, iters=3)
+    c2 = kmeans_fit(emb, k=4, iters=3)
+    assert c1 == c2  # deterministic end-to-end
+
+    def sse(cents):
+        assigned = kmeans_assign(emb, cents, impl="arrow")
+        rows = assigned.select("embedding", "cell").collect()
+        return sum(
+            float(np.sum((np.asarray(r["embedding"], dtype=float)
+                          - np.asarray(cents[r["cell"]])) ** 2))
+            for r in rows
+        )
+
+    assert sse(c1) <= sse(_centroids(emb)) + 1e-9  # no worse than init
+
+
+def test_semantic_dedup_keeps_min_id_representative(emb):
+    from deltalake2db_spark.operators.similarity import neardup_pairs_blocked
+
+    cents = _centroids(emb)
+    survivors = semantic_dedup(
+        emb, centroids=cents, threshold=0.25,
+        assign_impl="column", pairs_impl="arrow",
+    )
+    ids = {r["vec_id"] for r in survivors.select("vec_id").collect()}
+    assigned = kmeans_assign(emb, cents, impl="column")
+    pairs = neardup_pairs_blocked(
+        assigned, threshold=0.25, block_col="cell", impl="arrow"
+    ).collect()
+    losers = {r["id_b"] for r in pairs}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert ids == all_ids - losers
+    # every dropped vector has a surviving (or transitively dropped)
+    # lower-id partner; min id of the corpus always survives
+    assert min(all_ids) in ids

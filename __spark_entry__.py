@@ -1057,6 +1057,16 @@ def q_semantic_dedup(spark, sf_dir):
     ).select("vec_id", "label", "cell")
 
 
+def q_shard_stats(spark, sf_dir):
+    """Deterministic training-shard audit: Knuth-hash shard assignment
+    (map-side, engine-reproducible) with per-shard row/token counts,
+    key ranges, and an exact integer membership checksum."""
+    from deltalake2db_spark.operators.sharding import shard_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return shard_stats(d, "doc_id", 16, size_col="n_chars")
+
+
 def q_perplexity(spark, sf_dir):
     """Unigram LM document scoring (CCNet-style quality signal):
     Laplace-smoothed cross-entropy + perplexity over a capped
@@ -1162,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_quality_rules": q_quality_rules,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_shard_stats": q_shard_stats,
         "q_kmeans_assign": q_kmeans_assign,
         "q_semantic_dedup": q_semantic_dedup,
         "q_perplexity": q_perplexity,
@@ -1982,6 +1993,20 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, word ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "q_shard_stats": """
+            WITH t AS (
+                SELECT doc_id, n_chars,
+                       (doc_id * 2654435761) % 2147483648 AS h
+                FROM documents
+            )
+            SELECT CAST(h % 16 AS INT) AS shard,
+                   count(*) AS n_rows,
+                   sum(n_chars) AS total_size,
+                   min(doc_id) AS min_key,
+                   max(doc_id) AS max_key,
+                   sum(h) AS key_checksum
+            FROM t GROUP BY 1
         """,
         "q_kmeans_assign": _KMEANS_ASSIGN_SQL,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,

@@ -224,6 +224,53 @@ def test_quantized_topk_impls_agree(spark, emb):
     assert sorted(map(key, a)) == sorted(map(key, c))
 
 
+# ---------------------------------------------------------------- sharding
+
+def test_shard_assignment_stable_and_uniform(docs):
+    from deltalake2db_spark.operators.sharding import assign_shards
+
+    a = {r["doc_id"]: r["shard"]
+         for r in assign_shards(docs, "doc_id", 8).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in assign_shards(docs.repartition(7), "doc_id", 8).collect()}
+    assert a == b  # partitioning-independent
+    counts = [list(a.values()).count(s) for s in range(8)]
+    assert min(counts) > 0 and max(counts) < 3 * (len(a) / 8)
+
+
+def test_shard_stats_consistent_with_assignment(docs):
+    from deltalake2db_spark.operators.sharding import (
+        assign_shards,
+        shard_stats,
+    )
+
+    stats = {r["shard"]: r for r in
+             shard_stats(docs, "doc_id", 8, size_col="n_chars").collect()}
+    rows = assign_shards(docs, "doc_id", 8).collect()
+    for s in set(r["shard"] for r in rows):
+        mine = [r for r in rows if r["shard"] == s]
+        assert stats[s]["n_rows"] == len(mine)
+        assert stats[s]["total_size"] == sum(r["n_chars"] for r in mine)
+        assert stats[s]["min_key"] == min(r["doc_id"] for r in mine)
+
+
+def test_write_shards_roundtrip(spark, docs, tmp_path):
+    from deltalake2db_spark.operators.sharding import write_shards
+
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, "doc_id", 4, sort_cols=["doc_id"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    # deterministic: second export byte-stable at the row level
+    out2 = str(tmp_path / "shards2")
+    write_shards(docs, out2, "doc_id", 4, sort_cols=["doc_id"])
+    a = spark.read.parquet(out).orderBy("doc_id").collect()
+    b = spark.read.parquet(out2).orderBy("doc_id").collect()
+    assert a == b
+
+
 # ---------------------------------------------------------------- lm
 
 def test_perplexity_known_values(spark):

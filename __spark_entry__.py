@@ -1057,6 +1057,28 @@ def q_semantic_dedup(spark, sf_dir):
     ).select("vec_id", "label", "cell")
 
 
+def q_delta_convert(spark, sf_dir):
+    """CONVERT TO DELTA: documents written as plain hive-partitioned
+    parquet (partitioned by lang), converted in place (no data
+    rewrite — _delta_log only, footer-derived stats), then scanned
+    through the full delta path with a partition-pruning condition."""
+    from deltalake2db_spark.sources.convert import convert_to_delta
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_convert{tag}/documents_pq"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        if not os.path.isdir(path):
+            _t(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
+                "lang"
+            ).parquet(path)
+        convert_to_delta(spark, path)
+    df = scan_delta(spark, path, conditions=[("lang", "<>", "zh")])
+    return df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_shard_stats(spark, sf_dir):
     """Deterministic training-shard audit: Knuth-hash shard assignment
     (map-side, engine-reproducible) with per-shard row/token counts,
@@ -1172,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_quality_rules": q_quality_rules,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_delta_convert": q_delta_convert,
         "q_shard_stats": q_shard_stats,
         "q_kmeans_assign": q_kmeans_assign,
         "q_semantic_dedup": q_semantic_dedup,
@@ -1993,6 +2016,12 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, word ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "q_delta_convert": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars) AS sum_chars
+            FROM documents WHERE lang <> 'zh'
+            GROUP BY lang, source
         """,
         "q_shard_stats": """
             WITH t AS (

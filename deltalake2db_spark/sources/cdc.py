@@ -1,0 +1,116 @@
+"""Change Data Feed files (``_change_data/``) — write + read helpers.
+
+Delta PROTOCOL.md "Add CDC File" action: when a table has
+``delta.enableChangeDataFeed=true``, DML commits record their row-level
+changes as parquet files under ``_change_data/`` via ``cdc`` actions
+(``dataChange=false``); change readers MUST use a commit's cdc actions
+INSTEAD of deriving changes from its add/remove actions when any are
+present.  CDC files hold the table's data columns plus
+``_change_type`` (``insert`` / ``delete`` / ``update_preimage`` /
+``update_postimage``); like data files they exclude partition columns
+(these live in the action's ``partitionValues``) and use PHYSICAL
+column names on column-mapped tables.
+
+Scale notes: CDC rows are written by the same distributed Spark write
+as the rewrite they describe — the driver only moves/renames files and
+assembles actions.  Readers scan cdc parquet distributed with partition
+values re-attached as literals (same machinery as the data scan).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CDC_DIR = "_change_data"
+CHANGE_TYPE = "_change_type"
+
+
+def cdf_enabled(state) -> bool:
+    cfg = (state.last_metadata or {}).get("configuration", {})
+    return str(cfg.get("delta.enableChangeDataFeed", "false")).lower() == "true"
+
+
+def write_cdc_group(
+    cdc_df: DataFrame,
+    table_path: str,
+    rel_dir: str,
+    partition_values: Mapping[str, Optional[str]],
+) -> list[dict]:
+    """Write one partition-group's CDC rows; return its ``cdc`` actions.
+
+    ``cdc_df`` must already be in FILE layout (physical names if mapped,
+    partition columns dropped) plus the ``_change_type`` column.
+    """
+    staging = tempfile.mkdtemp(prefix="dl2db_cdc_")
+    actions: list[dict] = []
+    try:
+        out = os.path.join(staging, "out")
+        cdc_df.write.mode("overwrite").parquet(out)
+        for fn in sorted(os.listdir(out)):
+            if not fn.endswith(".parquet"):
+                continue
+            name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+            rel = os.path.join(CDC_DIR, rel_dir, name) if rel_dir else \
+                os.path.join(CDC_DIR, name)
+            dst = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.move(os.path.join(out, fn), dst)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": dict(partition_values or {}),
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+        return actions
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def read_cdc_actions(
+    spark: SparkSession,
+    state,
+    table_path: str,
+    cdc_actions: Sequence[dict],
+) -> DataFrame:
+    """One logical DataFrame (table columns + ``_change_type``) for a
+    commit's cdc actions — physical->logical renames and
+    partition-value literals applied, mirroring the data scan."""
+    from urllib.parse import unquote
+
+    from ..plans.exprs import partition_literal
+
+    _tmap, l2p = state.type_maps()
+    p2l = {v: k for k, v in l2p.items()}
+    part_cols = list(state.partition_columns)
+    schema_fields = {f.name: f for f in state.schema.fields}
+    out: Optional[DataFrame] = None
+    for act in cdc_actions:
+        abs_p = os.path.join(table_path, unquote(act["path"]))
+        df = spark.read.parquet(abs_p)
+        sel = []
+        for c in df.columns:
+            if c == CHANGE_TYPE:
+                sel.append(F.col(CHANGE_TYPE))
+            else:
+                sel.append(F.col(f"`{c}`").alias(p2l.get(c, c)))
+        df = df.select(*sel)
+        pv = act.get("partitionValues") or {}
+        for pc in part_cols:
+            df = df.withColumn(
+                pc,
+                partition_literal(schema_fields[pc], pv.get(l2p.get(pc, pc))),
+            )
+        piece = df
+        out = piece if out is None else out.unionByName(piece)
+    return out

@@ -226,6 +226,7 @@ def _rewrite_groups(
     insert_df: Optional[DataFrame] = None,
     operation: str = "WRITE",
     operation_params: Optional[Mapping[str, Any]] = None,
+    cdc_builder=None,
 ) -> dict:
     """Shared copy-on-write machinery: per partition group, read the
     group's files through ``scan_delta`` (DVs applied), run
@@ -233,7 +234,14 @@ def _rewrite_groups(
 
     ``insert_df`` (MERGE's not-matched branch) is written as additional
     new files in the same commit, hive-partitioned by the table's
-    partition columns."""
+    partition columns.
+
+    ``cdc_builder(df_group, acts) -> DataFrame | None`` (set when the
+    table has ``delta.enableChangeDataFeed=true``) returns the group's
+    change rows tagged with ``_change_type``; they are written under
+    ``_change_data/`` and their ``cdc`` actions ride in the SAME commit
+    (PROTOCOL.md "Add CDC File").  When ``insert_df`` is present its
+    rows are additionally recorded as ``insert`` changes."""
     from .delta import scan_delta
     from .delta_sink import (
         _partition_values_from_relpath,
@@ -246,6 +254,26 @@ def _rewrite_groups(
     staging = tempfile.mkdtemp(prefix="dl2db_rewrite_")
     removed: list[str] = []
     added: list[tuple[str, dict]] = []  # (rel path, partitionValues)
+    cdc_actions: list[dict] = []
+
+    def _to_file_layout(df: DataFrame) -> DataFrame:
+        """CDC rows to file layout: physical names / no partition cols,
+        with ``_change_type`` carried through."""
+        data_cols = set(df.columns) - set(partition_cols) - {"_change_type"}
+        if _mapping_active(state):
+            from ..plans.types import to_physical_schema
+
+            phys = to_physical_schema(state.schema)
+            exprs = [
+                F.col(lf.name).cast(pf.dataType).alias(pf.name)
+                for lf, pf in zip(state.schema.fields, phys.fields)
+                if lf.name in data_cols
+            ]
+            exprs.append(F.col("_change_type"))
+            return df.select(*exprs)
+        drop = [c for c in partition_cols if c in df.columns]
+        return df.drop(*drop) if drop else df
+
     try:
         for gi, (pt, acts) in enumerate(selected.items()):
             keep = {a["path"] for a in acts}
@@ -257,6 +285,23 @@ def _rewrite_groups(
             # stripped before the write since they live in
             # partitionValues, not in the data files, and mapped tables
             # are projected back to physical names
+            if cdc_builder is not None:
+                cdc_df = cdc_builder(df, acts)
+                if cdc_df is not None:
+                    from .cdc import write_cdc_group
+
+                    first_cdc = unquote(acts[0]["path"])
+                    cdc_rel_dir = (
+                        first_cdc.rsplit("/", 1)[0] if "/" in first_cdc else ""
+                    )
+                    cdc_actions.extend(
+                        write_cdc_group(
+                            _to_file_layout(cdc_df),
+                            path,
+                            cdc_rel_dir,
+                            dict(acts[0].get("partitionValues") or {}),
+                        )
+                    )
             df = transform(df, acts)
             if has_constraints and data_change:
                 # CHECK constraints hold for UPDATE/MERGE outputs too

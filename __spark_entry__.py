@@ -48,14 +48,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read nanos as long and integer-divide to micros
-    (truncation — exactly what DuckDB's ns->us cast does)."""
+    """Load events.parquet, tolerating either a TIMESTAMP(MICROS) ``ts``
+    (read natively) or a TIMESTAMP(NANOS) one (which Spark's parquet
+    reader surfaces as ``bigint`` under ``nanosAsLong``; integer-divide
+    to micros — truncation, exactly what DuckDB's ns->us cast does)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # session tz is UTC (session.py), so NTZ->LTZ cast preserves the
+        # stored micros and matches DuckDB's epoch_us on naive timestamps
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # --------------------------------------------------------------------------

@@ -815,13 +815,32 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def _md5_long(col):
+    """64-bit signed token hash both engines can compute: the
+    little-endian uint64 of md5-digest bytes 8..15 — exactly DuckDB's
+    ``md5_number_lower`` — reassembled from Spark's md5 hex string.
+    Gate-only; production simhash keeps xxhash64 (same trick as
+    q_dedup_exact's md5 fingerprint)."""
+    m = F.md5(col)
+
+    def byt(pos):  # 1-indexed first hex char of one digest byte
+        return F.substring(m, pos, 2)
+
+    hi = F.conv(F.concat(byt(31), byt(29), byt(27), byt(25)), 16, 10).cast("long")
+    lo = F.conv(F.concat(byt(23), byt(21), byt(19), byt(17)), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def q_simhash_pairs(spark, sf_dir):
     # max_hamming=3 with derived banding (4 bands): the pigeonhole recall
     # contract holds, so the result is EXACTLY the hamming<=3 pair set
     # (re-baselined from r1's max_hamming=16/4-band run, which silently
-    # missed pairs no band aligned for)
+    # missed pairs no band aligned for).  md5-derived token hash so the
+    # DuckDB oracle replays the sketch bit-for-bit; the oracle computes
+    # the brute-force hamming<=3 set, so the hash-match doubles as a
+    # banding recall proof.
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, max_hamming=3)
+    return D.simhash_pairs(d, max_hamming=3, hash_fn=_md5_long)
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -1019,29 +1038,40 @@ def q_tfidf_terms(spark, sf_dir):
     return top_terms(d, "text", "source", k=5)
 
 
+_CENTROID_MEMO: dict[tuple[str, int], list[list[float]]] = {}
+
+
 def _fixed_centroids(spark, sf_dir, k=8):
     """Deterministic centroid model for the kmeans gates: the embedding
-    vectors of the k lowest vec_ids — replayable in the SQL oracle."""
-    emb = _t(spark, sf_dir, "embeddings")
-    rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.col("vec_id").asc())
-        .limit(k)
-        .collect()
-    )
-    return [list(map(float, r["embedding"])) for r in rows]
+    vectors of the k lowest vec_ids — replayable in the SQL oracle.
+    Memoized per sf_dir (static input data, one collect job saved per
+    gate call)."""
+    key = (sf_dir, k)
+    cents = _CENTROID_MEMO.get(key)
+    if cents is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        rows = (
+            emb.select("vec_id", "embedding")
+            .orderBy(F.col("vec_id").asc())
+            .limit(k)
+            .collect()
+        )
+        cents = [list(map(float, r["embedding"])) for r in rows]
+        _CENTROID_MEMO[key] = cents
+    return cents
 
 
 def q_kmeans_assign(spark, sf_dir):
     """Nearest-centroid assignment against a fixed deterministic
-    centroid model (vectors of vec_id 0..7).  Column-expression
-    distance folds are bit-identical to the oracle's ordered sums;
-    ties break to the lowest cell in both engines."""
+    centroid model (vectors of vec_id 0..7).  Uses the arrow GEMM path
+    (the 100 TB impl); argmin ties break to the lowest cell in both
+    engines, and a column/arrow equivalence pytest guards the impls
+    against each other."""
     from deltalake2db_spark.operators.kmeans import kmeans_assign
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = _fixed_centroids(spark, sf_dir)
-    return kmeans_assign(emb, cents, impl="column").select(
+    return kmeans_assign(emb, cents, impl="arrow").select(
         "vec_id", "label", "cell"
     )
 
@@ -1058,7 +1088,7 @@ def q_semantic_dedup(spark, sf_dir):
         emb,
         centroids=cents,
         threshold=0.25,
-        assign_impl="column",
+        assign_impl="arrow",
         pairs_impl="arrow",
     ).select("vec_id", "label", "cell")
 
@@ -1415,6 +1445,52 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id != cluster_id)
 """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Oracle for q_simhash_pairs: rebuild the md5-derived simhash
+    sketch per doc (same token stream and hash as the Spark gate), then
+    take the BRUTE-FORCE hamming<=h pair set.  Banding guarantees 100 %
+    recall (pigeonhole), so the banded Spark result must equal this set
+    exactly — the hash-match doubles as a recall proof."""
+    md5l = (
+        "CAST(CASE WHEN md5_number_lower(w) >= 9223372036854775808::UBIGINT "
+        "THEN md5_number_lower(w)::HUGEINT - 18446744073709551616::HUGEINT "
+        "ELSE md5_number_lower(w)::HUGEINT END AS BIGINT)"
+    )
+
+    def mask(i: int) -> str:
+        return str(1 << i) if i < 63 else "(-9223372036854775807 - 1)"
+
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (h & {mask(i)}) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    fp = " | ".join(
+        f"(CASE WHEN v{i} > 0 THEN {mask(i)} ELSE 0 END)" for i in range(64)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ')) AS w
+            FROM documents
+        ), th AS (
+            SELECT doc_id, {md5l} AS h FROM tok
+        ), votes AS (
+            SELECT doc_id,
+               {votes}
+            FROM th GROUP BY doc_id
+        ), sk AS (
+            SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 def _lsh_topk_sql(planes: int = 6, dim: int = 64, seed: int = 42, k: int = 5) -> str:
@@ -1886,8 +1962,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_topk": _lsh_topk_sql(),
         "q_dup_clusters": _CLUSTERS_SQL,
         "q_neardup_dedup": _NEARDUP_DEDUP_SQL,
-        # q_simhash_pairs stays rows-only: the sketch is built from
-        # Spark's xxhash64, which DuckDB cannot reproduce.
+        "q_simhash_pairs": _simhash_sql(),
         "q_delta_restore": """
             SELECT o_orderstatus, count(*) AS n_rows,
                    round(sum(o_totalprice), 2) AS total

@@ -590,20 +590,27 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = 64) -> DataFrame:
-    """(id, simhash: bigint) — bit-voting over token xxhash64 values.
+            bits: int = 64, hash_fn=None) -> DataFrame:
+    """(id, simhash: bigint) — bit-voting over token hash values.
 
     Explode tokens once, then ONE hash aggregation computes all 64 bit
     votes as partial-aggregated sums (map-side combine), so the shuffle
     carries 64 longs per doc regardless of document length.  ~50x faster
     than evaluating 64 array-aggregate lambdas per row.
+
+    ``hash_fn`` maps a token Column to a 64-bit long Column; default is
+    Spark's ``xxhash64`` (the production path).  The correctness gate
+    passes an md5-derived hash an external SQL oracle can replay —
+    same trick as ``exact_dup_groups``.
     """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     tok = df.select(
         F.col(id_col),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " ")
         ).alias("w"),
-    ).select(id_col, F.xxhash64("w").alias("h"))
+    ).select(id_col, hash_fn(F.col("w")).alias("h"))
 
     def bitmask(i: int):
         return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
@@ -629,6 +636,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     band_bits: int | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -641,7 +649,8 @@ def simhash_pairs(
     pairs.
     """
     return simhash_pairs_from_sketches(
-        simhash(df, id_col, text_col), id_col, max_hamming, band_bits
+        simhash(df, id_col, text_col, hash_fn=hash_fn),
+        id_col, max_hamming, band_bits,
     )
 
 

@@ -152,7 +152,12 @@ def semantic_dedup(
 
     if centroids is None:
         centroids = kmeans_fit(df, k, iters, id_col, vec_col)
-    assigned = kmeans_assign(df, centroids, id_col, vec_col, impl=assign_impl)
+    # persist: ``assigned`` feeds BOTH the pair search and the final
+    # anti-join; without it the assignment (k distance folds or a GEMM
+    # per batch) is evaluated twice
+    assigned = kmeans_assign(
+        df, centroids, id_col, vec_col, impl=assign_impl
+    ).persist()
     pairs = neardup_pairs_blocked(
         assigned,
         threshold=threshold,

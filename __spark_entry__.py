@@ -680,6 +680,44 @@ def q_delta_changes(spark, sf_dir):
     )
 
 
+def _cdf_path(spark, sf_dir: str) -> str:
+    """orders -> CDF-enabled Delta (delta.enableChangeDataFeed=true):
+    UPDATE then DELETE, each committing ``cdc`` actions +
+    ``_change_data/`` parquet per PROTOCOL.md "Add CDC File"."""
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/orders_cdf"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        from deltalake2db_spark.sources.delta_sink import (
+            delete_where,
+            write_delta,
+        )
+        from deltalake2db_spark.sources.maintenance import update_where
+
+        write_delta(
+            _t(spark, sf_dir, "orders"), path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        update_where(
+            spark, path, "o_orderkey % 100 = 7",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        delete_where(spark, path, "o_orderkey % 100 = 13")
+    return path
+
+
+def q_delta_cdf(spark, sf_dir):
+    """Change Data Feed read: table_changes consumes the commits' cdc
+    actions (true update_pre/postimage rows, cdc-sourced deletes)
+    instead of deriving delete+insert from add/remove."""
+    from deltalake2db_spark.sources.changes import table_changes
+
+    ch = table_changes(spark, _cdf_path(spark, sf_dir), 0)
+    return ch.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 def q_delta_optimize(spark, sf_dir):
     """Scan after OPTIMIZE of a deletion-vector table (file compaction
     + physical purge of DV-deleted rows, dataChange=false commit)."""
@@ -1203,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_dv_scan": q_delta_dv_scan,
         "q_delta_optimize": q_delta_optimize,
         "q_delta_changes": q_delta_changes,
+        "q_delta_cdf": q_delta_cdf,
         "q_delta_update": q_delta_update,
         "q_delta_merge": q_delta_merge,
         "q_profile_orders": q_profile_orders,
@@ -1820,6 +1859,21 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total
             FROM orders
             WHERE o_orderkey % 10 = 3
+        """,
+        "q_delta_cdf": """
+            SELECT CAST(1 AS BIGINT) AS _commit_version,
+                   'update_preimage' AS _change_type,
+                   count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_orderkey % 100 = 7
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), 'update_postimage',
+                   count(*), round(sum(o_totalprice * 2), 2)
+            FROM orders WHERE o_orderkey % 100 = 7
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'delete',
+                   count(*), round(sum(o_totalprice), 2)
+            FROM orders WHERE o_orderkey % 100 = 13
         """,
         "q_delta_merge": """
             SELECT o_orderstatus, count(*) AS n_rows,

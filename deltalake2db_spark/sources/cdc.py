@@ -77,6 +77,83 @@ def write_cdc_group(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def write_cdc_partitioned(
+    df: DataFrame,
+    state,
+    table_path: str,
+) -> list[dict]:
+    """Write a multi-partition change set (logical table columns +
+    ``_change_type``) as CDC files; return the ``cdc`` actions.
+
+    Used where the change rows span partitions (DELETE's masked rows,
+    MERGE's inserts): one distributed hive-partitioned write, then each
+    leaf file moves under ``_change_data/`` with its partitionValues
+    parsed from the relative path — the same machinery the insert data
+    path uses.  Partition columns are excluded from the file (the write
+    hive-encodes them), physical names apply on mapped tables.
+    """
+    from .delta_sink import _partition_values_from_relpath
+
+    part_cols = list(state.partition_columns)
+    _tmap, l2p = state.type_maps()
+    mapped = (
+        (state.last_metadata or {}).get("configuration", {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        != "none"
+    )
+    if mapped:
+        from ..plans.types import to_physical_schema
+
+        phys = to_physical_schema(state.schema)
+        exprs = [
+            F.col(lf.name).cast(pf.dataType).alias(pf.name)
+            for lf, pf in zip(state.schema.fields, phys.fields)
+        ]
+        exprs.append(F.col(CHANGE_TYPE))
+        df = df.select(*exprs)
+    part_by = [l2p.get(c, c) for c in part_cols]
+
+    staging = tempfile.mkdtemp(prefix="dl2db_cdc_")
+    actions: list[dict] = []
+    try:
+        out = os.path.join(staging, "out")
+        wr = df.write.mode("overwrite")
+        if part_by:
+            wr = wr.partitionBy(*part_by)
+        wr.parquet(out)
+        for root, _dirs, files in os.walk(out):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, out)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                name = f"cdc-{uuid.uuid4().hex}.snappy.parquet"
+                rel = (
+                    os.path.join(CDC_DIR, rel_dir, name)
+                    if rel_dir
+                    else os.path.join(CDC_DIR, name)
+                )
+                dst = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.move(os.path.join(root, fn), dst)
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": _partition_values_from_relpath(
+                                os.path.join(rel_dir, fn) if rel_dir else fn
+                            ),
+                            "size": os.path.getsize(dst),
+                            "dataChange": False,
+                        }
+                    }
+                )
+        return actions
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def read_cdc_actions(
     spark: SparkSession,
     state,
@@ -85,7 +162,13 @@ def read_cdc_actions(
 ) -> DataFrame:
     """One logical DataFrame (table columns + ``_change_type``) for a
     commit's cdc actions — physical->logical renames and
-    partition-value literals applied, mirroring the data scan."""
+    partition-value literals applied, mirroring the data scan.
+
+    Files are GROUPED by identical partitionValues and each group is
+    read with one multi-path ``spark.read.parquet`` call, so the plan
+    carries O(partition groups) nodes, not O(files) — the same blowup
+    guard as the main data scan."""
+    import json
     from urllib.parse import unquote
 
     from ..plans.exprs import partition_literal
@@ -94,23 +177,30 @@ def read_cdc_actions(
     p2l = {v: k for k, v in l2p.items()}
     part_cols = list(state.partition_columns)
     schema_fields = {f.name: f for f in state.schema.fields}
-    out: Optional[DataFrame] = None
+
+    groups: dict[str, tuple[dict, list[str]]] = {}
     for act in cdc_actions:
-        abs_p = os.path.join(table_path, unquote(act["path"]))
-        df = spark.read.parquet(abs_p)
+        pv = act.get("partitionValues") or {}
+        key = json.dumps(pv, sort_keys=True)
+        groups.setdefault(key, (pv, []))[1].append(
+            os.path.join(table_path, unquote(act["path"]))
+        )
+
+    out: Optional[DataFrame] = None
+    for pv, paths in groups.values():
+        df = spark.read.parquet(*paths)
         sel = []
         for c in df.columns:
             if c == CHANGE_TYPE:
                 sel.append(F.col(CHANGE_TYPE))
             else:
                 sel.append(F.col(f"`{c}`").alias(p2l.get(c, c)))
-        df = df.select(*sel)
-        pv = act.get("partitionValues") or {}
         for pc in part_cols:
-            df = df.withColumn(
-                pc,
-                partition_literal(schema_fields[pc], pv.get(l2p.get(pc, pc))),
+            sel.append(
+                partition_literal(
+                    schema_fields[pc], pv.get(l2p.get(pc, pc))
+                ).alias(pc)
             )
-        piece = df
+        piece = df.select(*sel)
         out = piece if out is None else out.unionByName(piece)
     return out

@@ -1,5 +1,9 @@
-"""``table_changes`` — row-level change feed between two table versions,
-derived purely from the commit log (no Change Data Feed files needed).
+"""``table_changes`` — row-level change feed between two table versions.
+
+Commits that carry ``cdc`` actions (DML on a
+``delta.enableChangeDataFeed=true`` table — see ``cdc.py``) are read
+from their ``_change_data/`` files directly, as PROTOCOL.md requires;
+all other commits are derived from the log's add/remove actions.
 
 Incremental consumers (the training-data refresh case: "give me what
 changed since my last run") get a DataFrame of the table's columns plus
@@ -13,8 +17,9 @@ changed since my last run") get a DataFrame of the table's columns plus
   in one commit) -> delete-of-old + insert-of-new.  Without CDC files
   an update cannot be paired row-to-row, so it surfaces as a
   delete+insert changeset — semantically equivalent for consumers that
-  apply changes by key (documented deviation from delta-spark's CDF
-  ``update_pre/postimage`` rows).
+  apply changes by key.  With CDF enabled the same DML writes true
+  ``update_preimage``/``update_postimage`` CDC rows and this derivation
+  is skipped for that commit.
 * ``dataChange=false`` commits (OPTIMIZE / Z-ORDER) produce nothing.
 
 Scale: each changed file is scanned distributed through ``scan_delta``
@@ -118,6 +123,23 @@ def table_changes(
             for a in actions
             if a.get("remove")
         }
+        cdcs = [a["cdc"] for a in actions if a.get("cdc")]
+        if cdcs:
+            # PROTOCOL.md: when a commit carries cdc actions they ARE
+            # the change set — use them INSTEAD of add/remove derivation
+            # (updates surface as true pre/postimage rows, not
+            # delete+insert)
+            from .cdc import read_cdc_actions
+
+            df = read_cdc_actions(spark, state, path, cdcs)
+            parts.append(
+                df.withColumn(COMMIT_VERSION, F.lit(v).cast("long"))
+            )
+            for p in removes:
+                prev_adds.pop(p, None)
+            prev_adds.update(adds)
+            v += 1
+            continue
         for p, add in adds.items():
             if not add.get("dataChange", True):
                 continue

@@ -23,7 +23,7 @@ import uuid
 from concurrent.futures import ThreadPoolExecutor
 from datetime import date, datetime
 from decimal import Decimal
-from typing import Any, Optional, Sequence
+from typing import Any, Mapping, Optional, Sequence
 from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame
@@ -116,6 +116,7 @@ def write_delta(
     partition_by: Sequence[str] = (),
     mode: str = "append",
     extra_actions: Sequence[dict] = (),
+    configuration: Optional[Mapping[str, str]] = None,
 ) -> int:
     """Write ``df`` as a new commit of the Delta table at ``path``.
 
@@ -123,7 +124,10 @@ def write_delta(
     previously-live files in the same commit (snapshot-consistent
     replace); ``'append'`` only adds.  ``extra_actions`` ride in the
     SAME commit (atomic with the data) — the streaming sink passes its
-    ``txn`` idempotence marker here.
+    ``txn`` idempotence marker here.  ``configuration`` seeds the table
+    configuration on CREATE (ignored on an existing table) — e.g.
+    ``{"delta.enableChangeDataFeed": "true"}`` turns on CDC writes for
+    every later DML commit.
     """
     path = str(path).rstrip("/")
     try:
@@ -198,10 +202,18 @@ def write_delta(
             except FileNotFoundError:
                 state = None
             if state is None:
-                actions.append(w.protocol_action(1, 2))
+                # CDF writes need writer version 4 per PROTOCOL.md
+                cdf_on = (
+                    str((configuration or {}).get(
+                        "delta.enableChangeDataFeed", "false"
+                    )).lower() == "true"
+                )
+                actions.append(w.protocol_action(1, 4 if cdf_on else 2))
                 actions.append(
                     w.metadata_action(
-                        df.schema.jsonValue(), partition_columns=partition_by
+                        df.schema.jsonValue(),
+                        partition_columns=partition_by,
+                        configuration=configuration,
                     )
                 )
             elif mode == "overwrite":
@@ -320,6 +332,20 @@ def delete_where(spark, path: str, condition) -> dict:
         updated["dataChange"] = True
         actions.append(w.remove_action(action["path"]))
         actions.append({"add": updated})
+    from .cdc import CHANGE_TYPE, cdf_enabled, write_cdc_partitioned
+
+    if cdf_enabled(state):
+        from pyspark.sql import functions as F
+
+        # the scan applies existing DVs, so the filtered rows are
+        # exactly the NEWLY-masked ones — the commit's delete changes
+        deleted = (
+            scan_delta(spark, state, _with_pos=True)
+            .filter(condition)
+            .drop(_DV_KEY, _DV_RI)
+            .withColumn(CHANGE_TYPE, F.lit("delete"))
+        )
+        actions.extend(write_cdc_partitioned(deleted, state, path))
     version = w.commit(
         actions, operation="DELETE",
         operation_params={"predicate": str(condition)},

@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from ..plans.exprs import partition_tuple
 from ..plans.meta import get_meta
+from .cdc import cdf_enabled
 from .delta_sink import _file_stats
 from .delta_writer import DeltaWriter
 
@@ -334,6 +335,19 @@ def _rewrite_groups(
         if insert_df is not None:
             if has_constraints:
                 enforce_constraints(insert_df, state)
+            if cdc_builder is not None:
+                # PROTOCOL.md: once a commit carries ANY cdc action,
+                # readers use cdc INSTEAD of add/remove — so the insert
+                # branch must be recorded as 'insert' changes too
+                from .cdc import CHANGE_TYPE, write_cdc_partitioned
+
+                cdc_actions.extend(
+                    write_cdc_partitioned(
+                        insert_df.withColumn(CHANGE_TYPE, F.lit("insert")),
+                        state,
+                        path,
+                    )
+                )
             part_by = list(partition_cols)
             if _mapping_active(state):
                 _, l2p = state.type_maps()
@@ -388,6 +402,7 @@ def _rewrite_groups(
             r["remove"]["dataChange"] = data_change
             actions.append(r)
         actions.extend(add_actions)
+        actions.extend(cdc_actions)
         version = w.commit(
             actions, operation=operation, operation_params=operation_params
         )
@@ -472,9 +487,21 @@ def update_where(
         ]
         return df.select(*updated)
 
+    cdc_builder = None
+    if cdf_enabled(state):
+        from .cdc import CHANGE_TYPE
+
+        def cdc_builder(df: DataFrame, acts: list[dict]):
+            matched = df.filter(condition)
+            pre = matched.withColumn(CHANGE_TYPE, F.lit("update_preimage"))
+            post = transform(matched, acts).withColumn(
+                CHANGE_TYPE, F.lit("update_postimage")
+            )
+            return pre.unionByName(post)
+
     rep = _rewrite_groups(
         spark, path, state, selected, transform, data_change=True,
-        operation="UPDATE",
+        operation="UPDATE", cdc_builder=cdc_builder,
     )
     rep["updated_files"] = rep["files_removed"]
     return rep
@@ -600,10 +627,26 @@ def merge_into(
             "files_added": 0, "matched_files": 0,
         }
 
+    cdc_builder = None
+    if cdf_enabled(state):
+        from .cdc import CHANGE_TYPE
+
+        def cdc_builder(df: DataFrame, acts: list[dict]):
+            matched = df.join(F.broadcast(src_keys), on=on, how="left_semi")
+            if when_matched_delete:
+                return matched.withColumn(CHANGE_TYPE, F.lit("delete"))
+            if when_matched_update is None:
+                return None
+            pre = matched.withColumn(CHANGE_TYPE, F.lit("update_preimage"))
+            post = transform(matched, acts).withColumn(
+                CHANGE_TYPE, F.lit("update_postimage")
+            )
+            return pre.unionByName(post)
+
     rep = _rewrite_groups(
         spark, path, state, selected, transform, data_change=True,
         insert_df=insert_df, operation="MERGE",
-        operation_params={"on": ",".join(on)},
+        operation_params={"on": ",".join(on)}, cdc_builder=cdc_builder,
     )
     rep["matched_files"] = len(
         [a for acts in selected.values() for a in acts]

@@ -1,0 +1,128 @@
+"""Change Data Feed (sources/cdc.py): DML on a
+``delta.enableChangeDataFeed=true`` table writes ``_change_data/``
+parquet + ``cdc`` actions, and ``table_changes`` reads those INSTEAD of
+deriving changes from add/remove (PROTOCOL.md "Add CDC File").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake2db_spark.plans.meta import get_meta
+from deltalake2db_spark.sources.changes import table_changes
+from deltalake2db_spark.sources.delta_sink import delete_where, write_delta
+from deltalake2db_spark.sources.maintenance import merge_into, update_where
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+@pytest.fixture(scope="module")
+def cdf_table(spark, tmp_path_factory):
+    t = str(tmp_path_factory.mktemp("cdf") / "t")
+    df = spark.range(0, 100).selectExpr(
+        "id", "cast(id as double) as v", "cast(id % 2 as int) as part"
+    )
+    write_delta(df.repartition(2), t, partition_by=["part"],
+                configuration=CDF)                       # v0 CREATE
+    update_where(spark, t, "id in (10, 11)", {"v": "v * -1"})  # v1 UPDATE
+    delete_where(spark, t, "id in (3, 4)")               # v2 DELETE (DV)
+    src = spark.range(95, 105).selectExpr(
+        "id", "cast(-id as double) as v", "cast(id % 2 as int) as part"
+    )
+    merge_into(spark, t, src, on=["id"])                 # v3 MERGE upsert
+    return t
+
+
+def _commit_actions(path, v):
+    with open(os.path.join(path, "_delta_log", f"{v:020d}.json")) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def test_dml_commits_carry_cdc_actions(cdf_table):
+    for v, op in [(1, "UPDATE"), (2, "DELETE"), (3, "MERGE")]:
+        acts = _commit_actions(cdf_table, v)
+        cdcs = [a["cdc"] for a in acts if a.get("cdc")]
+        assert cdcs, f"commit v{v} ({op}) has no cdc actions"
+        for c in cdcs:
+            assert c["path"].startswith("_change_data/")
+            assert c["dataChange"] is False
+            assert os.path.exists(os.path.join(cdf_table, c["path"]))
+            # CDC partitionValues mirror data-file partitionValues
+            assert set(c["partitionValues"]) == {"part"}
+
+
+def test_update_produces_pre_and_postimages(spark, cdf_table):
+    ch = table_changes(spark, cdf_table, 0, 1)
+    rows = {
+        (r["id"], r["_change_type"]): r["v"] for r in ch.collect()
+    }
+    assert rows[(10, "update_preimage")] == 10.0
+    assert rows[(10, "update_postimage")] == -10.0
+    assert rows[(11, "update_preimage")] == 11.0
+    assert rows[(11, "update_postimage")] == -11.0
+    assert len(rows) == 4  # nothing but the two updated rows
+
+
+def test_delete_emits_cdc_delete_rows(spark, cdf_table):
+    ch = table_changes(spark, cdf_table, 1, 2)
+    got = sorted((r["id"], r["_change_type"]) for r in ch.collect())
+    assert got == [(3, "delete"), (4, "delete")]
+
+
+def test_merge_emits_update_and_insert_changes(spark, cdf_table):
+    ch = table_changes(spark, cdf_table, 2, 3)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    # ids 95..99 matched (update), 100..104 inserted
+    assert by_type["update_preimage"] == 5
+    assert by_type["update_postimage"] == 5
+    assert by_type["insert"] == 5
+    inserted = {
+        r["id"] for r in ch.filter(F.col("_change_type") == "insert").collect()
+    }
+    assert inserted == {100, 101, 102, 103, 104}
+    # partition column restored from partitionValues on every cdc row
+    assert ch.filter(F.col("part").isNull()).count() == 0
+    assert (
+        ch.filter(
+            F.col("part") != (F.col("id") % 2).cast("int")
+        ).count()
+        == 0
+    )
+
+
+def test_full_feed_spans_cdc_commits(spark, cdf_table):
+    # one feed over all three DML commits (changes AFTER v0): every
+    # commit version present, all change types cdc-sourced
+    ch = table_changes(spark, cdf_table, 0)
+    versions = {
+        r["_commit_version"]
+        for r in ch.select("_commit_version").distinct().collect()
+    }
+    assert versions == {1, 2, 3}
+    assert ch.count() == 4 + 2 + 15
+
+
+def test_final_state_consistent_with_changes(spark, cdf_table):
+    from deltalake2db_spark import scan_delta
+
+    # replay the feed by key on top of v0 and compare with the live scan
+    live = {
+        (r["id"]): r["v"] for r in scan_delta(spark, cdf_table).collect()
+    }
+    assert live[10] == -10.0 and live[11] == -11.0
+    assert 3 not in live and 4 not in live
+    assert live[100] == -100.0
+    assert len(live) == 103  # 100 - 2 deleted + 5 inserted
+
+
+def test_cdf_enabled_gate(cdf_table):
+    from deltalake2db_spark.sources.cdc import cdf_enabled
+
+    assert cdf_enabled(get_meta(cdf_table))

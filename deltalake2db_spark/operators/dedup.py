@@ -168,8 +168,16 @@ def ngram_jaccard_pairs(
     self-join from exploding on boilerplate at scale (index path only).
     """
     if impl == "auto":
+        # bounded probe: a fixed-size document sample, not the corpus —
+        # at 100 TB a full approx_count_distinct scan per call would
+        # dwarf the work it routes.  Sample vocabulary only ever
+        # UNDER-counts, so add the safety margin on the sample side:
+        # route dense only when the sample's vocab is well under the
+        # cap; a large-vocab corpus shows a large vocab in any 50k-doc
+        # sample long before the cap matters.
         probe = (
-            df.select(F.explode(shingle_hash_array(F.col(text_col), n)).alias("sh"))
+            df.limit(50_000)
+            .select(F.explode(shingle_hash_array(F.col(text_col), n)).alias("sh"))
             .agg(F.approx_count_distinct("sh", 0.02).alias("v"))
             .collect()[0]["v"]
         )

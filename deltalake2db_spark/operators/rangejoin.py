@@ -33,23 +33,25 @@ def range_join_point_interval(
     when names collide).
     """
     p_us = F.unix_micros(F.col(point_ts))
-    s_us = F.unix_micros(F.col(start_ts))
-    e_us = F.unix_micros(F.col(end_ts))
 
     p = points.withColumn("__bin", (p_us / F.lit(bin_micros)).cast("long"))
+    rename = {
+        c: f"{c}_r" for c in intervals.columns if c in points.columns and c != key
+    }
+    start_col = rename.get(start_ts, start_ts)
+    end_col = rename.get(end_ts, end_ts)
+    # bin bounds must reference the RENAMED columns — building them from
+    # the original names broke whenever start/end collided with a point
+    # column (caught by the synthetic-frame oracle test)
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
     bins = F.sequence(
         (s_us / F.lit(bin_micros)).cast("long"),
         (e_us / F.lit(bin_micros)).cast("long"),
     )
-    rename = {
-        c: f"{c}_r" for c in intervals.columns if c in points.columns and c != key
-    }
     r = intervals.select(
         *[F.col(c).alias(rename.get(c, c)) for c in intervals.columns]
     ).withColumn("__bin", F.explode(bins))
-
-    start_col = rename.get(start_ts, start_ts)
-    end_col = rename.get(end_ts, end_ts)
     joined = p.join(r, [key, "__bin"]).filter(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     )

@@ -341,3 +341,83 @@ def test_redact_pii(spark):
         else:
             assert r["want"] in r["red"], r
             assert r["hits"] >= 1
+
+
+def test_range_join_point_interval_oracle(spark):
+    """Binned range join vs a brute-force BETWEEN join on a hand-built
+    frame with every edge: boundary inclusion/exclusion, bin-straddling
+    intervals, overlapping intervals, key isolation, empty matches."""
+    from datetime import datetime as dt
+
+    from deltalake2db_spark.operators.rangejoin import (
+        range_join_point_interval,
+    )
+
+    points = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 0, 0, 0), "p0"),   # == start: included
+            (1, dt(2024, 1, 1, 0, 59, 59), "p1"),  # inside
+            (1, dt(2024, 1, 1, 1, 0, 0), "p2"),   # == end: EXCLUDED
+            (1, dt(2024, 1, 1, 2, 30, 0), "p3"),  # straddling interval
+            (2, dt(2024, 1, 1, 0, 30, 0), "p4"),  # other key, own interval
+            (3, dt(2024, 1, 1, 0, 30, 0), "p5"),  # key with no intervals
+        ],
+        ["key", "ts", "tag"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 0, 0, 0), dt(2024, 1, 1, 1, 0, 0), "i0"),
+            # straddles the 1h bin boundary (01:45-02:45)
+            (1, dt(2024, 1, 1, 1, 45, 0), dt(2024, 1, 1, 2, 45, 0), "i1"),
+            # overlaps i1 -> p3 matches BOTH
+            (1, dt(2024, 1, 1, 2, 0, 0), dt(2024, 1, 1, 3, 0, 0), "i2"),
+            (2, dt(2024, 1, 1, 0, 0, 0), dt(2024, 1, 1, 1, 0, 0), "i3"),
+        ],
+        ["key", "start", "end", "iname"],
+    )
+
+    got = {
+        (r["tag"], r["iname"])
+        for r in range_join_point_interval(
+            points, intervals, "key", "ts", "start", "end",
+            bin_micros=3_600_000_000,
+        ).collect()
+    }
+    brute = {
+        (r["tag"], r["iname"])
+        for r in points.alias("p")
+        .join(
+            intervals.alias("i"),
+            (F.col("p.key") == F.col("i.key"))
+            & (F.col("p.ts") >= F.col("i.start"))
+            & (F.col("p.ts") < F.col("i.end")),
+        )
+        .collect()
+    }
+    assert got == brute
+    assert got == {
+        ("p0", "i0"), ("p1", "i0"), ("p3", "i1"), ("p3", "i2"),
+        ("p4", "i3"),
+    }
+
+
+def test_range_join_rejects_nothing_on_colliding_names(spark):
+    """Interval columns colliding with point columns get the _r suffix
+    and the residual filter still uses the right (renamed) bounds."""
+    from datetime import datetime as dt
+
+    from deltalake2db_spark.operators.rangejoin import (
+        range_join_point_interval,
+    )
+
+    points = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 0, 30), "x")], ["key", "ts", "start"]
+    )
+    intervals = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), dt(2024, 1, 1, 1))], ["key", "start", "end"]
+    )
+    out = range_join_point_interval(
+        points, intervals, "key", "ts", "start", "end",
+        bin_micros=3_600_000_000,
+    )
+    assert "start_r" in out.columns and out.count() == 1

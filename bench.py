@@ -119,20 +119,66 @@ def main() -> None:
         sum(t for n, t in times.items() if t >= 0 and n in oracle_names), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # subtotal of the queries the DuckDB oracle also runs —
-                # the apples-to-apples number vs a DuckDB baseline
-                "oracle_subtotal_sec": oracle_total,
-            }
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # SPARK time subtotal over the oracle-covered queries (NOT a
+        # DuckDB time — set SPARK_GRAFT_BENCH_DUCKDB=1 for that)
+        "spark_subtotal_oracle_covered_sec": oracle_total,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
+        out["duckdb_oracle_queries"] = duck = duckdb_oracle_times(sf_dir)
+        out["duckdb_oracle_total_sec"] = round(
+            sum(t for t in duck.values() if t >= 0), 3
         )
-    )
+        out["spark_vs_duckdb_matched_ratio"] = _matched_ratio(times, duck)
+    print(json.dumps(out))
+
+
+def duckdb_oracle_times(sf_dir: str) -> dict[str, float]:
+    """Best-of-2 DuckDB wall time per oracle query over the same
+    parquet (32 threads).  Opt-in: some oracles are deliberately
+    brute-force (q_simhash_pairs replays the FULL hamming pair set to
+    double as a recall proof) and scale quadratically past sf0.01."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.sql("SET threads TO 32")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name, sql in entry.oracle_sql().items():
+        runs = []
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(min(runs), 3)
+        except Exception as exc:
+            out[name] = -1.0
+            print(f"# duckdb {name} failed: {exc}", file=sys.stderr)
+    return out
+
+
+def _matched_ratio(spark_t: dict[str, float], duck_t: dict[str, float]):
+    """Spark/DuckDB total over queries BOTH engines completed."""
+    matched = [
+        n for n in duck_t
+        if duck_t[n] >= 0 and spark_t.get(n, -1) >= 0
+    ]
+    d = sum(duck_t[n] for n in matched)
+    s = sum(spark_t[n] for n in matched)
+    return round(s / d, 2) if d > 0 else None
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Cluster ids for every vertex that appears in ``pairs``.
 
@@ -41,12 +42,21 @@ def connected_components(
     vertex id of the component — a deterministic labeling, so results
     are oracle-comparable (DuckDB: recursive-CTE reachability + MIN).
 
-    Algorithm: symmetric min-label propagation.  Each round every
-    vertex adopts the smallest label among itself and its neighbors;
-    a round that changes nothing (detected by the strictly-decreasing
-    label total going flat) ends the loop.  One shuffle per round on
-    the (vertex, label) table; the edge table is shuffled once into
-    the join layout and reused.
+    Adaptive strategy, same idea as Spark's broadcast-join threshold:
+    the edge count is known (the edge table is counted to size the loop
+    anyway), and below ``local_threshold`` edges the whole graph is a
+    few MB of longs — a driver-side union-find closes it in one pass
+    with zero shuffle rounds, where the distributed loop would pay
+    O(diameter) scheduled stages to label a toy graph.  Above the
+    threshold (the 100 TB case) the iterative path runs unchanged.
+    Both paths produce the identical min-label output.
+
+    Distributed algorithm: symmetric min-label propagation.  Each round
+    every vertex adopts the smallest label among itself and its
+    neighbors; a round that changes nothing (detected by the
+    strictly-decreasing label total going flat) ends the loop.  One
+    shuffle per round on the (vertex, label) table; the edge table is
+    shuffled once into the join layout and reused.
     """
     # AQE re-plans every exchange at stage boundaries; in this loop the
     # per-round shapes are identical and already tiny, and AQE's runtime
@@ -60,10 +70,44 @@ def connected_components(
     sp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return _cc_loop(pairs, id_a, id_b, max_iter, int(sp_before))
+        return _cc_loop(
+            pairs, id_a, id_b, max_iter, int(sp_before), local_threshold
+        )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.conf.set("spark.sql.shuffle.partitions", sp_before)
+
+
+def _cc_local(edge_rows, spark) -> DataFrame:
+    """Driver-side union-find with min-label output — the small-graph
+    fast path.  Path-halving find; component label = min vertex id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min keeps every root the component minimum seen
+            # so far, so the final pass needs no second min scan
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    import pandas as pd
+
+    verts = sorted(parent)
+    out = pd.DataFrame(
+        {"doc_id": verts, "cluster_id": [find(v) for v in verts]},
+        dtype="int64",
+    )
+    return spark.createDataFrame(out)
 
 
 def _cc_loop(
@@ -72,6 +116,7 @@ def _cc_loop(
     id_b: str,
     max_iter: int,
     session_partitions: int,
+    local_threshold: int = 0,
 ) -> DataFrame:
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"),
@@ -89,6 +134,11 @@ def _cc_loop(
     # the fleet of tiny per-round stages this is the difference between
     # scheduling 32 empty tasks per stage and scheduling 1-2.
     n_edges = edges.count()
+    if n_edges <= local_threshold:
+        rows = edges.collect()
+        edges.unpersist()
+        return _cc_local(((r["src"], r["dst"]) for r in rows),
+                         pairs.sparkSession)
     loop_parts = max(1, min(session_partitions, -(-n_edges // 2_000_000)))
     pairs.sparkSession.conf.set(
         "spark.sql.shuffle.partitions", str(loop_parts)

@@ -83,8 +83,10 @@ def table_changes(
             COMMIT_VERSION, F.lit(v).cast("long")
         )
 
-    def rows_of(action: dict, v: int, change: str) -> DataFrame:
-        df = scan_delta(spark, _state_with(state, {action["path"]: action}))
+    def rows_of(actions: dict[str, dict], v: int, change: str) -> DataFrame:
+        """ONE grouped scan for all of a commit's same-change files —
+        O(1) plan nodes per (commit, change type), not O(files)."""
+        df = scan_delta(spark, _state_with(state, actions))
         return tagged(df, change, v)
 
     def dv_diff_rows(old: dict, new: dict, v: int) -> Optional[DataFrame]:
@@ -140,22 +142,28 @@ def table_changes(
             prev_adds.update(adds)
             v += 1
             continue
+        new_files: dict[str, dict] = {}
         for p, add in adds.items():
             if not add.get("dataChange", True):
                 continue
             old = prev_adds.get(p)
             if old is None:
-                parts.append(rows_of(add, v, "insert"))
+                new_files[p] = add
             else:
                 diff = dv_diff_rows(old, add, v)
                 if diff is not None:
                     parts.append(diff)
+        if new_files:
+            parts.append(rows_of(new_files, v, "insert"))
+        gone_files: dict[str, dict] = {}
         for p, rm in removes.items():
             if not rm.get("dataChange", True) or p in adds:
                 continue
             old = prev_adds.get(p)
             if old is not None:
-                parts.append(rows_of(old, v, "delete"))
+                gone_files[p] = old
+        if gone_files:
+            parts.append(rows_of(gone_files, v, "delete"))
         for p in removes:
             prev_adds.pop(p, None)
         prev_adds.update(adds)

@@ -99,3 +99,20 @@ def test_matches_union_find(spark, edges):
         for r in connected_components(_pairs_df(spark, edges)).collect()
     }
     assert got == want
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """The adaptive driver-side union-find (small graphs) and the
+    iterative min-label loop must produce identical labelings."""
+    edges = [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (9, 10), (2, 3)]
+    df = _pairs_df(spark, edges)
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()  # takes local path
+    }
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert local[3] == 0 and local[5] == 5 and local[10] == 9

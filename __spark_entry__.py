@@ -718,6 +718,52 @@ def q_delta_cdf(spark, sf_dir):
     )
 
 
+_STREAM_SEQ = [0]
+
+
+def q_delta_stream(spark, sf_dir):
+    """Structured Streaming Delta CDF source end-to-end: 3 commits
+    (create / append / DV delete) drained with availableNow into a
+    memory sink, aggregated per commit+change type.  Rows-only by
+    design — a streaming query has no DuckDB equivalent (the spec's
+    sanctioned case); the exact values are pinned by
+    tests/test_stream_source.py."""
+    from deltalake2db_spark.sources.delta_sink import (
+        delete_where,
+        write_delta,
+    )
+    from deltalake2db_spark.sources.pyds import register
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/range_stream"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        write_delta(spark.range(0, 3000).selectExpr("id", "id * 2 as v"), path)
+        write_delta(
+            spark.range(3000, 4000).selectExpr("id", "id * 2 as v"), path
+        )
+        delete_where(spark, path, "id % 100 = 7")
+    register(spark)
+    _STREAM_SEQ[0] += 1
+    sink = f"dl2db_stream_sink_{_STREAM_SEQ[0]}"
+    q = (
+        spark.readStream.format("deltalake2db")
+        .option("path", path)
+        .option("startingVersion", 0)
+        .option("changeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+    )
+
+
 def q_delta_optimize(spark, sf_dir):
     """Scan after OPTIMIZE of a deletion-vector table (file compaction
     + physical purge of DV-deleted rows, dataChange=false commit)."""
@@ -1242,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_optimize": q_delta_optimize,
         "q_delta_changes": q_delta_changes,
         "q_delta_cdf": q_delta_cdf,
+        "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
         "q_delta_merge": q_delta_merge,
         "q_profile_orders": q_profile_orders,

@@ -185,10 +185,25 @@ class DeltaLake2DBDataSource(DataSource):
         schema = state.schema
         if schema is None:
             raise ValueError("table has no schema")
+        if str(self.options.get("changefeed", "false")).lower() == "true":
+            from ..streaming.delta_stream_source import stream_schema
+
+            return stream_schema(state, change_feed=True)
         return schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
+        if str(self.options.get("changefeed", "false")).lower() == "true":
+            raise ValueError(
+                "changeFeed=true is a streaming option — use "
+                "spark.readStream (batch change feeds: "
+                "sources.changes.table_changes)"
+            )
         return DeltaDataSourceReader(schema, self.options)
+
+    def streamReader(self, schema: T.StructType):
+        from ..streaming.delta_stream_source import DeltaStreamReader
+
+        return DeltaStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

@@ -1,0 +1,157 @@
+"""Structured Streaming Delta source
+(streaming/delta_stream_source.py): spark.readStream over the table's
+commit log — plain append stream and full change feed.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake2db_spark.sources.delta_sink import delete_where, write_delta
+from deltalake2db_spark.sources.maintenance import update_where
+from deltalake2db_spark.sources.pyds import register
+
+CDF = {"delta.enableChangeDataFeed": "true"}
+
+
+def _run_available(spark, reader, name):
+    """Drain everything currently available into a memory sink."""
+    q = (
+        reader.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_append_stream_replays_history(spark, tmp_path_factory):
+    t = str(tmp_path_factory.mktemp("dstream") / "t")
+    write_delta(spark.range(0, 50).selectExpr("id", "id * 2 as v"), t)
+    write_delta(spark.range(50, 80).selectExpr("id", "id * 2 as v"), t)
+    register(spark)
+    got = _run_available(
+        spark,
+        spark.readStream.format("deltalake2db")
+        .option("path", t)
+        .option("startingVersion", 0)
+        .load(),
+        "s_replay",
+    )
+    assert got.count() == 80
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(80))
+
+
+def test_append_stream_only_new_commits_by_default(spark, tmp_path_factory):
+    t = str(tmp_path_factory.mktemp("dstream") / "t2")
+    write_delta(spark.range(0, 50).selectExpr("id"), t)
+    register(spark)
+    reader = spark.readStream.format("deltalake2db").option("path", t).load()
+    # default start = latest at stream creation -> first drain is empty
+    got = _run_available(spark, reader, "s_tail0")
+    assert got.count() == 0
+    write_delta(spark.range(50, 60).selectExpr("id"), t)
+    got = _run_available(
+        spark,
+        spark.readStream.format("deltalake2db").option("path", t).load(),
+        "s_tail1",
+    )
+    # a NEW stream also starts at latest; replay from a pinned version
+    got = _run_available(
+        spark,
+        spark.readStream.format("deltalake2db")
+        .option("path", t)
+        .option("startingVersion", 1)
+        .load(),
+        "s_tail2",
+    )
+    assert {r["id"] for r in got.collect()} == set(range(50, 60))
+
+
+def test_plain_stream_rejects_rewrites_unless_skipped(spark, tmp_path_factory):
+    t = str(tmp_path_factory.mktemp("dstream") / "t3")
+    write_delta(spark.range(0, 40).selectExpr("id", "cast(id as double) as v"), t)
+    update_where(spark, t, "id = 5", {"v": "-1"})  # rewrite commit
+    write_delta(spark.range(40, 45).selectExpr("id", "cast(id as double) as v"), t)
+    register(spark)
+    with pytest.raises(Exception, match="removes or rewrites|stream"):
+        _run_available(
+            spark,
+            spark.readStream.format("deltalake2db")
+            .option("path", t)
+            .option("startingVersion", 0)
+            .load(),
+            "s_reject",
+        )
+    got = _run_available(
+        spark,
+        spark.readStream.format("deltalake2db")
+        .option("path", t)
+        .option("startingVersion", 0)
+        .option("skipChangeCommits", "true")
+        .load(),
+        "s_skip",
+    )
+    # the rewrite commit is skipped wholesale; both appends arrive
+    assert {r["id"] for r in got.collect()} == set(range(45))
+
+
+def test_change_feed_stream_cdf_table(spark, tmp_path_factory):
+    t = str(tmp_path_factory.mktemp("dstream") / "t4")
+    df = spark.range(0, 60).selectExpr(
+        "id", "cast(id as double) as v", "cast(id % 2 as int) as part"
+    )
+    write_delta(df, t, partition_by=["part"], configuration=CDF)  # v0
+    update_where(spark, t, "id in (7, 8)", {"v": "v * 10"})       # v1 cdc
+    delete_where(spark, t, "id in (1, 2)")                        # v2 cdc
+    register(spark)
+    got = _run_available(
+        spark,
+        spark.readStream.format("deltalake2db")
+        .option("path", t)
+        .option("startingVersion", 1)
+        .option("changeFeed", "true")
+        .load(),
+        "s_cdf",
+    )
+    rows = {
+        (r["id"], r["_change_type"]): (r["v"], r["_commit_version"], r["part"])
+        for r in got.collect()
+    }
+    assert rows[(7, "update_preimage")] == (7.0, 1, 1)
+    assert rows[(7, "update_postimage")] == (70.0, 1, 1)
+    assert rows[(8, "update_preimage")][0] == 8.0
+    assert rows[(1, "delete")][1] == 2
+    assert rows[(2, "delete")][1] == 2
+    assert len(rows) == 6
+
+
+def test_change_feed_stream_derived_commits(spark, tmp_path_factory):
+    """Without CDF files the stream derives inserts and exact DV-diff
+    deletes from add/remove actions — table_changes semantics,
+    incrementally."""
+    t = str(tmp_path_factory.mktemp("dstream") / "t5")
+    write_delta(spark.range(0, 30).selectExpr("id"), t)   # v0
+    write_delta(spark.range(30, 40).selectExpr("id"), t)  # v1 append
+    delete_where(spark, t, "id in (3, 4)")                # v2 DV growth
+    register(spark)
+    got = _run_available(
+        spark,
+        spark.readStream.format("deltalake2db")
+        .option("path", t)
+        .option("startingVersion", 1)
+        .option("changeFeed", "true")
+        .load(),
+        "s_cdf_derived",
+    )
+    by = {
+        (r["_commit_version"], r["_change_type"], r["id"]) for r in got.collect()
+    }
+    assert by == (
+        {(1, "insert", i) for i in range(30, 40)}
+        | {(2, "delete", 3), (2, "delete", 4)}
+    )

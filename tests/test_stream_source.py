@@ -155,3 +155,45 @@ def test_change_feed_stream_derived_commits(spark, tmp_path_factory):
         {(1, "insert", i) for i in range(30, 40)}
         | {(2, "delete", 3), (2, "delete", 4)}
     )
+
+
+def test_delta_to_delta_streaming_pipeline(spark, tmp_path_factory):
+    """Full streaming loop: Delta source -> transform -> exactly-once
+    Delta sink, then incremental drain of a new commit only."""
+    from deltalake2db_spark import scan_delta
+    from deltalake2db_spark.streaming.delta_stream_sink import (
+        write_stream_to_delta,
+    )
+
+    root = tmp_path_factory.mktemp("d2d")
+    src, dst, ckpt = str(root / "src"), str(root / "dst"), str(root / "ckpt")
+    write_delta(spark.range(0, 100).selectExpr("id", "id * 2 as v"), src)
+    register(spark)
+
+    def drain():
+        reader = (
+            spark.readStream.format("deltalake2db")
+            .option("path", src)
+            .option("startingVersion", 0)
+            .load()
+            .filter("id % 2 = 0")
+            .withColumn("doubled", F.col("v") * 2)
+        )
+        q = write_stream_to_delta(
+            reader, dst, checkpoint_dir=ckpt, app_id="d2d"
+        )
+        q.awaitTermination(120)
+
+    drain()
+    out = scan_delta(spark, dst)
+    assert out.count() == 50
+    assert out.agg(F.sum("doubled")).collect()[0][0] == sum(
+        4 * i for i in range(0, 100, 2)
+    )
+
+    # append a commit upstream; restart drains ONLY the new rows
+    write_delta(spark.range(100, 120).selectExpr("id", "id * 2 as v"), src)
+    drain()
+    out = scan_delta(spark, dst)
+    assert out.count() == 60
+    assert out.filter("id >= 100").count() == 10

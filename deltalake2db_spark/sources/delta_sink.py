@@ -398,7 +398,10 @@ def vacuum(
                     if not line.strip():
                         continue
                     action = _json.loads(line)
-                    for key in ("add", "remove"):
+                    # cdc files are referenced ONLY by cdc actions —
+                    # without this they'd age into "orphans" and a
+                    # vacuum would silently break change-feed reads
+                    for key in ("add", "remove", "cdc"):
                         if action.get(key):
                             referenced.add(unquote(action[key]["path"]))
         elif fn.endswith(".checkpoint.parquet"):

@@ -126,3 +126,12 @@ def test_cdf_enabled_gate(cdf_table):
     from deltalake2db_spark.sources.cdc import cdf_enabled
 
     assert cdf_enabled(get_meta(cdf_table))
+
+
+def test_vacuum_protects_cdc_files(cdf_table):
+    from deltalake2db_spark.sources.delta_sink import vacuum
+
+    # age nothing: retention 0 makes every unreferenced parquet an
+    # orphan candidate — cdc files must still be protected
+    orphans = vacuum(cdf_table, dry_run=True, retention_hours=0.0)
+    assert not any(o.startswith("_change_data/") for o in orphans), orphans

@@ -133,7 +133,16 @@ class MetaState:
     # -- folding -----------------------------------------------------
     def apply_action(self, action: Mapping, version: int) -> None:
         if action.get("metaData"):
-            self.last_metadata = dict(action["metaData"])
+            md = dict(action["metaData"])
+            cfg = md.get("configuration")
+            if isinstance(cfg, list):
+                # checkpoint parquet stores the MAP as key/value entry
+                # structs; every configuration consumer (cdf_enabled,
+                # table_constraints, columnMapping.mode) expects a dict
+                md["configuration"] = {
+                    e["key"]: e["value"] for e in cfg if e
+                }
+            self.last_metadata = md
         if action.get("protocol"):
             self.protocol = dict(action["protocol"])
         if action.get("add"):

@@ -135,3 +135,22 @@ def test_vacuum_protects_cdc_files(cdf_table):
     # orphan candidate — cdc files must still be protected
     orphans = vacuum(cdf_table, dry_run=True, retention_hours=0.0)
     assert not any(o.startswith("_change_data/") for o in orphans), orphans
+
+
+def test_cdf_survives_checkpoint_bootstrap(spark, cdf_table):
+    """Checkpoint parquet stores the configuration MAP as entry
+    structs; a snapshot bootstrapped from it must still expose a dict
+    (cdf_enabled crashed on the entries-list before) and later DML
+    must keep writing cdc actions."""
+    from deltalake2db_spark.sources.cdc import cdf_enabled
+    from deltalake2db_spark.sources.delta_sink import write_checkpoint
+
+    write_checkpoint(cdf_table)
+    m = get_meta(cdf_table)
+    assert isinstance(
+        (m.last_metadata or {}).get("configuration"), dict
+    )
+    assert cdf_enabled(m)
+    v = update_where(spark, cdf_table, "id = 20", {"v": "-20"})["version"]
+    acts = _commit_actions(cdf_table, v)
+    assert [a for a in acts if a.get("cdc")], "post-checkpoint DML lost CDC"

@@ -154,3 +154,33 @@ def test_cdf_survives_checkpoint_bootstrap(spark, cdf_table):
     v = update_where(spark, cdf_table, "id = 20", {"v": "-20"})["version"]
     acts = _commit_actions(cdf_table, v)
     assert [a for a in acts if a.get("cdc")], "post-checkpoint DML lost CDC"
+
+
+def test_cdf_on_column_mapped_table(spark, tmp_path_factory):
+    """CDC files store PHYSICAL column names on mapped tables and
+    exclude partition columns; the feed must restore logical names and
+    partition values exactly."""
+    from fixture_tables import build_faker2
+
+    from deltalake2db_spark.sources.delta_writer import DeltaWriter
+
+    p = build_faker2(str(tmp_path_factory.mktemp("mapped_cdf") / "t"))
+    m = get_meta(p)
+    cfg = dict((m.last_metadata or {}).get("configuration", {}))
+    assert cfg.get("delta.columnMapping.mode") == "name"
+    w = DeltaWriter(p)
+    w.version = m.version
+    md = dict(m.last_metadata)
+    md["configuration"] = {**cfg, "delta.enableChangeDataFeed": "true"}
+    w.commit([{"metaData": md}], operation="SET TBLPROPERTIES")
+
+    rep = update_where(
+        spark, p, "`Super Name` = 'Name 1'", {"age": "array(98, 99)"}
+    )
+    ch = table_changes(spark, p, rep["version"] - 1, rep["version"])
+    rows = {
+        r["_change_type"]: (r["Super Name"], r["Company Very Short"], r["age"])
+        for r in ch.collect()
+    }
+    assert rows["update_preimage"] == ("Name 1", "BMS", [1, 2])
+    assert rows["update_postimage"] == ("Name 1", "BMS", [98, 99])

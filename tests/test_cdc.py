@@ -184,3 +184,62 @@ def test_cdf_on_column_mapped_table(spark, tmp_path_factory):
     }
     assert rows["update_preimage"] == ("Name 1", "BMS", [1, 2])
     assert rows["update_postimage"] == ("Name 1", "BMS", [98, 99])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_feed_replay_reconstructs_final_state(spark, tmp_path_factory, seed):
+    """Property: applying the change feed over the initial snapshot by
+    key reproduces the final table exactly, for a randomized DML
+    sequence (appends, updates, DV deletes, merges)."""
+    import random
+
+    rnd = random.Random(seed)
+    t = str(tmp_path_factory.mktemp(f"cdf_prop{seed}") / "t")
+    write_delta(
+        spark.range(0, 40).selectExpr("id", "cast(id as double) as v"),
+        t, configuration=CDF,
+    )
+    next_id = 40
+    for _ in range(4):
+        op = rnd.choice(["append", "update", "delete", "merge"])
+        if op == "append":
+            write_delta(
+                spark.range(next_id, next_id + 10).selectExpr(
+                    "id", "cast(id as double) as v"
+                ),
+                t,
+            )
+            next_id += 10
+        elif op == "update":
+            k = rnd.randrange(0, next_id)
+            update_where(spark, t, f"id % 7 = {k % 7}", {"v": "v + 1000"})
+        elif op == "delete":
+            k = rnd.randrange(0, 7)
+            delete_where(spark, t, f"id % 11 = {k}")
+        else:
+            src = spark.range(next_id - 5, next_id + 5).selectExpr(
+                "id", "cast(-1 as double) as v"
+            )
+            merge_into(spark, t, src, on=["id"])
+            next_id += 5
+
+    from deltalake2db_spark import scan_delta
+
+    base = {
+        r["id"]: r["v"]
+        for r in scan_delta(spark, get_meta(t, version=0)).collect()
+    }
+    feed = sorted(
+        table_changes(spark, t, 0).collect(),
+        key=lambda r: (r["_commit_version"],),
+    )
+    state = dict(base)
+    for r in feed:
+        ct = r["_change_type"]
+        if ct in ("insert", "update_postimage"):
+            state[r["id"]] = r["v"]
+        elif ct == "delete":
+            state.pop(r["id"], None)
+        # update_preimage: no state transition
+    final = {r["id"]: r["v"] for r in scan_delta(spark, t).collect()}
+    assert state == final

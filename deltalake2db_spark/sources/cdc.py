@@ -189,18 +189,25 @@ def read_cdc_actions(
     out: Optional[DataFrame] = None
     for pv, paths in groups.values():
         df = spark.read.parquet(*paths)
+        have = set(df.columns)
         sel = []
-        for c in df.columns:
-            if c == CHANGE_TYPE:
-                sel.append(F.col(CHANGE_TYPE))
+        # resolve against the STATE's schema, not the file's: cdc files
+        # written before a schema evolution lack the newer columns and
+        # backfill them as typed NULLs (same P6 rule as the data scan)
+        for f in schema_fields.values():
+            if f.name in part_cols:
+                sel.append(
+                    partition_literal(
+                        f, pv.get(l2p.get(f.name, f.name))
+                    ).alias(f.name)
+                )
+                continue
+            phys = l2p.get(f.name, f.name)
+            if phys in have:
+                sel.append(F.col(f"`{phys}`").alias(f.name))
             else:
-                sel.append(F.col(f"`{c}`").alias(p2l.get(c, c)))
-        for pc in part_cols:
-            sel.append(
-                partition_literal(
-                    schema_fields[pc], pv.get(l2p.get(pc, pc))
-                ).alias(pc)
-            )
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        sel.append(F.col(CHANGE_TYPE))
         piece = df.select(*sel)
         out = piece if out is None else out.unionByName(piece)
     return out

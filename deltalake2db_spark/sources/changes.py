@@ -75,6 +75,15 @@ def table_changes(
     state = get_meta(path, version=starting_version)
     io = state._io
     prev_adds: dict[str, dict] = dict(state.add_actions)
+    # every part of the feed is resolved against the END version's
+    # schema (delta-spark CDF semantics): files and cdc rows written
+    # before a column was added backfill it as typed NULLs — otherwise
+    # the union across a schema-evolution boundary cannot line up
+    schema_state = (
+        get_meta(path, version=ending_version)
+        if ending_version is not None
+        else get_meta(path)
+    )
 
     parts: list[DataFrame] = []
 
@@ -86,7 +95,7 @@ def table_changes(
     def rows_of(actions: dict[str, dict], v: int, change: str) -> DataFrame:
         """ONE grouped scan for all of a commit's same-change files —
         O(1) plan nodes per (commit, change type), not O(files)."""
-        df = scan_delta(spark, _state_with(state, actions))
+        df = scan_delta(spark, _state_with(schema_state, actions))
         return tagged(df, change, v)
 
     def dv_diff_rows(old: dict, new: dict, v: int) -> Optional[DataFrame]:
@@ -98,7 +107,8 @@ def table_changes(
         # read the file as of BEFORE the commit (old DV), keep only the
         # newly-masked row indexes
         df = scan_delta(
-            spark, _state_with(state, {old["path"]: old}), _with_pos=True
+            spark, _state_with(schema_state, {old["path"]: old}),
+            _with_pos=True,
         )
         idx_df = spark.createDataFrame(
             [(i,) for i in diff], schema=f"{_DV_RI} long"
@@ -133,7 +143,7 @@ def table_changes(
             # delete+insert)
             from .cdc import read_cdc_actions
 
-            df = read_cdc_actions(spark, state, path, cdcs)
+            df = read_cdc_actions(spark, schema_state, path, cdcs)
             parts.append(
                 df.withColumn(COMMIT_VERSION, F.lit(v).cast("long"))
             )
@@ -171,7 +181,7 @@ def table_changes(
 
     if not parts:
         schema = T.StructType(
-            list(state.schema.fields)
+            list(schema_state.schema.fields)
             + [
                 T.StructField(CHANGE_TYPE, T.StringType(), False),
                 T.StructField(COMMIT_VERSION, T.LongType(), False),

@@ -243,3 +243,47 @@ def test_feed_replay_reconstructs_final_state(spark, tmp_path_factory, seed):
         # update_preimage: no state transition
     final = {r["id"]: r["v"] for r in scan_delta(spark, t).collect()}
     assert state == final
+
+
+def test_feed_spans_schema_evolution(spark, tmp_path_factory):
+    """cdc rows written before an ADD COLUMN backfill it as typed
+    NULLs; the whole feed resolves against the end-version schema
+    (crashed with NUM_COLUMNS_MISMATCH before)."""
+    import json as _json
+
+    from deltalake2db_spark.sources.delta_writer import DeltaWriter
+
+    t = str(tmp_path_factory.mktemp("cdf_evo") / "t")
+    write_delta(
+        spark.range(0, 20).selectExpr("id", "cast(id as double) as v"),
+        t, configuration=CDF,
+    )                                                         # v0
+    update_where(spark, t, "id = 1", {"v": "-1"})             # v1 old schema
+    m = get_meta(t)
+    md = dict(m.last_metadata)
+    sch = _json.loads(md["schemaString"])
+    sch["fields"].append(
+        {"name": "tag", "type": "string", "nullable": True, "metadata": {}}
+    )
+    md["schemaString"] = _json.dumps(sch)
+    w = DeltaWriter(t)
+    w.version = m.version
+    w.commit([{"metaData": md}], operation="ADD COLUMN")      # v2
+    write_delta(
+        spark.range(20, 25).selectExpr(
+            "id", "cast(id as double) as v", "'x' as tag"
+        ),
+        t,
+    )                                                         # v3
+    update_where(spark, t, "id = 21", {"v": "-21"})           # v4 new schema
+
+    ch = table_changes(spark, t, 0)
+    assert set(ch.columns) == {"id", "v", "tag", "_change_type",
+                               "_commit_version"}
+    rows = {
+        (r["_commit_version"], r["id"], r["_change_type"]): r["tag"]
+        for r in ch.collect()
+    }
+    assert rows[(1, 1, "update_preimage")] is None   # pre-evolution cdc
+    assert rows[(4, 21, "update_postimage")] == "x"  # post-evolution cdc
+    assert rows[(3, 22, "insert")] == "x"            # derived insert

@@ -186,6 +186,12 @@ def read_cdc_actions(
             os.path.join(table_path, unquote(act["path"]))
         )
 
+    if len(groups) > 64:
+        # same plan-size guard as the main scan (delta.py C1): above 64
+        # partition groups, one multi-path read + broadcast
+        # file->partition-values join keeps the plan O(1) in group count
+        return _read_cdc_filejoin(spark, state, table_path, cdc_actions)
+
     out: Optional[DataFrame] = None
     for pv, paths in groups.values():
         df = spark.read.parquet(*paths)
@@ -211,3 +217,84 @@ def read_cdc_actions(
         piece = df.select(*sel)
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+def _read_cdc_filejoin(
+    spark: SparkSession,
+    state,
+    table_path: str,
+    cdc_actions: Sequence[dict],
+) -> DataFrame:
+    """Many-partition cdc read: single multi-path scan of every cdc
+    file with an explicit read schema (missing evolved columns backfill
+    as NULLs) + broadcast join on file basename to attach typed
+    partition values — the cdc mirror of ``delta._scan_filejoin``."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import types as T
+
+    from ..plans.filters import (
+        decode_partition_value,
+        normalize_partition_values,
+    )
+    from ..plans.types import delta_type_name, to_physical_schema
+
+    _tmap, l2p = state.type_maps()
+    part_cols = list(state.partition_columns)
+    logical_by_name = {f.name: f for f in state.schema.fields}
+    phys_schema = to_physical_schema(state.schema)
+    phys_by_logical = dict(zip(
+        [f.name for f in state.schema.fields], phys_schema.fields
+    ))
+
+    read_fields = [
+        phys_by_logical[f.name]
+        for f in state.schema.fields
+        if f.name not in part_cols
+    ]
+    read_schema = T.StructType(
+        list(read_fields) + [T.StructField(CHANGE_TYPE, T.StringType(), True)]
+    )
+
+    FILE_KEY = "__dl2db_cdc_file"
+    map_fields = [T.StructField(FILE_KEY, T.StringType(), False)]
+    for c in part_cols:
+        map_fields.append(
+            T.StructField(c, logical_by_name[c].dataType, True)
+        )
+    rows, paths = [], []
+    for act in cdc_actions:
+        rel = unquote(act["path"])
+        abs_p = os.path.join(table_path, rel)
+        paths.append(abs_p)
+        pv = normalize_partition_values(act.get("partitionValues") or {})
+        decoded = [
+            decode_partition_value(
+                pv.get(l2p.get(c, c)),
+                delta_type_name(logical_by_name[c].dataType),
+            )
+            for c in part_cols
+        ]
+        rows.append((abs_p.rsplit("/", 1)[-1], *decoded))
+    part_map = spark.createDataFrame(rows, schema=T.StructType(map_fields))
+
+    raw = spark.read.schema(read_schema).parquet(*paths).withColumn(
+        FILE_KEY, F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    joined = raw.join(F.broadcast(part_map), FILE_KEY, "left")
+
+    from ..plans.exprs import quote_name, rewrite_expr
+
+    exprs = []
+    for f in state.schema.fields:
+        if f.name in part_cols:
+            exprs.append(F.col(quote_name(f.name)))
+        else:
+            phys = l2p.get(f.name, f.name)
+            exprs.append(
+                rewrite_expr(
+                    F.col(quote_name(phys)), f.dataType
+                ).alias(f.name)
+            )
+    exprs.append(F.col(CHANGE_TYPE))
+    return joined.select(*exprs)

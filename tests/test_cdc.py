@@ -287,3 +287,38 @@ def test_feed_spans_schema_evolution(spark, tmp_path_factory):
     assert rows[(1, 1, "update_preimage")] is None   # pre-evolution cdc
     assert rows[(4, 21, "update_postimage")] == "x"  # post-evolution cdc
     assert rows[(3, 22, "insert")] == "x"            # derived insert
+
+
+def test_cdc_reader_filejoin_above_group_threshold(spark, tmp_path_factory):
+    """Above 64 partition groups the cdc reader switches to one
+    multi-path scan + broadcast partition-value join; both paths must
+    agree and the plan must not grow with group count."""
+    from deltalake2db_spark.sources.cdc import (
+        _read_cdc_filejoin,
+        read_cdc_actions,
+        write_cdc_partitioned,
+    )
+    from deltalake2db_spark.sources.delta_sink import write_delta
+
+    t = str(tmp_path_factory.mktemp("cdc_many") / "t")
+    n_parts = 70
+    df = spark.range(0, 2 * n_parts).selectExpr(
+        "id", f"cast(id % {n_parts} as int) as part",
+        "cast(id as double) as v",
+    )
+    write_delta(df, t, partition_by=["part"], configuration=CDF)
+    m = get_meta(t)
+    changes = df.withColumn("_change_type", F.lit("insert"))
+    actions = [a["cdc"] for a in write_cdc_partitioned(changes, m, t)]
+    assert len({json.dumps(a["partitionValues"]) for a in actions}) == n_parts
+
+    fast = _read_cdc_filejoin(spark, m, t, actions)
+    assert fast._jdf.queryExecution().executedPlan().toString().count(
+        "Scan parquet"
+    ) == 1
+    got = read_cdc_actions(spark, m, t, actions)  # takes filejoin branch
+    expect = {(r["id"], r["part"], r["v"]) for r in df.collect()}
+    for frame in (fast, got):
+        rows = {(r["id"], r["part"], r["v"]) for r in frame.collect()}
+        assert rows == expect
+        assert frame.filter(F.col("_change_type") != "insert").count() == 0

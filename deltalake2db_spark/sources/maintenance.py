@@ -252,6 +252,31 @@ def _rewrite_groups(
 
     has_constraints = bool(table_constraints(state))
     partition_cols = list(state.partition_columns)
+    _, _l2p_rw = state.type_maps()
+    partition_phys_rw = [_l2p_rw.get(c, c) for c in partition_cols]
+
+    def _group_rel_dir(acts: list[dict]) -> str:
+        """Directory for a group's rewritten files, RELATIVE to the
+        table root.  Normally the source file's own (already
+        hive-encoded) directory — but a shallow clone's add actions
+        carry ABSOLUTE URIs into the SOURCE table, and reusing those
+        would drop rewrites outside the clone; rebuild the hive layout
+        from partitionValues instead so the copy-on-write lands under
+        the clone's root."""
+        first = unquote(acts[0]["path"])
+        if "://" not in first and not first.startswith("/"):
+            return first.rsplit("/", 1)[0] if "/" in first else ""
+        pv = acts[0].get("partitionValues") or {}
+        segs = []
+        for p in partition_phys_rw:
+            v = pv.get(p)
+            segs.append(
+                f"{p}={quote(str(v), safe='')}"
+                if v is not None
+                else f"{p}=__HIVE_DEFAULT_PARTITION__"
+            )
+        return "/".join(segs)
+
     staging = tempfile.mkdtemp(prefix="dl2db_rewrite_")
     removed: list[str] = []
     added: list[tuple[str, dict]] = []  # (rel path, partitionValues)
@@ -291,10 +316,7 @@ def _rewrite_groups(
                 if cdc_df is not None:
                     from .cdc import write_cdc_group
 
-                    first_cdc = unquote(acts[0]["path"])
-                    cdc_rel_dir = (
-                        first_cdc.rsplit("/", 1)[0] if "/" in first_cdc else ""
-                    )
+                    cdc_rel_dir = _group_rel_dir(acts)
                     cdc_actions.extend(
                         write_cdc_group(
                             _to_file_layout(cdc_df),
@@ -317,9 +339,9 @@ def _rewrite_groups(
 
             # reuse the group's existing directory layout (already
             # hive-encoded by whichever writer produced it); log paths
-            # are URL-quoted, disk paths are not
-            first = unquote(acts[0]["path"])
-            rel_dir = first.rsplit("/", 1)[0] if "/" in first else ""
+            # are URL-quoted, disk paths are not.  Absolute (shallow
+            # clone) sources rebuild the layout under THIS table root.
+            rel_dir = _group_rel_dir(acts)
             pv = dict(acts[0].get("partitionValues") or {})
             for fn in sorted(os.listdir(out)):
                 if not fn.endswith(".parquet"):

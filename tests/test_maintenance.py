@@ -281,3 +281,42 @@ def test_optimize_and_update_on_column_mapped_table(spark, tmp_path):
     assert row["main_coord"]["lat"] == 3.5  # nested mapping survives
     assert row["Company Very Short"] == "BMS"  # partition value intact
     assert out.count() == len(before)
+
+
+def test_dml_on_shallow_clone_stays_inside_clone(spark, tmp_path):
+    """A shallow clone's add actions are ABSOLUTE URIs into the source
+    table; copy-on-write rewrites must land under the CLONE's root in
+    hive layout (they previously leaked into a literal 'file:'
+    directory derived from the source URI) and never touch the
+    source."""
+    import os
+
+    from deltalake2db_spark.sources.maintenance import (
+        shallow_clone,
+        update_where,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_delta(
+        spark.range(0, 50).selectExpr(
+            "id", "cast(id as double) as v", "cast(id % 3 as int) as p"
+        ),
+        src, partition_by=["p"],
+    )
+    shallow_clone(spark, src, dst)
+    update_where(spark, dst, "id = 5", {"v": "-5"})
+
+    assert scan_delta(spark, dst).filter("id=5").collect()[0]["v"] == -5.0
+    assert scan_delta(spark, src).filter("id=5").collect()[0]["v"] == 5.0
+    new_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(dst) for f in fs if f.endswith(".parquet")
+    ]
+    # exactly the rewritten group's file, in hive layout under dst
+    assert len(new_files) == 1 and "/p=2/" in new_files[0]
+    assert not any("file:" in f for f in new_files)
+
+    # OPTIMIZE localizes the remaining absolute-path files too
+    rep = optimize(spark, dst, min_files=1)
+    assert rep["files_added"] >= 1
+    assert scan_delta(spark, dst).count() == 50

@@ -206,13 +206,9 @@ class DeltaStreamReader(DataSourceStreamReader):
             for change, action, keep_rows in self._commit_changes(
                 prev_adds, v
             ):
-                from urllib.parse import unquote
-
-                uri = self._state.file_uri(
-                    action
-                ) if "://" in self.path else os.path.join(
-                    self.path, unquote(action["path"])
-                )
+                # file_uri handles quoted-relative AND absolute (shallow
+                # clone) action paths alike
+                uri = self._state.file_uri(action)
                 parts.append(
                     DeltaStreamPartition(
                         uri,

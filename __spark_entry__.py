@@ -927,6 +927,21 @@ def q_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(d, max_hamming=3, hash_fn=_md5_long)
 
 
+def q_cross_dedup(spark, sf_dir):
+    """Cross-corpus dedup: the perturbed copies (first word dropped,
+    shifted ids) are the NEW corpus, the originals the REFERENCE —
+    bipartite LSH recovers exactly the planted (new, original) near-dup
+    pairs, never paying for intra-corpus candidates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return D.minhash_lsh_pairs_cross(
+        new, d, n=2, num_hashes=64, bands=16, threshold=0.5, max_bucket=200
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1302,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_neardup": q_cosine_neardup,
         "q_media_features": q_media_features,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_cross_dedup": q_cross_dedup,
         "q_simhash_pairs": q_simhash_pairs,
         "q_lsh_topk": q_lsh_topk,
         "q_dup_clusters": q_dup_clusters,
@@ -1456,6 +1472,45 @@ WHERE shared >= 0.05 * (sa.n_sh + sb.n_sh - shared)
 # recall at gate scale — verified set == full exact-Jaccard pair set over
 # the doubled corpus, which DuckDB reproduces with string shingles
 # (Jaccard values are invariant to the 64-bit shingle hashing).
+# Oracle for the cross-corpus dedup gate: exact bipartite Jaccard
+# (new side = perturbed docs, ref side = originals).  Same recall
+# argument as _MINHASH_SQL — the verify stage is exact and banding
+# catches every j~0.9 planted pair, so the gate result equals the
+# brute-force cross pair set.
+_CROSS_DEDUP_SQL = """
+WITH neww AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         substring(text, instr(text, ' ') + 1) AS text
+  FROM documents
+), shn AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+        FROM neww)
+), shr AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+        FROM documents)
+), sn AS (SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY 1),
+sr AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM shn a JOIN shr b ON a.sh = b.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, shared,
+       round(shared / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM shared
+JOIN sn sa ON sa.doc_id = id_a
+JOIN sr sb ON sb.doc_id = id_b
+WHERE shared >= 0.5 * (sa.n_sh + sb.n_sh - shared)
+"""
+
 _MINHASH_SQL = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -2059,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_topk": _COS_SQL,
         "q_cosine_neardup": _NEARDUP_SQL,
         "q_minhash_lsh": _MINHASH_SQL,
+        "q_cross_dedup": _CROSS_DEDUP_SQL,
         "q_media_features": _MEDIA_SQL,
         "q_lsh_topk": _lsh_topk_sql(),
         "q_dup_clusters": _CLUSTERS_SQL,

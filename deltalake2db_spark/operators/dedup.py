@@ -725,3 +725,141 @@ def simhash_pairs_from_sketches(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)
+
+
+# -------------------------------------------------------- cross-corpus dedup
+
+
+def minhash_lsh_pairs_cross(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Bipartite near-dup pairs between a NEW corpus and a REFERENCE
+    corpus: (id_a from new, id_b from ref, n_a, n_b, shared, jaccard).
+
+    The training-data case is deduplicating a fresh crawl against the
+    corpus already ingested (or against held-out eval data): candidates
+    come from an LSH band equi-join of new-side signatures against
+    ref-side signatures — never a self-join, so no intra-corpus pairs
+    are generated or paid for.  Same scale shape as the self-join
+    variant: one cached shingle table per side, banded buckets with a
+    ``max_bucket`` skew cap applied per side, exact restricted-Jaccard
+    verification (integer-exact threshold, SQL-oracle-reproducible).
+    The two id spaces are kept separate throughout — overlapping ids
+    between corpora are fine.
+    """
+    from pyspark import StorageLevel
+
+    nparts = df_new.sparkSession.sparkContext.defaultParallelism * 2
+    sides = {}
+    for tag, frame in (("a", df_new), ("b", df_ref)):
+        sh = shingle_table(frame, id_col, text_col, n, partitions=nparts).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sig = minhash_signatures_from_shingles(
+            sh, id_col, num_hashes, seed, with_sizes=True
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sides[tag] = (sh, sig)
+
+    rows_per_band = num_hashes // bands
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        band_cols = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    "sig", i * rows_per_band + j + 1
+                                ).cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bh"),
+                )
+                for i in range(bands)
+            ]
+        )
+        b = sig.select(
+            F.col(id_col).alias(out_id), F.explode(band_cols).alias("x")
+        ).select(out_id, F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+        # per-side skew cap: a bucket hotter than max_bucket on EITHER
+        # side is dropped, same contract as the self-join variant
+        ok = (
+            b.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= max_bucket)
+            .select("band", "bh")
+        )
+        return b.join(ok, ["band", "bh"], "left_semi")
+
+    (sh_a, sig_a), (sh_b, sig_b) = sides["a"], sides["b"]
+    candidates = (
+        banded(sig_a, "id_a")
+        .join(banded(sig_b, "id_b"), ["band", "bh"])
+        .select("id_a", "id_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    shn = sh_a.select(F.col(id_col).alias("id_a"), "sh")
+    shr = sh_b.select(F.col(id_col).alias("id_b"), "sh")
+    shared = (
+        candidates.join(shn, "id_a")
+        .join(shr, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sig_a.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sig_b.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    result = (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "union_", F.col("n_a") + F.col("n_b") - F.col("shared")
+        )
+        # same threshold arithmetic as _jaccard_from_shared: identical
+        # IEEE754 evaluation on both engines, oracle-reproducible
+        .filter(F.col("shared") >= F.lit(threshold) * F.col("union_"))
+        .select(
+            "id_a", "id_b", "n_a", "n_b", "shared",
+            F.round(F.col("shared") / F.col("union_"), 4).alias("jaccard"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    result.count()
+    for sh, sig in sides.values():
+        sh.unpersist()
+        sig.unpersist()
+    candidates.unpersist()
+    return result
+
+
+def dedup_against(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Rows of ``df_new`` that are NOT near-duplicates of anything in
+    ``df_ref`` — the "dedup the new crawl against the existing corpus"
+    step.  Anti-join on the cross pair list's new-side ids (near-dup
+    fraction is small, so the loser list broadcasts at any sane
+    scale)."""
+    pairs = minhash_lsh_pairs_cross(
+        df_new, df_ref, id_col=id_col, text_col=text_col, **kwargs
+    )
+    losers = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    return df_new.join(losers, id_col, "left_anti")

@@ -421,3 +421,52 @@ def test_range_join_rejects_nothing_on_colliding_names(spark):
         bin_micros=3_600_000_000,
     )
     assert "start_r" in out.columns and out.count() == 1
+
+
+def test_cross_dedup_bipartite(spark):
+    """Bipartite LSH: only (new, ref) pairs come back — never
+    intra-corpus pairs — and overlapping id spaces are safe."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark engines"),
+         (3, "another unrelated document entirely about benchmarks")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        # id 1 collides with ref id 1 on purpose; text near-dups ref#1
+        [(1, base + " indeed"), (2, "nothing like anything in the corpus")],
+        ["doc_id", "text"],
+    )
+    pairs = D.minhash_lsh_pairs_cross(
+        new, ref, n=2, num_hashes=64, bands=16, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 1)}
+
+    survivors = {
+        r["doc_id"]
+        for r in D.dedup_against(
+            new, ref, n=2, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert survivors == {2}
+
+
+def test_cross_dedup_no_intra_corpus_pairs(spark):
+    """Two exact copies inside the NEW corpus must not pair with each
+    other — only with reference matches."""
+    ref = spark.createDataFrame(
+        [(10, "some shared phrase that lives in the reference corpus")],
+        ["doc_id", "text"],
+    )
+    dup = "a document duplicated twice inside the new corpus only"
+    new = spark.createDataFrame(
+        [(1, dup), (2, dup),
+         (3, "some shared phrase that lives in the reference corpus")],
+        ["doc_id", "text"],
+    )
+    pairs = D.minhash_lsh_pairs_cross(
+        new, ref, n=2, num_hashes=64, bands=16, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(3, 10)}  # the 1~2 intra-new dup never surfaces

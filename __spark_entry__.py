@@ -1192,6 +1192,22 @@ def q_semantic_dedup(spark, sf_dir):
     ).select("vec_id", "label", "cell")
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space decontamination: odd-id vectors (NEW) are
+    dropped when any even-id vector (REFERENCE) in the same k-means
+    cell has cosine >= 0.25 — bipartite SemDeDup, intra-corpus pairs
+    never disqualify."""
+    from deltalake2db_spark.operators.kmeans import semantic_dedup_against
+
+    emb = _t(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cents = _fixed_centroids(spark, sf_dir)
+    return semantic_dedup_against(
+        new, ref, centroids=cents, threshold=0.25,
+    ).select("vec_id", "label", "cell")
+
+
 def q_delta_convert(spark, sf_dir):
     """CONVERT TO DELTA: documents written as plain hive-partitioned
     parquet (partitioned by lang), converted in place (no data
@@ -1336,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_stats": q_shard_stats,
         "q_kmeans_assign": q_kmeans_assign,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_semantic_decontam": q_semantic_decontam,
         "q_perplexity": q_perplexity,
         "q_pack_sequences": q_pack_sequences,
         "q_quantize_int8": q_quantize_int8,
@@ -1440,6 +1457,29 @@ ae AS (
 )
 SELECT vec_id, label, cell FROM ae
 WHERE vec_id NOT IN (SELECT id_b FROM losers)
+"""
+
+_SEMANTIC_DECONTAM_SQL = f"""
+WITH {_KMEANS_ASSIGN_CTE},
+ae AS (
+  SELECT e.vec_id, e.label, e.embedding, a.cell
+  FROM embeddings e JOIN assign a USING (vec_id)
+), newv AS (SELECT * FROM ae WHERE vec_id % 2 = 1),
+refv AS (SELECT * FROM ae WHERE vec_id % 2 = 0),
+pairs AS (
+  SELECT n.vec_id AS nid,
+         sum(n.embedding[i.i+1]::DOUBLE * r.embedding[i.i+1]::DOUBLE) AS dot,
+         sum(n.embedding[i.i+1]::DOUBLE * n.embedding[i.i+1]::DOUBLE) AS na,
+         sum(r.embedding[i.i+1]::DOUBLE * r.embedding[i.i+1]::DOUBLE) AS nb
+  FROM newv n, refv r, range(0, 64) i(i)
+  WHERE n.cell = r.cell
+  GROUP BY n.vec_id, r.vec_id
+), losers AS (
+  SELECT DISTINCT nid FROM pairs
+  WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.25
+)
+SELECT vec_id, label, cell FROM newv
+WHERE vec_id NOT IN (SELECT nid FROM losers)
 """
 
 _JACCARD_SQL = """
@@ -2277,6 +2317,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_kmeans_assign": _KMEANS_ASSIGN_SQL,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "q_semantic_decontam": _SEMANTIC_DECONTAM_SQL,
         "q_perplexity": r"""
             WITH toks AS (
                 SELECT doc_id,

@@ -169,3 +169,68 @@ def semantic_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(losers, id_col, "left_anti")
+
+
+def semantic_dedup_against(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_impl: str = "arrow",
+    pairs_impl: str = "arrow",
+    max_block: int = 20_000,
+) -> DataFrame:
+    """Embedding-space decontamination: rows of ``df_new`` whose cosine
+    to ANY ``df_ref`` vector in the same k-means cell is >= ``threshold``
+    are dropped; survivors return with their ``cell``.
+
+    The reference corpus defines the cell structure (centroids are fit
+    on it unless supplied), both sides are assigned map-side, and the
+    pair search reuses the blocked GEMM kernel bipartitely: each side's
+    ids are encoded with a parity bit (new=even, ref=odd), the union is
+    blocked per cell, and only cross-parity pairs count — intra-corpus
+    near-dups never disqualify a new row.  Overlapping id spaces are
+    safe under the encoding.  Same sum-of-block² scale shape as
+    ``semantic_dedup``.
+    """
+    from .similarity import neardup_pairs_blocked
+
+    if centroids is None:
+        centroids = kmeans_fit(df_ref, k, iters, id_col, vec_col)
+    enc = "__enc_id"
+    an = kmeans_assign(
+        df_new, centroids, id_col, vec_col, impl=assign_impl
+    ).select(
+        (F.col(id_col) * 2).alias(enc), F.col(vec_col), F.col("cell")
+    )
+    ar = kmeans_assign(
+        df_ref, centroids, id_col, vec_col, impl=assign_impl
+    ).select(
+        (F.col(id_col) * 2 + 1).alias(enc), F.col(vec_col), F.col("cell")
+    )
+    pairs = neardup_pairs_blocked(
+        an.unionByName(ar),
+        threshold=threshold,
+        id_col=enc,
+        vec_col=vec_col,
+        block_col="cell",
+        impl=pairs_impl,
+        max_block=max_block,
+    )
+    # cross-parity only: exactly one side of the pair is a NEW (even) id
+    cross = pairs.filter(
+        (F.col("id_a") % 2) != (F.col("id_b") % 2)
+    )
+    losers = cross.select(
+        F.when(F.col("id_a") % 2 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias(enc)
+    ).select((F.col(enc) / 2).cast("long").alias(id_col)).distinct()
+    assigned_new = kmeans_assign(
+        df_new, centroids, id_col, vec_col, impl=assign_impl
+    )
+    return assigned_new.join(losers, id_col, "left_anti")

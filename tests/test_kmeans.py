@@ -83,3 +83,30 @@ def test_semantic_dedup_keeps_min_id_representative(emb):
     # every dropped vector has a surviving (or transitively dropped)
     # lower-id partner; min id of the corpus always survives
     assert min(all_ids) in ids
+
+
+def test_semantic_dedup_against_bipartite(spark):
+    """Cross-corpus SemDeDup: a new vector near-identical to a REF
+    vector drops; an intra-NEW duplicate pair does not disqualify
+    either copy; overlapping ids are safe under the parity encoding."""
+    from deltalake2db_spark.operators.kmeans import semantic_dedup_against
+
+    ref = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    dup = [0.0, 0.0, 1.0, 0.0]
+    new = spark.createDataFrame(
+        [
+            (1, [0.99, 0.05, 0.0, 0.0]),  # ~ref#1 -> dropped (id collides)
+            (2, dup),                      # intra-new dup with #3
+            (3, dup),                      # both survive (no ref match)
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+    out = semantic_dedup_against(
+        new, ref, centroids=cents, threshold=0.9
+    )
+    assert {r["vec_id"] for r in out.collect()} == {2, 3}

@@ -322,3 +322,24 @@ def test_cdc_reader_filejoin_above_group_threshold(spark, tmp_path_factory):
         rows = {(r["id"], r["part"], r["v"]) for r in frame.collect()}
         assert rows == expect
         assert frame.filter(F.col("_change_type") != "insert").count() == 0
+
+
+def test_merge_matched_delete_emits_cdc_deletes(spark, tmp_path_factory):
+    """merge_into(when_matched_delete=True) on a CDF table records the
+    matched rows as cdc 'delete' changes (branch untested elsewhere)."""
+    t = str(tmp_path_factory.mktemp("cdf_mdel") / "t")
+    write_delta(
+        spark.range(0, 30).selectExpr("id", "cast(id as double) as v"),
+        t, configuration=CDF,
+    )
+    src = spark.range(5, 8).selectExpr("id")
+    rep = merge_into(
+        spark, t, src, on=["id"],
+        when_matched_delete=True, when_not_matched_insert=False,
+    )
+    ch = table_changes(spark, t, rep["version"] - 1, rep["version"])
+    got = sorted((r["id"], r["_change_type"]) for r in ch.collect())
+    assert got == [(5, "delete"), (6, "delete"), (7, "delete")]
+    from deltalake2db_spark import scan_delta
+
+    assert scan_delta(spark, t).count() == 27

@@ -620,22 +620,31 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         ).alias("w"),
     ).select(id_col, hash_fn(F.col("w")).alias("h"))
 
-    def bitmask(i: int):
-        return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
-
+    # Packed-lane vote counting: accumulator p_j sums bits j and j+32 of
+    # every token hash in two independent 32-bit lanes of one long (no
+    # cross-lane carry below 2^32 tokens/doc), so the aggregation is 32
+    # columns wide instead of 64.  vote_i > 0  <=>  2*count_set_i > n,
+    # identical to the previous sum(+/-1) formulation.  The width matters
+    # for wall-clock: at bench scale the 64-agg plan spent more time in
+    # Catalyst analysis (eager, re-run per transform, duplicated across
+    # the old self-join) than in execution.
+    lane_mask = F.lit((1 << 32) | 1)
     votes = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(bitmask(i)) != 0, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(bits)
-        ]
+            F.sum(F.shiftrightunsigned("h", j).bitwiseAND(lane_mask)).alias(f"p{j}")
+            for j in range(32)
+        ],
     )
-    fingerprint = None
+    # one parsed expression instead of a 64-deep Column OR-chain
+    terms = []
     for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, bitmask(i)).otherwise(F.lit(0)).cast("long")
-        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+        j, lane = i % 32, i // 32
+        cnt = f"((p{j} >> 32) & 4294967295)" if lane else f"(p{j} & 4294967295)"
+        m = f"{1 << i}L" if i < 63 else "(-9223372036854775807L - 1L)"
+        terms.append(f"(CASE WHEN 2 * {cnt} > n THEN {m} ELSE 0L END)")
+    fp = F.expr("(" + " | ".join(terms) + ")").cast("long")
+    return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(
@@ -645,6 +654,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     band_bits: int | None = None,
     hash_fn=None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -654,11 +664,13 @@ def simhash_pairs(
     bands, so ``bands >= h + 1`` guarantees one identical band — 100 %
     recall).  Passing an explicit ``band_bits`` that yields fewer bands
     than the recall contract needs raises instead of silently missing
-    pairs.
+    pairs.  ``max_bucket`` bounds a degenerate hot band (same guard as
+    ``minhash_lsh_pairs``): a band value shared by B docs is dropped
+    when B > max_bucket instead of generating B^2 candidates.
     """
     return simhash_pairs_from_sketches(
         simhash(df, id_col, text_col, hash_fn=hash_fn),
-        id_col, max_hamming, band_bits,
+        id_col, max_hamming, band_bits, max_bucket,
     )
 
 
@@ -667,6 +679,7 @@ def simhash_pairs_from_sketches(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     band_bits: int | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Banding + Hamming filter over precomputed (id, simhash) sketches.
 
@@ -695,6 +708,11 @@ def simhash_pairs_from_sketches(
             F.lit((1 << widths[i]) - 1)
         )
 
+    # Bucket formulation instead of a self-join: one shuffle groups the
+    # banded sketches, bucket size is capped (skew guard — a degenerate
+    # band value shared by B docs would otherwise emit B^2 candidates),
+    # and the sketch subtree appears ONCE in the plan (the a/b self-join
+    # duplicated it, doubling Catalyst analysis time).
     banded = sh.select(
         id_col,
         "simhash",
@@ -706,25 +724,48 @@ def simhash_pairs_from_sketches(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "simhash", "b.band", "b.bh")
-    a, b = banded.alias("a"), banded.alias("b")
+    ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+        # AQE coalesces this stage by BYTES, but the work below is the
+        # O(B^2) in-array pair expansion — invisible amplification that
+        # landed every bucket on one task (measured 2x on the whole
+        # gate); spread buckets across the cluster before expanding
+        .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+    )
+    sorted_ms = F.array_sort("ms")  # struct sort: ordered by id first
+    pair_structs = F.flatten(
+        F.transform(
+            sorted_ms,
+            lambda x, i: F.transform(
+                F.slice(sorted_ms, i + 2, F.size(sorted_ms)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("sh_a"),
+                    y["simhash"].alias("sh_b"),
+                ),
+            ),
+        )
+    )
+    # Hamming-filter INSIDE the bucket's pair array, before the explode
+    # and the dedup shuffle: hot bands legitimately under max_bucket
+    # still emit O(B^2) candidates (measured 415k candidates -> 1.7k
+    # survivors at bench scale), and shuffling the rejects through
+    # distinct() tripled the stage's wall-clock.
+    close = F.filter(
+        pair_structs,
+        lambda s: F.bit_count(s["sh_a"].bitwiseXOR(s["sh_b"])) <= F.lit(max_hamming),
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        buckets.select(F.explode(close).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming)
+    return cand.withColumn("hamming", hamming)
 
 
 # -------------------------------------------------------- cross-corpus dedup

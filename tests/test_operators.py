@@ -124,6 +124,24 @@ def test_simhash_banding_recall(spark):
         D.simhash_pairs_from_sketches(sh, max_hamming=16, band_bits=16)
 
 
+def test_simhash_hot_band_bucket_cap(spark):
+    """A degenerate band value shared by B docs must not go quadratic:
+    with max_bucket < B the hot bucket is dropped (bounded candidate
+    count, same guard as minhash_lsh_pairs), with max_bucket >= B the
+    full pair set comes back."""
+    b = 50
+    rows = [(i, 0x1234) for i in range(b)]  # identical sketches
+    rows += [(1000, 1 << 40), (1001, (1 << 40) | 1)]  # a normal near-pair
+    sh = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_pairs_from_sketches(sh, max_hamming=3, max_bucket=10).collect()
+    }
+    assert capped == {(1000, 1001)}  # hot band dropped, normal pair kept
+    full = D.simhash_pairs_from_sketches(sh, max_hamming=3, max_bucket=100)
+    assert full.count() == b * (b - 1) // 2 + 1
+
+
 def test_similarity_topk_matches_bruteforce(spark):
     import random
 

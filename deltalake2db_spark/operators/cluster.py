@@ -135,10 +135,15 @@ def _cc_loop(
     # scheduling 32 empty tasks per stage and scheduling 1-2.
     n_edges = edges.count()
     if n_edges <= local_threshold:
-        rows = edges.collect()
+        # Arrow transfer: two int64 numpy columns (~16 B/edge), not
+        # pickled Row objects — at the 1M default threshold that is a
+        # ~16 MB driver payload instead of hundreds of MB of Rows
+        pdf = edges.toPandas()
         edges.unpersist()
-        return _cc_local(((r["src"], r["dst"]) for r in rows),
-                         pairs.sparkSession)
+        return _cc_local(
+            zip(pdf["src"].to_numpy().tolist(), pdf["dst"].to_numpy().tolist()),
+            pairs.sparkSession,
+        )
     loop_parts = max(1, min(session_partitions, -(-n_edges // 2_000_000)))
     pairs.sparkSession.conf.set(
         "spark.sql.shuffle.partitions", str(loop_parts)

@@ -168,7 +168,14 @@ def semantic_dedup(
         max_block=max_block,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return assigned.join(losers, id_col, "left_anti")
+    # materialize eagerly so the assignment cache can be RELEASED now —
+    # returning lazily would leak a corpus-sized cache into executor
+    # storage for the session's lifetime (same pattern as
+    # minhash_lsh_pairs); the persisted result is what the caller reads
+    result = assigned.join(losers, id_col, "left_anti").persist()
+    result.count()
+    assigned.unpersist()
+    return result
 
 
 def semantic_dedup_against(
@@ -194,23 +201,46 @@ def semantic_dedup_against(
     ids are encoded with a parity bit (new=even, ref=odd), the union is
     blocked per cell, and only cross-parity pairs count — intra-corpus
     near-dups never disqualify a new row.  Overlapping id spaces are
-    safe under the encoding.  Same sum-of-block² scale shape as
-    ``semantic_dedup``.
+    safe under the encoding.  The id column must be an integral type
+    (the parity encoding is shift arithmetic) with |id| < 2^62 — the
+    top bit would be shifted away silently.  Same sum-of-block² scale
+    shape as ``semantic_dedup``.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from .similarity import neardup_pairs_blocked
 
+    id_type = df_new.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"semantic_dedup_against needs an integral {id_col!r} for its "
+            f"parity encoding; got {id_type.simpleString()} — join on a "
+            f"surrogate integral id (e.g. xxhash64) instead"
+        )
     if centroids is None:
         centroids = kmeans_fit(df_ref, k, iters, id_col, vec_col)
     enc = "__enc_id"
-    an = kmeans_assign(
+    # one assignment of df_new feeds BOTH the encoded union and the
+    # final anti-join (it was previously computed twice — a full extra
+    # GEMM pass over the new corpus)
+    assigned_new = kmeans_assign(
         df_new, centroids, id_col, vec_col, impl=assign_impl
-    ).select(
-        (F.col(id_col) * 2).alias(enc), F.col(vec_col), F.col("cell")
+    ).persist()
+    # parity encode/decode in INTEGER arithmetic: shiftleft/shiftright
+    # are exact for the whole +/-2^62 id range, unlike the previous
+    # float division whose doubles go inexact above 2^53 (hash-derived
+    # 64-bit ids silently mis-decoded)
+    an = assigned_new.select(
+        F.shiftleft(F.col(id_col).cast("long"), 1).alias(enc),
+        F.col(vec_col),
+        F.col("cell"),
     )
     ar = kmeans_assign(
         df_ref, centroids, id_col, vec_col, impl=assign_impl
     ).select(
-        (F.col(id_col) * 2 + 1).alias(enc), F.col(vec_col), F.col("cell")
+        F.shiftleft(F.col(id_col).cast("long"), 1).bitwiseOR(F.lit(1)).alias(enc),
+        F.col(vec_col),
+        F.col("cell"),
     )
     pairs = neardup_pairs_blocked(
         an.unionByName(ar),
@@ -222,15 +252,18 @@ def semantic_dedup_against(
         max_block=max_block,
     )
     # cross-parity only: exactly one side of the pair is a NEW (even) id
-    cross = pairs.filter(
-        (F.col("id_a") % 2) != (F.col("id_b") % 2)
+    parity = lambda c: F.col(c).bitwiseAND(F.lit(1))  # noqa: E731
+    cross = pairs.filter(parity("id_a") != parity("id_b"))
+    losers = (
+        cross.select(
+            F.when(parity("id_a") == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(enc)
+        )
+        .select(F.shiftright(F.col(enc), 1).cast(id_type).alias(id_col))
+        .distinct()
     )
-    losers = cross.select(
-        F.when(F.col("id_a") % 2 == 0, F.col("id_a"))
-        .otherwise(F.col("id_b"))
-        .alias(enc)
-    ).select((F.col(enc) / 2).cast("long").alias(id_col)).distinct()
-    assigned_new = kmeans_assign(
-        df_new, centroids, id_col, vec_col, impl=assign_impl
-    )
-    return assigned_new.join(losers, id_col, "left_anti")
+    result = assigned_new.join(losers, id_col, "left_anti").persist()
+    result.count()  # materialize so the assignment cache can be released
+    assigned_new.unpersist()
+    return result

@@ -137,6 +137,15 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
     repeated fold — the codegen-cache trap ``lang_id_from_scores``
     documents."""
     langs = sorted(STOPWORDS)
+    # the packed accumulator holds 16 bits per language in one 64-bit
+    # long; a 5th language would shift past bit 63 and silently corrupt
+    # every score — fail loudly instead (add a second accumulator or a
+    # struct fold before growing STOPWORDS)
+    if len(langs) > 4:
+        raise ValueError(
+            f"with_lang_id packs at most 4 languages into its 64-bit "
+            f"accumulator; STOPWORDS has {len(langs)}"
+        )
     words = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
 
     # all four counts packed into ONE long accumulator (16 bits per

@@ -28,9 +28,25 @@ the same zero-copy Arrow rename path as the batch source.  DV-diff
 row indexes ride in the partition payload (compact bitmaps by
 construction); rows never pass through the driver.
 
-Options: ``path`` (required), ``startingVersion`` (int; default =
-latest at stream start, i.e. only NEW commits stream; 0 replays the
-full history), ``changeFeed``, ``skipChangeCommits``.
+Options: ``path`` (required), ``startingVersion`` (int, or the string
+``"latest"``; default = latest at stream start, i.e. only NEW commits
+stream; 0 replays the full history), ``changeFeed``,
+``skipChangeCommits``, ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``
+(admission control: ``latestOffset`` advances only as many commits as
+fit the cap, so a large backlog drains in bounded micro-batches like
+delta-spark's source; at least one commit is always admitted so the
+stream makes progress even when a single commit exceeds the cap).
+Pair the caps with a processing-time trigger: ``Trigger.AvailableNow``
+captures ONE target offset at query start (the Python data-source
+bridge exposes no admission-control interface to the wrapper), so an
+availableNow run with a cap drains only the first capped batch.
+
+Documented deviation from delta-spark: the default starting point is
+the table's LATEST version (new commits only) — delta-spark instead
+emits the existing snapshot as the first batch.  Replaying history is
+explicit here (``startingVersion=0``); README.md's parity table calls
+this out.  Change-feed rows carry ``_commit_timestamp`` (from the
+commit's ``commitInfo.timestamp``, falling back to log-file mtime).
 """
 
 from __future__ import annotations
@@ -45,6 +61,8 @@ from ..plans.meta import _LOG_DIR, _commit_name, get_meta
 
 CHANGE_TYPE = "_change_type"
 COMMIT_VERSION = "_commit_version"
+COMMIT_TIMESTAMP = "_commit_timestamp"
+_META_COLS = (CHANGE_TYPE, COMMIT_VERSION, COMMIT_TIMESTAMP)
 
 
 class DeltaStreamPartition(InputPartition):
@@ -62,6 +80,7 @@ class DeltaStreamPartition(InputPartition):
         dv: dict | None = None,
         keep_rows: list[int] | None = None,
         table_root: str | None = None,
+        commit_ts_us: int | None = None,
     ):
         self.file_uri = file_uri
         self.field_plan = field_plan
@@ -70,6 +89,7 @@ class DeltaStreamPartition(InputPartition):
         self.dv = dv
         self.keep_rows = keep_rows
         self.table_root = table_root
+        self.commit_ts_us = commit_ts_us
 
 
 def _field_plan(state, action) -> list[tuple]:
@@ -112,33 +132,113 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
+        mf = options.get("maxfilespertrigger")
+        mb = options.get("maxbytespertrigger")
+        self.max_files = int(mf) if mf is not None else None
+        self.max_bytes = int(mb) if mb is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         self._state = get_meta(self.path)
+        # admission-control position: the newest version this reader has
+        # ADMITTED into an offset (advisory — batch CONTENT always comes
+        # from the engine's checkpointed (start, end] range, so a stale
+        # position after restart only affects batch sizing, never data)
+        self._pos: int | None = None
+        self._adm_cache: dict[int, tuple[int, int]] = {}
 
     # ---------------------------------------------------------- offsets
 
     def initialOffset(self) -> dict:
         sv = self.options.get("startingversion")
-        if sv is None:
-            return {"version": self._state.version}
-        return {"version": int(sv) - 1}
+        if sv is None or str(sv).lower() == "latest":
+            off = self._state.version
+        else:
+            off = int(sv) - 1
+        self._pos = off if self._pos is None else max(self._pos, off)
+        return {"version": off}
+
+    def _admission_stats(self, v: int) -> tuple[int, int]:
+        """(n_files, n_bytes) commit ``v`` would contribute to a batch —
+        add + cdc actions with their sizes, from one log-JSON read
+        (cached; the later ``partitions`` call re-reads the same JSON)."""
+        hit = self._adm_cache.get(v)
+        if hit is not None:
+            return hit
+        commit = f"{self.path}/{_LOG_DIR}/{_commit_name(v)}.json"
+        files = n_bytes = 0
+        for a in self._state._io.read_jsonl(commit):
+            act = a.get("add") or a.get("cdc")
+            if act is not None:
+                files += 1
+                n_bytes += int(act.get("size", 0) or 0)
+        self._adm_cache[v] = (files, n_bytes)
+        return files, n_bytes
 
     def latestOffset(self) -> dict:
         self._state.update_incremental()
-        return {"version": self._state.version}
+        latest = self._state.version
+        if self.max_files is None and self.max_bytes is None:
+            return {"version": latest}
+        if self._pos is None:  # engine restarted without initialOffset
+            self.initialOffset()
+        end = self._pos
+        total_f = total_b = 0
+        while end < latest:
+            f, b = self._admission_stats(end + 1)
+            if end > self._pos and (
+                (self.max_files is not None and total_f + f > self.max_files)
+                or (self.max_bytes is not None and total_b + b > self.max_bytes)
+            ):
+                break
+            end += 1
+            total_f += f
+            total_b += b
+            if (self.max_files is not None and total_f >= self.max_files) or (
+                self.max_bytes is not None and total_b >= self.max_bytes
+            ):
+                break
+        self._pos = end
+        return {"version": end}
 
     def commit(self, end: dict) -> None:
-        pass
+        try:
+            v = int(end["version"])
+        except (TypeError, KeyError, ValueError):
+            return
+        self._pos = v if self._pos is None else max(self._pos, v)
+        for k in [k for k in self._adm_cache if k <= v]:
+            del self._adm_cache[k]
 
     # ------------------------------------------------------- partitions
 
     def _commit_changes(self, prev_adds: dict, v: int):
-        """Yield (change_type, action, keep_rows) for commit ``v``,
-        mutating ``prev_adds`` — the driver-side enumeration mirror of
-        ``sources/changes.table_changes``."""
+        """Return ``(changes, commit_ts_us)`` for commit ``v`` where
+        changes is a list of (change_type, action, keep_rows), mutating
+        ``prev_adds`` — the driver-side enumeration mirror of
+        ``sources/changes.table_changes``.  The timestamp comes from the
+        commit's ``commitInfo.timestamp`` (ms), falling back to the log
+        file's mtime (delta-spark's rule for tables without
+        inCommitTimestamp)."""
         from ..sources.changes import _dv_indexes
 
         commit = f"{self.path}/{_LOG_DIR}/{_commit_name(v)}.json"
         actions = self._state._io.read_jsonl(commit)
+        ts_ms = next(
+            (
+                a["commitInfo"].get("timestamp")
+                for a in actions
+                if a.get("commitInfo")
+            ),
+            None,
+        )
+        if ts_ms is None:
+            try:
+                ts_ms = int(os.path.getmtime(commit) * 1000)
+            except OSError:
+                ts_ms = None
+        ts_us = int(ts_ms) * 1000 if ts_ms is not None else None
         adds = {a["add"]["path"]: a["add"] for a in actions if a.get("add")}
         removes = {
             a["remove"]["path"]: a["remove"] for a in actions if a.get("remove")
@@ -190,10 +290,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         for p in removes:
             prev_adds.pop(p, None)
         prev_adds.update(adds)
-        return changed
+        return changed, ts_us
 
     def partitions(self, start: dict, end: dict):
         sv, ev = int(start["version"]), int(end["version"])
+        # keep the admission position in step with the engine's actual
+        # range (it is authoritative after a checkpoint restart)
+        self._pos = ev if self._pos is None else max(self._pos, ev)
         if ev <= sv:
             return []
         if sv < 0:
@@ -203,9 +306,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             prev_adds = dict(get_meta(self.path, version=sv).add_actions)
         parts: list[DeltaStreamPartition] = []
         for v in range(sv + 1, ev + 1):
-            for change, action, keep_rows in self._commit_changes(
-                prev_adds, v
-            ):
+            changed, ts_us = self._commit_changes(prev_adds, v)
+            for change, action, keep_rows in changed:
                 # file_uri handles quoted-relative AND absolute (shallow
                 # clone) action paths alike
                 uri = self._state.file_uri(action)
@@ -218,6 +320,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                         dv=None if keep_rows else action.get("deletionVector"),
                         keep_rows=keep_rows,
                         table_root=self.path,
+                        commit_ts_us=ts_us,
                     )
                 )
         return parts
@@ -233,8 +336,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         if not partition.file_uri:
             return
         data_fields = [
-            f for f in self.full_schema.fields
-            if f.name not in (CHANGE_TYPE, COMMIT_VERSION)
+            f for f in self.full_schema.fields if f.name not in _META_COLS
         ]
         table = pq.read_table(partition.file_uri)
         if partition.keep_rows is not None:
@@ -276,6 +378,13 @@ class DeltaStreamReader(DataSourceStreamReader):
             names.append(CHANGE_TYPE)
             arrays.append(pa.array([partition.version] * n, type=pa.int64()))
             names.append(COMMIT_VERSION)
+            arrays.append(
+                pa.array(
+                    [partition.commit_ts_us] * n,
+                    type=pa.timestamp("us", tz="UTC"),
+                )
+            )
+            names.append(COMMIT_TIMESTAMP)
         out = pa.table(dict(zip(names, arrays)))
         yield from out.to_batches(max_chunksize=65536)
 
@@ -286,5 +395,6 @@ def stream_schema(state, change_feed: bool) -> T.StructType:
         fields += [
             T.StructField(CHANGE_TYPE, T.StringType(), False),
             T.StructField(COMMIT_VERSION, T.LongType(), False),
+            T.StructField(COMMIT_TIMESTAMP, T.TimestampType(), True),
         ]
     return T.StructType(fields)

@@ -197,3 +197,118 @@ def test_delta_to_delta_streaming_pipeline(spark, tmp_path_factory):
     out = scan_delta(spark, dst)
     assert out.count() == 60
     assert out.filter("id >= 100").count() == 10
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path_factory):
+    """startingVersion=0 over N single-file commits with
+    maxFilesPerTrigger=1 drains in N micro-batches carrying the same
+    total rows as the unlimited drain (VERDICT r4 #5)."""
+    t = str(tmp_path_factory.mktemp("dstream") / "rate")
+    n_commits = 4
+    for i in range(n_commits):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id"),
+            t,
+            mode="append" if i else "error",
+        )
+    register(spark)
+    reader = (
+        spark.readStream.format("deltalake2db")
+        .option("path", t)
+        .option("startingVersion", 0)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+    )
+    q = (
+        reader.writeStream.format("memory")
+        .queryName("s_rate")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM s_rate")
+    assert got.count() == n_commits * 10
+    assert {r["id"] for r in got.collect()} == set(range(n_commits * 10))
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) == n_commits
+    assert all(p["numInputRows"] == 10 for p in data_batches)
+
+
+def test_admission_control_unit(spark, tmp_path_factory):
+    """Direct reader-level admission control: each latestOffset advances
+    by exactly the capped file count, always >= 1 commit, and the byte
+    cap admits an oversized commit alone."""
+    from deltalake2db_spark.streaming.delta_stream_source import (
+        DeltaStreamReader,
+        stream_schema,
+    )
+    from deltalake2db_spark.plans.meta import get_meta
+
+    t = str(tmp_path_factory.mktemp("dstream") / "unit")
+    for i in range(3):
+        write_delta(
+            spark.range(i * 5, (i + 1) * 5).selectExpr("id").coalesce(1),
+            t,
+            mode="append" if i else "error",
+        )
+    schema = stream_schema(get_meta(t), change_feed=False)
+    rdr = DeltaStreamReader(
+        schema,
+        {"path": t, "startingversion": "0", "maxfilespertrigger": "1"},
+    )
+    start = rdr.initialOffset()
+    assert start == {"version": -1}
+    offs = []
+    for _ in range(3):
+        end = rdr.latestOffset()
+        offs.append(end["version"])
+        assert len(rdr.partitions(start, end)) == 1  # one file per batch
+        rdr.commit(end)
+        start = end
+    assert offs == [0, 1, 2]
+    assert rdr.latestOffset() == {"version": 2}  # drained: no advance
+
+    # byte cap of 1: every commit exceeds it but is admitted alone
+    rdr2 = DeltaStreamReader(
+        schema,
+        {"path": t, "startingversion": "0", "maxbytespertrigger": "1"},
+    )
+    rdr2.initialOffset()
+    assert rdr2.latestOffset() == {"version": 0}
+    assert rdr2.latestOffset() == {"version": 1}
+
+    # startingVersion='latest' parses and equals the default
+    rdr3 = DeltaStreamReader(schema, {"path": t, "startingversion": "latest"})
+    assert rdr3.initialOffset() == {"version": 2}
+
+
+def test_change_feed_commit_timestamp(spark, tmp_path_factory):
+    """Change-feed rows carry _commit_timestamp from commitInfo (UTC,
+    non-null, non-decreasing across versions)."""
+    t = str(tmp_path_factory.mktemp("dstream") / "cts")
+    write_delta(spark.range(0, 5).selectExpr("id"), t, configuration=CDF)
+    write_delta(
+        spark.range(5, 8).selectExpr("id"), t, mode="append"
+    )
+    register(spark)
+    got = _run_available(
+        spark,
+        spark.readStream.format("deltalake2db")
+        .option("path", t)
+        .option("startingVersion", 0)
+        .option("changeFeed", "true")
+        .load(),
+        "s_cts",
+    )
+    rows = got.select("_commit_version", "_commit_timestamp").collect()
+    assert len(rows) == 8
+    assert all(r["_commit_timestamp"] is not None for r in rows)
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["_commit_version"], set()).add(r["_commit_timestamp"])
+    assert all(len(s) == 1 for s in by_v.values())  # one ts per commit
+    assert by_v[0] <= by_v[1] or min(by_v[1]) >= min(by_v[0])

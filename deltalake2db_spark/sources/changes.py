@@ -21,6 +21,13 @@ changed since my last run") get a DataFrame of the table's columns plus
   ``update_preimage``/``update_postimage`` CDC rows and this derivation
   is skipped for that commit.
 * ``dataChange=false`` commits (OPTIMIZE / Z-ORDER) produce nothing.
+* a ``mode='overwrite'`` ``write_delta`` (which emits no cdc actions
+  even on a CDF-enabled table, matching delta-spark) derives
+  delete-of-every-previously-live-row + insert-of-every-new-row in the
+  overwrite's version — old deletion vectors are honored, so rows
+  already dead before the overwrite do not re-surface as deletes
+  (pinned by ``tests/test_changes.py::
+  test_overwrite_boundary_derives_delete_plus_insert``).
 
 Scale: each changed file is scanned distributed through ``scan_delta``
 (schema evolution / column mapping / DV masking all apply); only the

@@ -63,3 +63,32 @@ def test_empty_range_and_bad_version(spark, changed_table):
     assert "_change_type" in empty.columns
     with pytest.raises(ValueError, match="does not exist"):
         table_changes(spark, changed_table, 4, 99)
+
+
+def test_overwrite_boundary_derives_delete_plus_insert(spark, tmp_path_factory):
+    """A mode='overwrite' write_delta commit carries no cdc actions even
+    on a CDF-enabled table (delta-spark emits none for overwrite
+    either); table_changes must DERIVE the change set from the commit's
+    remove+add actions — every previously-live row a delete, every new
+    row an insert, in the overwrite's version (VERDICT r4 #7)."""
+    from deltalake2db_spark.sources.delta_sink import delete_where, write_delta
+
+    t = str(tmp_path_factory.mktemp("cdfov") / "t")
+    write_delta(
+        spark.range(0, 10).selectExpr("id"),
+        t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )                                                      # v0
+    delete_where(spark, t, "id = 3")                       # v1: true cdc
+    write_delta(
+        spark.range(100, 105).selectExpr("id"), t, mode="overwrite"
+    )                                                      # v2: no cdc
+    got = {
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in table_changes(spark, t, 0).collect()
+    }
+    expect = {(1, "delete", 3)}
+    # overwrite boundary: the 9 rows still live after v1 die, 5 arrive
+    expect |= {(2, "delete", i) for i in range(10) if i != 3}
+    expect |= {(2, "insert", i) for i in range(100, 105)}
+    assert got == expect

@@ -126,10 +126,10 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # SPARK time subtotal over the oracle-covered queries (NOT a
-        # DuckDB time — set SPARK_GRAFT_BENCH_DUCKDB=1 for that)
+        # DuckDB time — that one is measured below)
         "spark_subtotal_oracle_covered_sec": oracle_total,
     }
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") == "1":
         out["duckdb_oracle_queries"] = duck = duckdb_oracle_times(sf_dir)
         out["duckdb_oracle_total_sec"] = round(
             sum(t for t in duck.values() if t >= 0), 3
@@ -140,9 +140,11 @@ def main() -> None:
 
 def duckdb_oracle_times(sf_dir: str) -> dict[str, float]:
     """Best-of-2 DuckDB wall time per oracle query over the same
-    parquet (32 threads).  Opt-in: some oracles are deliberately
-    brute-force (q_simhash_pairs replays the FULL hamming pair set to
-    double as a recall proof) and scale quadratically past sf0.01."""
+    parquet (32 threads).  Default-on so every BENCH artifact records
+    the spark-vs-duckdb matched ratio natively; SPARK_GRAFT_BENCH_DUCKDB=0
+    skips it (some oracles are deliberately brute-force — q_simhash_pairs
+    replays the FULL hamming pair set to double as a recall proof — and
+    scale quadratically past sf0.1)."""
     import duckdb
 
     import __spark_entry__ as entry

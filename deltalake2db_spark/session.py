@@ -61,6 +61,10 @@ def get_spark(app_name: str = "deltalake2db_spark", cpus: int | None = None) -> 
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # delta-ecosystem convention: data files carry INT64 micros, not
+        # the deprecated INT96 (which pyarrow reads back as ns — any
+        # storage-reinterpreting reader would be off by 1000x)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))

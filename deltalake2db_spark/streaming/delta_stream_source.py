@@ -360,8 +360,18 @@ class DeltaStreamReader(DataSourceStreamReader):
             elif phys in by_phys:
                 col = table.column(by_phys[phys]).combine_chunks()
                 if col.type != ttype:
+                    # view() reinterprets storage — only safe when the
+                    # physical unit already matches (tz relabel).  An
+                    # INT96-written timestamp surfaces as timestamp[ns];
+                    # viewing that as [us] silently multiplies every
+                    # instant by 1000, so unit changes must CAST.
+                    same_unit_ts = (
+                        pa.types.is_timestamp(col.type)
+                        and pa.types.is_timestamp(ttype)
+                        and col.type.unit == ttype.unit
+                    )
                     try:
-                        col = col.view(ttype)
+                        col = col.view(ttype) if same_unit_ts else col.cast(ttype)
                     except (pa.ArrowInvalid, pa.ArrowTypeError,
                             pa.ArrowNotImplementedError):
                         col = col.cast(ttype)

@@ -26,25 +26,38 @@ _NUMERIC = (
 )
 
 
-def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+def profile(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    strategy: str = "auto",
+    gather_threshold_bytes: int = 64 << 20,
+) -> DataFrame:
     """Long-format profile: (column, n_rows, n_null, n_distinct,
     min_value, max_value) — min/max stringified (rounded to 4 for
     floats) so one schema fits every column type.
 
-    Distinct counts are EXACT, one **concurrent job per column**
-    (``select(c).distinct().count()``, nulls excluded to match
-    ``count(DISTINCT c)``).  Why not k ``countDistinct`` in one
-    aggregate: Catalyst plans that as an Expand — input ×(k+1) rows
-    through the exchange, a scale-killer.  Why not exploding (column,
-    value) pairs: the explode multiplies the scan output by k and
-    forces every value through a string cast.  Per-column jobs read
-    only their own column (columnar pruning ⇒ the k scans together
-    read the same bytes as ONE full scan), each gets map-side partial
-    distinct, and they run concurrently on the scheduler — wall-clock
-    is the widest column, not the sum.  The min/max/null wide
-    aggregate (non-Expand: no distinct inside) runs as a concurrent
-    job in the same pool, so the whole profile costs ~one scan's
-    wall-clock.
+    Distinct counts are EXACT.  Two physical strategies, identical
+    results, chosen by the optimizer's input-size estimate:
+
+    - ``'gather'`` (input under ``gather_threshold_bytes``): k
+      ``size(collect_set(c))`` in ONE ordinary aggregate — a single
+      job, no Expand (k ``countDistinct`` plans as Expand, ×(k+1)
+      input rows through the exchange, and measures 3× slower than
+      even the per-column jobs on this box).  collect_set materializes
+      each column's distinct set in the final reducer, so this is only
+      for inputs whose distinct sets comfortably fit one task's
+      memory.
+    - ``'concurrent'`` (the 100 TB path): one **concurrent job per
+      column** (``select(c).distinct().count()``, nulls excluded to
+      match ``count(DISTINCT c)``).  The Expand multiplier is a
+      scale-killer there; per-column jobs read only their own column
+      (columnar pruning ⇒ the k scans together read the same bytes as
+      ONE full scan), each gets map-side partial distinct, and they
+      run concurrently on the scheduler — wall-clock is the widest
+      column, not the sum.  The min/max/null wide aggregate
+      (non-Expand: no distinct inside) runs as a concurrent job in
+      the same pool, so the whole profile costs ~one scan's
+      wall-clock.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -63,15 +76,31 @@ def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
         aggs.append(mn.alias(f"__min_{c}"))
         aggs.append(mx.alias(f"__max_{c}"))
 
-    def _distinct(c: str) -> tuple[str, int]:
-        return c, (
-            df.filter(F.col(c).isNotNull()).select(c).distinct().count()
-        )
+    if strategy == "auto":
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # unresolvable estimate: assume big
+            est = 1 << 62
+        strategy = "gather" if est <= gather_threshold_bytes else "concurrent"
 
-    with ThreadPoolExecutor(len(cols) + 1) as ex:
-        row_f = ex.submit(lambda: df.agg(*aggs).collect()[0])
-        dist = dict(ex.map(_distinct, cols))
-        row = row_f.result()
+    if strategy == "gather":
+        for c in cols:
+            aggs.append(F.size(F.collect_set(F.col(c))).alias(f"__dist_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        dist = {c: int(row[f"__dist_{c}"]) for c in cols}
+    else:
+
+        def _distinct(c: str) -> tuple[str, int]:
+            return c, (
+                df.filter(F.col(c).isNotNull()).select(c).distinct().count()
+            )
+
+        with ThreadPoolExecutor(len(cols) + 1) as ex:
+            row_f = ex.submit(lambda: df.agg(*aggs).collect()[0])
+            dist = dict(ex.map(_distinct, cols))
+            row = row_f.result()
     out = [
         (c, row["__n"], row[f"__null_{c}"], dist.get(c, 0),
          row[f"__min_{c}"], row[f"__max_{c}"])

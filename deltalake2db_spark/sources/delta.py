@@ -314,14 +314,20 @@ def _apply_deletion_vectors(
         from ..plans.meta import MetadataIO
 
         opener = MetadataIO(storage_options)._open
-        pairs = [
-            (fk, int(ri))
-            for fk, dv_json in rows
-            for ri in _read(_json.loads(dv_json), table_root, opener=opener)
-        ]
+        import pandas as _pd
+
+        fks: list = []
+        ris: list = []
+        for fk, dv_json in rows:
+            idx = _read(_json.loads(dv_json), table_root, opener=opener)
+            fks.extend([fk] * len(idx))
+            ris.extend(idx)
+        # pandas frame -> Arrow conversion: ~10x cheaper than pickling
+        # 100k Python tuples through createDataFrame(list)
         dv_rows = F.broadcast(
             spark.createDataFrame(
-                pairs, schema=f"{_DV_KEY} string, {_DV_RI} long"
+                _pd.DataFrame({_DV_KEY: _pd.array(fks, dtype="string"),
+                               _DV_RI: _pd.array(ris, dtype="int64")}),
             )
         )
         out = df.join(dv_rows, on=[_DV_KEY, _DV_RI], how="left_anti")

@@ -27,3 +27,16 @@ def test_salted_agg_equals_plain(spark):
                  F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("v"), 2).alias("s")).collect()}
     assert salted == plain
+
+
+def test_profile_strategies_agree(spark):
+    df = spark.range(0, 5_000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("s"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(F.col("id") * 0.25).alias("v"),
+    )
+    cols = ["id", "s", "v"]
+    gather = sorted(map(tuple, profile(df, cols, strategy="gather").collect()))
+    conc = sorted(map(tuple, profile(df, cols, strategy="concurrent").collect()))
+    auto = sorted(map(tuple, profile(df, cols).collect()))
+    assert gather == conc == auto

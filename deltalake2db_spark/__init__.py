@@ -17,7 +17,9 @@ from .sources.delta import (
     scan_delta_native,
 )
 from .sources.delta_sink import (
+    DeltaAppendOnlyError,
     DeltaConstraintError,
+    DeltaInvariantError,
     delete_where,
     vacuum,
     write_checkpoint,
@@ -52,6 +54,8 @@ __all__ = [
     "add_check_constraint",
     "drop_check_constraint",
     "DeltaConstraintError",
+    "DeltaAppendOnlyError",
+    "DeltaInvariantError",
     "enable_column_mapping",
     "add_column",
     "rename_column",

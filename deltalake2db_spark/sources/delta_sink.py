@@ -40,6 +40,80 @@ class DeltaConstraintError(ValueError):
     """A write would violate a table CHECK constraint."""
 
 
+class DeltaAppendOnlyError(ValueError):
+    """A delete/overwrite/update was attempted on a
+    ``delta.appendOnly=true`` table (writer protocol v2 obligation)."""
+
+
+class DeltaInvariantError(ValueError):
+    """A write would violate a NOT NULL or column invariant
+    (writer protocol v2 obligation)."""
+
+
+def check_append_only(state, operation: str) -> None:
+    """Writer protocol v2: a table with ``delta.appendOnly=true`` only
+    accepts commits that ADD data — DELETE/UPDATE/MERGE/overwrite/
+    restore must be rejected, matching delta-spark's behavior."""
+    cfg = (state.last_metadata or {}).get("configuration", {})
+    if str(cfg.get("delta.appendOnly", "false")).lower() == "true":
+        raise DeltaAppendOnlyError(
+            f"operation {operation} is not allowed: this table is "
+            "configured to only allow appends (delta.appendOnly=true)"
+        )
+
+
+def enforce_invariants(df: DataFrame, state) -> None:
+    """Writer protocol v2 column invariants, both forms PROTOCOL.md
+    defines: a non-nullable schema field rejects NULLs, and a field
+    whose metadata carries ``delta.invariants`` (the JSON-wrapped
+    expression delta-spark stores) rejects rows where the expression
+    evaluates to FALSE (NULL passes, matching delta-spark's
+    CheckDeltaInvariant which only throws on an explicit false).
+    One short-circuit probe for all invariants together."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    cols = set(df.columns)
+    viols = []  # (label, violation predicate)
+    for f in state.schema.fields:
+        if f.name not in cols:
+            continue
+        if not f.nullable:
+            viols.append(
+                (f"{f.name} NOT NULL", F.col(f.name).isNull())
+            )
+        inv = (f.metadata or {}).get("delta.invariants")
+        if inv:
+            try:
+                expr = _json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                continue
+            viols.append(
+                (
+                    f"{f.name} invariant ({expr})",
+                    F.expr(expr).cast("boolean") == F.lit(False),
+                )
+            )
+    if not viols:
+        return
+    import functools
+    import operator as _op
+
+    any_viol = functools.reduce(_op.or_, (p for _, p in viols))
+    if df.filter(any_viol).limit(1).count():
+        # violation is the exceptional path: identify the culprit(s)
+        # with one probe each for a precise error
+        bad = [
+            label
+            for label, p in viols
+            if df.filter(p).limit(1).count()
+        ]
+        raise DeltaInvariantError(
+            "write violates column invariant(s): " + "; ".join(bad)
+        )
+
+
 def table_constraints(state) -> dict[str, str]:
     """CHECK constraints from table configuration
     (``delta.constraints.<name> = <sql expr>``, Delta's storage scheme)."""
@@ -135,7 +209,10 @@ def write_delta(
     except FileNotFoundError:
         pre_state = None
     if pre_state is not None:
+        if mode == "overwrite":
+            check_append_only(pre_state, "OVERWRITE")
         enforce_constraints(df, pre_state)
+        enforce_invariants(df, pre_state)
         cfg = (pre_state.last_metadata or {}).get("configuration", {})
         if cfg.get("delta.columnMapping.mode", "none") != "none":
             # mapped tables store PHYSICAL column names in parquet;
@@ -270,6 +347,7 @@ def delete_where(spark, path: str, condition) -> dict:
 
     path = str(path).rstrip("/")
     state = get_meta(path)
+    check_append_only(state, "DELETE")
     if isinstance(condition, str):
         from pyspark.sql import functions as F
 

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from ..plans.exprs import partition_tuple
 from ..plans.meta import get_meta
 from .cdc import cdf_enabled
-from .delta_sink import _file_stats
+from .delta_sink import _file_stats, check_append_only
 from .delta_writer import DeltaWriter
 
 _ZBITS = 16  # bits per column in the interleaved key
@@ -458,6 +458,7 @@ def update_where(
 
     path = str(path).rstrip("/")
     state = get_meta(path)
+    check_append_only(state, "UPDATE")
     if isinstance(condition, str):
         condition = F.expr(condition)
     set_cols = {
@@ -562,6 +563,7 @@ def merge_into(
 
     path = str(path).rstrip("/")
     state = get_meta(path)
+    check_append_only(state, "MERGE")
     if when_matched_delete and when_matched_update not in (None, "all"):
         raise ValueError("choose either matched-update or matched-delete")
     on = list(on)
@@ -697,6 +699,7 @@ def restore_table(spark: SparkSession, path: str, version: int) -> dict:
     """
     path = str(path).rstrip("/")
     cur = get_meta(path)
+    check_append_only(cur, "RESTORE")
     tgt = get_meta(path, version=version)
 
     def dv_key(a: Optional[dict]) -> Any:

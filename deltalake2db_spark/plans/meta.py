@@ -366,4 +366,88 @@ def get_meta(
     return state
 
 
-__all__ = ["MetaState", "MetadataIO", "get_meta", "physical_name"]
+def version_at_timestamp(
+    delta_path: str,
+    ts,
+    storage_options: Optional[Mapping[str, Any]] = None,
+    mode: str = "at_or_before",
+) -> int:
+    """Resolve a timestamp to a commit version.
+
+    ``mode='at_or_before'`` is ``timestampAsOf`` semantics: the LATEST
+    version whose commit timestamp is <= ``ts`` (delta-spark's rule) —
+    raises if ``ts`` predates the first commit; a timestamp past the
+    last commit resolves to the last version.  ``mode='at_or_after'``
+    is ``startingTimestamp`` semantics: the EARLIEST version whose
+    commit timestamp is >= ``ts`` — raises if ``ts`` is after the last
+    commit (delta-spark's rule for streams).  ``ts`` may be an
+    aware/naive ``datetime`` (naive = UTC), an ISO string, or epoch
+    seconds.
+
+    Commit times come from ``commitInfo.timestamp`` (ms).  The walk is
+    ascending with early stop — version resolution happens once per
+    query, and a checkpointed 10M-commit log would warrant a bisect on
+    file mtime first; at any log length the I/O is one small JSON per
+    inspected commit, driver-side only.
+    """
+    from datetime import datetime as _dt
+    from datetime import timezone as _tz
+
+    if isinstance(ts, str):
+        try:  # stream options arrive stringly; epoch seconds first
+            ts = float(ts)
+        except ValueError:
+            ts = _dt.fromisoformat(ts)
+    if isinstance(ts, _dt):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_tz.utc)
+        target = ts.timestamp()
+    else:
+        target = float(ts)
+
+    if mode not in ("at_or_before", "at_or_after"):
+        raise ValueError(f"unknown mode {mode!r}")
+    io = MetadataIO(storage_options)
+    base = str(delta_path).rstrip("/")
+    best: Optional[int] = None
+    prev_t = None
+    current = 0
+    while True:
+        commit = f"{base}/{_LOG_DIR}/{_commit_name(current)}.json"
+        try:
+            actions = io.read_jsonl(commit)
+        except FileNotFoundError:
+            break
+        t_ms = next(
+            (
+                a["commitInfo"].get("timestamp")
+                for a in actions
+                if a.get("commitInfo")
+            ),
+            None,
+        )
+        t = (t_ms / 1000.0) if t_ms is not None else prev_t
+        prev_t = t
+        if t is not None and t > target:
+            if mode == "at_or_after":
+                return current
+            break
+        if t is not None and t == target and mode == "at_or_after":
+            return current
+        best = current
+        current += 1
+    if mode == "at_or_after":
+        raise ValueError(
+            f"timestamp {ts!r} is after the last commit of {base}"
+        )
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts!r} is before the first commit of {base}"
+        )
+    return best
+
+
+__all__ = [
+    "MetaState", "MetadataIO", "get_meta", "physical_name",
+    "version_at_timestamp",
+]

@@ -99,6 +99,7 @@ def scan_delta(
     distinct: bool = False,
     limit: Optional[int] = None,
     version: Optional[int] = None,
+    timestamp=None,
     storage_options: Optional[Mapping[str, Any]] = None,
     action_filter: Optional[Callable[[dict], bool]] = None,
     _with_pos: bool = False,
@@ -112,7 +113,22 @@ def scan_delta(
 
     Parity: ``scan_delta_union`` (``deltalake2db/polars.py:361-559``) and
     ``get_sql_for_delta_expr`` (``deltalake2db/duckdb.py:374-557``).
+    ``timestamp`` is ``timestampAsOf`` time travel (latest version whose
+    commit time is <= the given datetime/ISO string/epoch seconds) —
+    an extension beyond the reference's version-only travel.
     """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("version and timestamp are mutually exclusive")
+        if isinstance(table, MetaState):
+            raise ValueError(
+                "timestamp travel needs a table path, not a MetaState"
+            )
+        from ..plans.meta import version_at_timestamp
+
+        version = version_at_timestamp(
+            str(table), timestamp, storage_options=storage_options
+        )
     state = _resolve_state(table, storage_options, version, spark)
     check_is_supported(state)
     logical_schema = state.schema

@@ -152,7 +152,19 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         sv = self.options.get("startingversion")
-        if sv is None or str(sv).lower() == "latest":
+        st = self.options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive"
+            )
+        if st is not None:
+            from ..plans.meta import version_at_timestamp
+
+            off = (
+                version_at_timestamp(self.path, st, mode="at_or_after") - 1
+            )
+        elif sv is None or str(sv).lower() == "latest":
             off = self._state.version
         else:
             off = int(sv) - 1

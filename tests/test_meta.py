@@ -146,3 +146,43 @@ def test_checkpoint_entry_list_partition_values(cluster_table):
     for a in m.add_actions.values():
         pv = normalize_partition_values(a.get("partitionValues"))
         assert isinstance(pv, dict) and len(pv) == 1
+
+
+def test_version_at_timestamp_and_scan_travel(spark, tmp_path_factory):
+    """timestampAsOf: latest commit <= ts; startingTimestamp mode:
+    earliest commit >= ts. Commit times are the writer's deterministic
+    base 1700000000000ms + version."""
+    import pytest
+
+    from deltalake2db_spark import scan_delta, write_delta
+    from deltalake2db_spark.plans.meta import version_at_timestamp
+
+    t = str(tmp_path_factory.mktemp("tsas") / "t")
+    for i in range(3):  # versions 0,1,2 at base+0,+1,+2 ms
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id"),
+            t,
+            mode="error" if i == 0 else "append",
+        )
+    base_s = 1700000000000 / 1000.0
+    assert version_at_timestamp(t, base_s) == 0
+    assert version_at_timestamp(t, base_s + 0.001) == 1
+    assert version_at_timestamp(t, base_s + 999) == 2  # past last -> last
+    assert version_at_timestamp(t, base_s, mode="at_or_after") == 0
+    assert (
+        version_at_timestamp(t, base_s + 0.0005, mode="at_or_after") == 1
+    )
+    with pytest.raises(ValueError, match="before the first"):
+        version_at_timestamp(t, base_s - 1)
+    with pytest.raises(ValueError, match="after the last"):
+        version_at_timestamp(t, base_s + 999, mode="at_or_after")
+    # datetime / ISO string forms resolve identically
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(base_s + 0.001, tz=timezone.utc)
+    assert version_at_timestamp(t, dt) == 1
+    assert version_at_timestamp(t, dt.isoformat()) == 1
+
+    assert scan_delta(spark, t, timestamp=base_s + 0.001).count() == 20
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        scan_delta(spark, t, version=1, timestamp=base_s)

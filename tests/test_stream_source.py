@@ -312,3 +312,42 @@ def test_change_feed_commit_timestamp(spark, tmp_path_factory):
         by_v.setdefault(r["_commit_version"], set()).add(r["_commit_timestamp"])
     assert all(len(s) == 1 for s in by_v.values())  # one ts per commit
     assert by_v[0] <= by_v[1] or min(by_v[1]) >= min(by_v[0])
+
+
+def test_starting_timestamp_offsets(spark, tmp_path_factory):
+    """startingTimestamp resolves to the earliest commit at-or-after
+    the timestamp (delta-spark streaming semantics) and is mutually
+    exclusive with startingVersion."""
+    t = str(tmp_path_factory.mktemp("dstream") / "ts")
+    for i in range(3):  # versions 0,1,2 at base+0,+1,+2 ms
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id"),
+            t,
+            mode="error" if i == 0 else "append",
+        )
+    register(spark)
+    base_s = 1700000000000 / 1000.0
+    got = _run_available(
+        spark,
+        spark.readStream.format("deltalake2db")
+        .option("path", t)
+        .option("startingTimestamp", str(base_s + 0.001))
+        .load(),
+        "s_ts1",
+    )
+    # starts at version 1: rows 10..29
+    assert got.count() == 20
+    assert got.agg(F.min("id")).collect()[0][0] == 10
+
+    import pytest
+
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _run_available(
+            spark,
+            spark.readStream.format("deltalake2db")
+            .option("path", t)
+            .option("startingVersion", 0)
+            .option("startingTimestamp", str(base_s))
+            .load(),
+            "s_ts2",
+        )

@@ -142,6 +142,41 @@ def enforce_constraints(df: DataFrame, state) -> None:
             )
 
 
+def apply_generated_columns(df: DataFrame, schema) -> DataFrame:
+    """Delta generated columns (``delta.generationExpression`` field
+    metadata): a column ABSENT from the write is computed from its
+    expression (delta-spark's fill path); a column PRESENT must match
+    the expression on every row — a mismatch is rejected, because
+    readers are entitled to treat the stored values and the expression
+    as interchangeable (partition pruning on generated partition
+    columns depends on it).  Null-safe comparison, one short-circuit
+    probe per generated column present."""
+    from pyspark.sql import functions as F
+
+    gens = []
+    for f in schema.fields:
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if expr:
+            gens.append((f.name, expr, f.dataType))
+    for name, expr, dt in gens:
+        computed = F.expr(expr).cast(dt)
+        if name not in df.columns:
+            df = df.withColumn(name, computed)
+        elif df.filter(~F.col(name).eqNullSafe(computed)).limit(1).count():
+            raise DeltaInvariantError(
+                f"generated column {name!r} does not match its "
+                f"generation expression ({expr}) on at least one row"
+            )
+    return df
+
+
+def _has_generated_columns(schema) -> bool:
+    return any(
+        (f.metadata or {}).get("delta.generationExpression")
+        for f in schema.fields
+    )
+
+
 def _file_stats(path: str) -> dict:
     import pyarrow.parquet as pq
 
@@ -211,6 +246,7 @@ def write_delta(
     if pre_state is not None:
         if mode == "overwrite":
             check_append_only(pre_state, "OVERWRITE")
+        df = apply_generated_columns(df, pre_state.schema)
         enforce_constraints(df, pre_state)
         enforce_invariants(df, pre_state)
         cfg = (pre_state.last_metadata or {}).get("configuration", {})
@@ -222,6 +258,11 @@ def write_delta(
             df = _to_physical(df, pre_state, set(df.columns))
             _, l2p = pre_state.type_maps()
             partition_by = [l2p.get(c, c) for c in partition_by]
+    elif _has_generated_columns(df.schema):
+        # table creation: the incoming frame necessarily carries the
+        # generated columns (its schema declares them) — validate the
+        # provided values against their expressions up front
+        df = apply_generated_columns(df, df.schema)
     staging = tempfile.mkdtemp(prefix="dl2db_delta_sink_")
     try:
         writer = df.write.mode("overwrite")
@@ -285,7 +326,10 @@ def write_delta(
                         "delta.enableChangeDataFeed", "false"
                     )).lower() == "true"
                 )
-                actions.append(w.protocol_action(1, 4 if cdf_on else 2))
+                # CDF and generated columns are both legacy writer v4
+                # features per PROTOCOL.md
+                wv = 4 if cdf_on or _has_generated_columns(df.schema) else 2
+                actions.append(w.protocol_action(1, wv))
                 actions.append(
                     w.metadata_action(
                         df.schema.jsonValue(),

@@ -109,3 +109,68 @@ def test_expression_invariant_enforced(spark, tmp_path_factory):
     with pytest.raises(DeltaInvariantError, match="v > 0"):
         write_delta(spark.createDataFrame([(4, -1)], schema), t)
     assert scan_delta(spark, t).count() == 3
+
+
+def test_generated_columns(spark, tmp_path_factory):
+    """delta.generationExpression: absent columns are computed on
+    write, present columns are validated, creation raises writer v4."""
+    from deltalake2db_spark.plans.meta import get_meta
+
+    t = str(tmp_path_factory.mktemp("proto") / "gen")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField(
+                "bucket",
+                T.LongType(),
+                True,
+                metadata={"delta.generationExpression": "id % 4"},
+            ),
+        ]
+    )
+    write_delta(
+        spark.createDataFrame([(i, i % 4) for i in range(8)], schema), t
+    )
+    assert get_meta(t).protocol["minWriterVersion"] == 4
+    # append WITHOUT the generated column: filled from the expression
+    write_delta(spark.createDataFrame([(100,)], "id long"), t)
+    got = {r["id"]: r["bucket"] for r in scan_delta(spark, t).collect()}
+    assert got[100] == 0 and got[7] == 3
+    # append with WRONG values: rejected
+    with pytest.raises(DeltaInvariantError, match="generated column"):
+        write_delta(spark.createDataFrame([(101, 99)], schema), t)
+    # creation with wrong values: rejected too
+    t2 = str(tmp_path_factory.mktemp("proto") / "gen2")
+    with pytest.raises(DeltaInvariantError, match="generated column"):
+        write_delta(spark.createDataFrame([(1, 5)], schema), t2)
+
+
+def test_generated_partition_column_prunes(spark, tmp_path_factory):
+    """The canonical use: partition by a generated date-derived column
+    and let the scan prune on it."""
+    t = str(tmp_path_factory.mktemp("proto") / "genpart")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField(
+                "part",
+                T.LongType(),
+                True,
+                metadata={"delta.generationExpression": "id % 3"},
+            ),
+        ]
+    )
+    write_delta(
+        spark.createDataFrame([(i, i % 3) for i in range(9)], schema),
+        t,
+        partition_by=["part"],
+    )
+    # append without the column: computed, lands in the right partition
+    write_delta(
+        spark.createDataFrame([(30,)], "id long"), t, partition_by=["part"]
+    )
+    pruned = scan_delta(spark, t, conditions=[("part", "=", 0)])
+    rows = sorted(r["id"] for r in pruned.collect())
+    assert rows == [0, 3, 6, 30]
+    # partition pruning actually dropped the other files
+    assert all("part=0" in f for f in pruned.inputFiles())

@@ -904,3 +904,82 @@ def dedup_against(
     )
     losers = pairs.select(F.col("id_a").alias(id_col)).distinct()
     return df_new.join(losers, id_col, "left_anti")
+
+
+def chunk_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+) -> DataFrame:
+    """(id, chunk_idx, chunk): consecutive ``chunk_words``-word windows
+    of the whitespace-normalized lowercased text (last chunk may be
+    shorter).  Pure codegen — split/slice/concat, no Python."""
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " "
+    )
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * chunk_words + 1, chunk_words)
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def dedup_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 8,
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Corpus-wide exact duplicate-PASSAGE removal (the C4 rule, at
+    chunk granularity): every repeated ``chunk_words``-word window is
+    deleted from all but its first occurrence — first = lowest
+    (doc id, chunk index) — and each document is reassembled from its
+    surviving chunks.  Documents whose every chunk was a repeat drop
+    out entirely when ``drop_empty``.
+
+    Scale shape: chunks shuffle ONCE on the chunk text to find each
+    group's first occurrence via min(struct(id, idx)) — a map-side
+    partial aggregate, so a pathologically common chunk ("click here
+    to subscribe") combines per-partition instead of piling one
+    reducer (the reason this is an agg+join, not a window rank).  The
+    winner join reuses the same hash partitioning (ReuseExchange) and
+    reassembly is a second shuffle by document id.  No Python, no
+    driver-side state, no cap needed — group size only affects the
+    partial-agg fan-in.
+    """
+    chunks = chunk_table(df, id_col, text_col, chunk_words)
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct(id_col, "chunk_idx")).alias("__first")
+    )
+    survivors = (
+        chunks.join(first, "chunk")
+        .filter(
+            (F.col(f"__first.{id_col}") == F.col(id_col))
+            & (F.col("__first.chunk_idx") == F.col("chunk_idx"))
+        )
+        .select(id_col, "chunk_idx", "chunk")
+    )
+    out = survivors.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda s: s.chunk,
+            ),
+        ).alias(text_col)
+    )
+    if drop_empty:
+        return out.filter(F.length(text_col) > 0)
+    # a doc whose every chunk was a repeat has no surviving rows at
+    # all — resurface it with empty text
+    ids = df.select(id_col).distinct()
+    return ids.join(out, id_col, "left").fillna({text_col: ""})

@@ -488,3 +488,47 @@ def test_cross_dedup_no_intra_corpus_pairs(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(3, 10)}  # the 1~2 intra-new dup never surfaces
+
+
+def test_dedup_chunks_removes_repeated_passages(spark):
+    from deltalake2db_spark.operators.dedup import dedup_chunks
+
+    shared = "one two three four"  # 4-word chunk shared by all three
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta"),
+            (3, shared),  # fully duplicated -> drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_chunks(df, chunk_words=4).collect()
+    }
+    # doc 1 is the first occurrence: keeps everything
+    assert out[1] == f"{shared} alpha beta gamma delta"
+    # doc 2 loses the shared chunk, keeps its own
+    assert out[2] == "epsilon zeta eta theta"
+    # doc 3 was nothing but the shared chunk
+    assert 3 not in out
+    # drop_empty=False keeps the emptied doc
+    from deltalake2db_spark.operators.dedup import dedup_chunks as dc
+
+    kept = {r["doc_id"]: r["text"] for r in dc(df, chunk_words=4, drop_empty=False).collect()}
+    assert kept[3] == ""
+
+
+def test_dedup_chunks_short_tail_chunk(spark):
+    from deltalake2db_spark.operators.dedup import dedup_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")],  # 4-word chunks + 1-word tails
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup_chunks(df, chunk_words=4).collect()
+    }
+    assert out[1] == "a b c d e"
+    assert out[2] == "x"  # shared head chunk removed, distinct tail kept

@@ -37,6 +37,7 @@ from .sources.maintenance import (
     optimize,
     rename_column,
     restore_table,
+    set_table_properties,
     shallow_clone,
     update_where,
 )
@@ -51,6 +52,7 @@ __all__ = [
     "restore_table",
     "describe_history",
     "shallow_clone",
+    "set_table_properties",
     "add_check_constraint",
     "drop_check_constraint",
     "DeltaConstraintError",

@@ -142,6 +142,77 @@ def enforce_constraints(df: DataFrame, state) -> None:
             )
 
 
+def _replace_where_matches(state, conds) -> list[str]:
+    """File paths whose partition tuple EXACTLY satisfies every
+    condition.  Deliberately not the scan's fail-open pruning: pruning
+    may keep a non-matching file (safe to read, catastrophic to
+    remove), so this evaluates partition values directly and raises on
+    anything it can't evaluate exactly."""
+    from ..plans.filters import (
+        decode_partition_value,
+        normalize_partition_values,
+    )
+    from ..plans.types import delta_type_name
+
+    types = {f.name: delta_type_name(f.dataType) for f in state.schema.fields}
+    _, l2p = state.type_maps()
+    pcols = set(state.partition_columns)
+    bad = [c for c, _op, _v in conds if c not in pcols]
+    if bad:
+        raise ValueError(
+            f"replace_where must reference partition columns only; "
+            f"{bad} are not in {sorted(pcols)}"
+        )
+
+    def decode(col, val):
+        if val is None:
+            return None
+        return decode_partition_value(str(val), types[col])
+
+    def cmp(cur, op, col, val):
+        if op in ("=", "=="):
+            return cur is None if val is None else cur == decode(col, val)
+        if op in ("!=", "<>"):
+            if val is None:
+                return cur is not None
+            return cur is not None and cur != decode(col, val)
+        if op == "in":
+            return cur is not None and cur in {decode(col, v) for v in val}
+        if op == "not in":
+            return cur is not None and cur not in {
+                decode(col, v) for v in val
+            }
+        if cur is None:
+            return False
+        if op == "<":
+            return cur < decode(col, val)
+        if op == "<=":
+            return cur <= decode(col, val)
+        if op == ">":
+            return cur > decode(col, val)
+        if op == ">=":
+            return cur >= decode(col, val)
+        raise ValueError(f"replace_where does not support operator {op!r}")
+
+    matched = []
+    for p, a in state.add_actions.items():
+        pv = normalize_partition_values(a.get("partitionValues", {}))
+        hit = True
+        for col, op, val in conds:
+            raw = pv.get(l2p.get(col, col))
+            cur = (
+                decode_partition_value(raw, types[col])
+                if raw is not None
+                else None
+            )
+            if not cmp(cur, op, col, val):
+                hit = False
+                break
+        if hit:
+            matched.append(p)
+    return matched
+
+
 def apply_generated_columns(df: DataFrame, schema) -> DataFrame:
     """Delta generated columns (``delta.generationExpression`` field
     metadata): a column ABSENT from the write is computed from its
@@ -226,6 +297,7 @@ def write_delta(
     mode: str = "append",
     extra_actions: Sequence[dict] = (),
     configuration: Optional[Mapping[str, str]] = None,
+    replace_where=None,
 ) -> int:
     """Write ``df`` as a new commit of the Delta table at ``path``.
 
@@ -237,12 +309,49 @@ def write_delta(
     configuration on CREATE (ignored on an existing table) — e.g.
     ``{"delta.enableChangeDataFeed": "true"}`` turns on CDC writes for
     every later DML commit.
+
+    ``replace_where`` (requires ``mode='overwrite'``) is delta-spark's
+    partition-predicate ``replaceWhere``: only the files matching the
+    condition (scan_delta's conditions grammar, e.g. ``[("day", "=",
+    "2024-01-01")]``) are replaced, atomically with the new data.  The
+    condition must touch PARTITION columns only — that is what makes
+    file matching exact (every row of a file shares its partition
+    tuple), so the remove set never clips a file with surviving rows —
+    and the incoming frame must itself satisfy the condition (probed,
+    delta-spark rule).
     """
     path = str(path).rstrip("/")
+    if replace_where is not None:
+        from ..plans.filters import normalize_conditions
+
+        if mode != "overwrite":
+            raise ValueError("replace_where requires mode='overwrite'")
+        replace_where = normalize_conditions(replace_where)
     try:
         pre_state = get_meta(path)
     except FileNotFoundError:
         pre_state = None
+    if replace_where is not None:
+        from pyspark.sql import functions as F
+
+        from ..plans.exprs import compile_conditions
+
+        if pre_state is not None:
+            pcols = set(pre_state.partition_columns)
+            bad = [c for c, _op, _v in replace_where if c not in pcols]
+            if bad:
+                raise ValueError(
+                    f"replace_where must reference partition columns "
+                    f"only; {bad} are not in {sorted(pcols)}"
+                )
+        pred = compile_conditions(replace_where)
+        if pred is not None and df.filter(
+            ~F.coalesce(pred, F.lit(False))
+        ).limit(1).count():
+            raise ValueError(
+                "replace_where: the incoming data contains rows that do "
+                "not satisfy the replacement condition"
+            )
     if pre_state is not None:
         if mode == "overwrite":
             check_append_only(pre_state, "OVERWRITE")
@@ -338,7 +447,12 @@ def write_delta(
                     )
                 )
             elif mode == "overwrite":
-                for p in state.add_actions:
+                targets = (
+                    _replace_where_matches(state, replace_where)
+                    if replace_where is not None
+                    else list(state.add_actions)
+                )
+                for p in targets:
                     actions.append(w.remove_action(p))
             w.version = existing_version
             actions.extend(adds)
@@ -352,10 +466,17 @@ def write_delta(
             raise ConcurrentWriteError(
                 f"gave up committing to {path} after 20 contended attempts"
             )
-        # engines checkpoint every ~10 commits so readers bootstrap from
-        # parquet instead of replaying the whole JSON history; mirror
-        # that (our reader's `v - v%10` time-travel rounding assumes it)
-        if version > 0 and version % 10 == 0:
+        # engines checkpoint periodically so readers bootstrap from
+        # parquet instead of replaying the whole JSON history; honor
+        # delta.checkpointInterval (default 10 — the reader's `v - v%10`
+        # time-travel rounding assumes the default, and its full-replay
+        # fallback covers custom intervals)
+        cfg_now = (
+            (state.last_metadata if state is not None else None)
+            or {"configuration": dict(configuration or {})}
+        ).get("configuration", {})
+        interval = int(cfg_now.get("delta.checkpointInterval", 10) or 10)
+        if version > 0 and interval > 0 and version % interval == 0:
             write_checkpoint(path)
         return version
     finally:

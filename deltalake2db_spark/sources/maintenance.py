@@ -923,6 +923,46 @@ def drop_check_constraint(
     return {"version": v, "name": name}
 
 
+def set_table_properties(
+    spark: SparkSession, path: str, properties: Mapping[str, str]
+) -> dict:
+    """ALTER TABLE SET TBLPROPERTIES: merge ``properties`` into the
+    table configuration as a metadata-only commit (a None value unsets
+    a key).  This is how CDF / appendOnly / checkpointInterval get
+    turned on AFTER creation; protocol requirements ride along —
+    enabling change data feed raises ``minWriterVersion`` to 4 exactly
+    like creating with it would."""
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    cfg = dict((state.last_metadata or {}).get("configuration", {}))
+    for k, v in properties.items():
+        if v is None:
+            cfg.pop(k, None)
+        else:
+            cfg[k] = str(v)
+    md = dict(state.last_metadata)
+    md["configuration"] = cfg
+    actions: list[dict] = []
+    proto = dict(
+        state.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    if (
+        str(cfg.get("delta.enableChangeDataFeed", "false")).lower() == "true"
+        and int(proto.get("minWriterVersion", 2)) < 4
+    ):
+        proto["minWriterVersion"] = 4
+        actions.append({"protocol": proto})
+    actions.append({"metaData": md})
+    w = DeltaWriter(path)
+    w.version = state.version
+    v = w.commit(
+        actions,
+        operation="SET TBLPROPERTIES",
+        operation_params={"properties": dict(properties)},
+    )
+    return {"version": v, "configuration": cfg}
+
+
 # --------------------------------------------------------------------------
 # Schema evolution DDL (ALTER TABLE ADD/RENAME/DROP COLUMN)
 # --------------------------------------------------------------------------

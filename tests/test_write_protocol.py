@@ -174,3 +174,89 @@ def test_generated_partition_column_prunes(spark, tmp_path_factory):
     assert rows == [0, 3, 6, 30]
     # partition pruning actually dropped the other files
     assert all("part=0" in f for f in pruned.inputFiles())
+
+
+def test_replace_where_partition_scoped_overwrite(spark, tmp_path_factory):
+    from deltalake2db_spark.plans.meta import get_meta
+
+    t = str(tmp_path_factory.mktemp("proto") / "rw")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(9)], "id long, part long, s string"
+    )
+    write_delta(df, t, partition_by=["part"])
+    # replace only part=1 with two fresh rows
+    repl = spark.createDataFrame(
+        [(100, 1, "new100"), (101, 1, "new101")], "id long, part long, s string"
+    )
+    write_delta(
+        repl, t, partition_by=["part"], mode="overwrite",
+        replace_where=[("part", "=", 1)],
+    )
+    got = {r["id"]: r["part"] for r in scan_delta(spark, t).collect()}
+    # part 0 and 2 untouched; old part=1 rows (1,4,7) gone
+    assert sorted(got) == [0, 2, 3, 5, 6, 8, 100, 101]
+    assert got[100] == 1 and got[101] == 1
+    # history records an overwrite that removed only part=1 files
+    st = get_meta(t)
+    assert all("part=1" not in p or "new" not in p for p in st.add_actions)
+
+    # incoming rows violating the condition are rejected
+    bad = spark.createDataFrame([(200, 2, "x")], "id long, part long, s string")
+    with pytest.raises(ValueError, match="do not satisfy"):
+        write_delta(
+            bad, t, partition_by=["part"], mode="overwrite",
+            replace_where=[("part", "=", 1)],
+        )
+    # non-partition predicate rejected
+    with pytest.raises(ValueError, match="partition columns only"):
+        write_delta(
+            repl, t, partition_by=["part"], mode="overwrite",
+            replace_where=[("id", "=", 1)],
+        )
+    # append mode rejected
+    with pytest.raises(ValueError, match="mode='overwrite'"):
+        write_delta(repl, t, replace_where=[("part", "=", 1)])
+
+
+def test_set_table_properties_enables_cdf(spark, tmp_path_factory):
+    from deltalake2db_spark import set_table_properties, table_changes
+    from deltalake2db_spark.plans.meta import get_meta
+
+    t = str(tmp_path_factory.mktemp("proto") / "props")
+    write_delta(spark.range(0, 10).selectExpr("id"), t)
+    out = set_table_properties(
+        spark, t, {"delta.enableChangeDataFeed": "true"}
+    )
+    st = get_meta(t)
+    assert st.configuration["delta.enableChangeDataFeed"] == "true"
+    assert st.protocol["minWriterVersion"] == 4
+    # DML after enabling writes real cdc rows (changes AFTER the
+    # properties commit, i.e. the delete's version)
+    delete_where(spark, t, "id < 3")
+    ch = table_changes(spark, t, out["version"])
+    assert ch.filter("_change_type = 'delete'").count() == 3
+    # unset removes the key
+    set_table_properties(spark, t, {"delta.enableChangeDataFeed": None})
+    assert "delta.enableChangeDataFeed" not in get_meta(t).configuration
+
+
+def test_checkpoint_interval_honored(spark, tmp_path_factory):
+    import os
+
+    t = str(tmp_path_factory.mktemp("proto") / "ckpt")
+    write_delta(
+        spark.range(0, 2).selectExpr("id"),
+        t,
+        configuration={"delta.checkpointInterval": "3"},
+    )
+    for i in range(1, 7):
+        write_delta(spark.range(i * 2, i * 2 + 2).selectExpr("id"), t)
+    cps = sorted(
+        f for f in os.listdir(os.path.join(t, "_delta_log"))
+        if f.endswith(".checkpoint.parquet")
+    )
+    assert cps == [
+        "00000000000000000003.checkpoint.parquet",
+        "00000000000000000006.checkpoint.parquet",
+    ]
+    assert scan_delta(spark, t).count() == 14

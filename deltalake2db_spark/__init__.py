@@ -28,6 +28,7 @@ from .sources.delta_sink import (
 from .sources.changes import table_changes
 from .sources.maintenance import (
     add_check_constraint,
+    cleanup_expired_logs,
     add_column,
     describe_history,
     drop_check_constraint,
@@ -53,6 +54,7 @@ __all__ = [
     "describe_history",
     "shallow_clone",
     "set_table_properties",
+    "cleanup_expired_logs",
     "add_check_constraint",
     "drop_check_constraint",
     "DeltaConstraintError",

@@ -963,6 +963,72 @@ def set_table_properties(
     return {"version": v, "configuration": cfg}
 
 
+def _parse_interval_hours(text: str) -> float:
+    """Parse Delta's ``interval N days|hours|minutes`` duration form."""
+    parts = str(text).strip().lower().split()
+    if len(parts) == 3 and parts[0] == "interval":
+        n = float(parts[1])
+        unit = parts[2].rstrip("s")
+        factor = {"day": 24.0, "hour": 1.0, "minute": 1.0 / 60.0}.get(unit)
+        if factor is not None:
+            return n * factor
+    raise ValueError(f"cannot parse interval {text!r}")
+
+
+def cleanup_expired_logs(
+    path: str,
+    retention_hours: Optional[float] = None,
+    dry_run: bool = False,
+) -> list[str]:
+    """Delete log entries (commit JSONs + old checkpoints) that are both
+    older than the retention window AND below the newest checkpoint —
+    Delta's metadata-cleanup rule, which delta-spark runs after each
+    checkpoint.  The newest checkpoint plus every commit at or above it
+    always survive, so the current snapshot (and any time travel inside
+    the retained window) replays exactly as before; travel to an
+    expired version raises like on any engine.
+
+    ``retention_hours`` defaults to the table's
+    ``delta.logRetentionDuration`` (itself defaulting to Delta's
+    ``interval 30 days``).  A streaming table committing every few
+    seconds writes ~20k log files a day — without this, snapshot
+    construction degrades linearly forever.  Returns the deleted (or,
+    with ``dry_run``, deletable) file names.
+    """
+    import time
+
+    path = str(path).rstrip("/")
+    state = get_meta(path)
+    if retention_hours is None:
+        cfg = (state.last_metadata or {}).get("configuration", {})
+        retention_hours = _parse_interval_hours(
+            cfg.get("delta.logRetentionDuration", "interval 30 days")
+        )
+    cutoff = time.time() - retention_hours * 3600.0
+    log_dir = os.path.join(path, "_delta_log")
+    checkpoints = []
+    entries: list[tuple[int, str]] = []  # (version, filename)
+    for fn in os.listdir(log_dir):
+        if fn[:20].isdigit():
+            v = int(fn[:20])
+            entries.append((v, fn))
+            if ".checkpoint." in fn and fn.endswith(".parquet"):
+                checkpoints.append(v)
+    if not checkpoints:
+        return []  # nothing below a checkpoint -> nothing reclaimable
+    newest_cp = max(checkpoints)
+    victims = [
+        fn
+        for v, fn in sorted(entries)
+        if v < newest_cp
+        and os.path.getmtime(os.path.join(log_dir, fn)) <= cutoff
+    ]
+    if not dry_run:
+        for fn in victims:
+            os.remove(os.path.join(log_dir, fn))
+    return victims
+
+
 # --------------------------------------------------------------------------
 # Schema evolution DDL (ALTER TABLE ADD/RENAME/DROP COLUMN)
 # --------------------------------------------------------------------------

@@ -320,3 +320,39 @@ def test_dml_on_shallow_clone_stays_inside_clone(spark, tmp_path):
     rep = optimize(spark, dst, min_files=1)
     assert rep["files_added"] >= 1
     assert scan_delta(spark, dst).count() == 50
+
+
+def test_cleanup_expired_logs(spark, tmp_path_factory):
+    """Commits below the newest checkpoint and past retention are
+    reclaimed; the snapshot and in-window time travel still replay."""
+    import os
+
+    from deltalake2db_spark import cleanup_expired_logs, scan_delta, write_delta
+    from deltalake2db_spark.plans.meta import get_meta
+
+    t = str(tmp_path_factory.mktemp("mx") / "logclean")
+    for i in range(13):  # versions 0..12, checkpoint at 10
+        write_delta(
+            spark.range(i * 2, i * 2 + 2).selectExpr("id"),
+            t,
+            mode="error" if i == 0 else "append",
+        )
+    log = os.path.join(t, "_delta_log")
+    assert os.path.exists(os.path.join(log, "%020d.checkpoint.parquet" % 10))
+    # dry run with retention 0: everything below version 10 qualifies
+    victims = cleanup_expired_logs(t, retention_hours=0, dry_run=True)
+    assert sorted(int(v[:20]) for v in victims) == list(range(10))
+    assert all(os.path.exists(os.path.join(log, v)) for v in victims)
+    # real run
+    assert cleanup_expired_logs(t, retention_hours=0) == victims
+    assert not any(os.path.exists(os.path.join(log, v)) for v in victims)
+    # current snapshot replays from the checkpoint
+    assert scan_delta(spark, t).count() == 26
+    # in-window travel (>= checkpoint) still works; expired raises
+    assert scan_delta(spark, t, version=11).count() == 24
+    import pytest
+
+    with pytest.raises(Exception):
+        scan_delta(spark, t, version=3).collect()
+    # default retention (30 days) reclaims nothing this fresh
+    assert cleanup_expired_logs(t, dry_run=True) == []

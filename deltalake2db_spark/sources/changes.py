@@ -71,14 +71,39 @@ def _dv_indexes(action: dict, table_root: str, opener) -> set[int]:
 def table_changes(
     spark: SparkSession,
     path: str,
-    starting_version: int,
+    starting_version: Optional[int] = None,
     ending_version: Optional[int] = None,
+    starting_timestamp=None,
+    ending_timestamp=None,
 ) -> DataFrame:
     """Changes AFTER ``starting_version`` up to and including
-    ``ending_version`` (default: latest)."""
+    ``ending_version`` (default: latest).  Timestamp bounds mirror
+    delta-spark's CDF options: ``starting_timestamp`` selects the
+    earliest commit at-or-after it (so its changes are included),
+    ``ending_timestamp`` the latest commit at-or-before it; each is
+    mutually exclusive with its version twin."""
+    from ..plans.meta import version_at_timestamp
     from .delta import _DV_KEY, _DV_RI, scan_delta
 
     path = str(path).rstrip("/")
+    if starting_timestamp is not None:
+        if starting_version is not None:
+            raise ValueError(
+                "starting_version and starting_timestamp are mutually "
+                "exclusive"
+            )
+        starting_version = (
+            version_at_timestamp(path, starting_timestamp, mode="at_or_after")
+            - 1
+        )
+    if starting_version is None:
+        raise ValueError("a starting version or timestamp is required")
+    if ending_timestamp is not None:
+        if ending_version is not None:
+            raise ValueError(
+                "ending_version and ending_timestamp are mutually exclusive"
+            )
+        ending_version = version_at_timestamp(path, ending_timestamp)
     state = get_meta(path, version=starting_version)
     io = state._io
     prev_adds: dict[str, dict] = dict(state.add_actions)

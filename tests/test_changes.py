@@ -92,3 +92,31 @@ def test_overwrite_boundary_derives_delete_plus_insert(spark, tmp_path_factory):
     expect |= {(2, "delete", i) for i in range(10) if i != 3}
     expect |= {(2, "insert", i) for i in range(100, 105)}
     assert got == expect
+
+
+def test_table_changes_timestamp_bounds(spark, tmp_path_factory):
+    """Timestamp bounds resolve like delta-spark CDF options: starting
+    includes the first commit at-or-after, ending the last commit
+    at-or-before (writer commit times: 1700000000000ms + version)."""
+    import pytest
+
+    t = str(tmp_path_factory.mktemp("chts") / "t")
+    for i in range(4):  # versions 0..3
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id"),
+            t,
+            mode="error" if i == 0 else "append",
+        )
+    base = 1700000000000 / 1000.0
+    # from commit 1 (inclusive) through commit 2 (inclusive)
+    ch = table_changes(
+        spark, t,
+        starting_timestamp=base + 0.001, ending_timestamp=base + 0.002,
+    )
+    ids = sorted(r["id"] for r in ch.collect())
+    assert ids == list(range(10, 30))
+    assert set(r["_change_type"] for r in ch.collect()) == {"insert"}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        table_changes(spark, t, 0, starting_timestamp=base)
+    with pytest.raises(ValueError, match="required"):
+        table_changes(spark, t)

@@ -69,6 +69,14 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 runs.append(time.perf_counter() - t0)
+            # sub-second queries are dominated by scheduling noise
+            # (GC pause or a late JIT recompile doubles them run to
+            # run, where DuckDB's 10-50ms runs are stable); a third
+            # sample costs ~0.3s and reliably lands the true floor
+            if min(runs) < 1.0:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                runs.append(time.perf_counter() - t0)
         except Exception as exc:  # keep the bench line parseable
             times[name] = -1.0
             print(f"# {name} failed: {exc}", file=sys.stderr)

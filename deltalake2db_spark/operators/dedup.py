@@ -25,7 +25,7 @@ Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import doc_fingerprint
 
@@ -936,6 +936,8 @@ def dedup_chunks(
     text_col: str = "text",
     chunk_words: int = 8,
     drop_empty: bool = True,
+    winner: str = "auto",
+    window_threshold_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Corpus-wide exact duplicate-PASSAGE removal (the C4 rule, at
     chunk granularity): every repeated ``chunk_words``-word window is
@@ -944,28 +946,58 @@ def dedup_chunks(
     surviving chunks.  Documents whose every chunk was a repeat drop
     out entirely when ``drop_empty``.
 
-    Scale shape: chunks shuffle ONCE on the chunk text to find each
-    group's first occurrence via min(struct(id, idx)) — a map-side
-    partial aggregate, so a pathologically common chunk ("click here
-    to subscribe") combines per-partition instead of piling one
-    reducer (the reason this is an agg+join, not a window rank).  The
-    winner join reuses the same hash partitioning (ReuseExchange) and
-    reassembly is a second shuffle by document id.  No Python, no
-    driver-side state, no cap needed — group size only affects the
-    partial-agg fan-in.
+    Two identical-result winner strategies, picked by the optimizer's
+    input-size estimate (same cost-based pattern as
+    ``functions.profile``):
+
+    - ``'join'`` (the 100 TB path): chunks shuffle ONCE on the chunk
+      text to find each group's first occurrence via
+      min(struct(id, idx)) — a map-side partial aggregate, so a
+      pathologically common chunk ("click here to subscribe")
+      combines per-partition instead of piling one reducer; the
+      winner join then reuses the same hash partitioning.
+    - ``'window'`` (small inputs): one window-min over the chunk
+      partition — a single shuffle, no join, but every occurrence of
+      a hot chunk lands in one partition, which is exactly what the
+      agg+join exists to avoid at scale.
+
+    Reassembly is one further shuffle by document id.  No Python, no
+    driver-side state, no cap needed.
     """
     chunks = chunk_table(df, id_col, text_col, chunk_words)
-    first = chunks.groupBy("chunk").agg(
-        F.min(F.struct(id_col, "chunk_idx")).alias("__first")
-    )
-    survivors = (
-        chunks.join(first, "chunk")
-        .filter(
-            (F.col(f"__first.{id_col}") == F.col(id_col))
-            & (F.col("__first.chunk_idx") == F.col("chunk_idx"))
+    if winner == "auto":
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = 1 << 62
+        winner = "window" if est <= window_threshold_bytes else "join"
+    if winner == "window":
+        w = Window.partitionBy("chunk")
+        survivors = (
+            chunks.withColumn(
+                "__first",
+                F.min(F.struct(id_col, "chunk_idx")).over(w),
+            )
+            .filter(
+                (F.col(f"__first.{id_col}") == F.col(id_col))
+                & (F.col("__first.chunk_idx") == F.col("chunk_idx"))
+            )
+            .select(id_col, "chunk_idx", "chunk")
         )
-        .select(id_col, "chunk_idx", "chunk")
-    )
+    else:
+        first = chunks.groupBy("chunk").agg(
+            F.min(F.struct(id_col, "chunk_idx")).alias("__first")
+        )
+        survivors = (
+            chunks.join(first, "chunk")
+            .filter(
+                (F.col(f"__first.{id_col}") == F.col(id_col))
+                & (F.col("__first.chunk_idx") == F.col("chunk_idx"))
+            )
+            .select(id_col, "chunk_idx", "chunk")
+        )
     out = survivors.groupBy(id_col).agg(
         F.concat_ws(
             " ",

@@ -351,3 +351,46 @@ def test_starting_timestamp_offsets(spark, tmp_path_factory):
             .load(),
             "s_ts2",
         )
+
+
+def test_ns_timestamp_file_casts_not_reinterprets(spark, tmp_path_factory):
+    """A delta table whose parquet physically stores timestamp[ns]
+    (delta-rs/pandas writers do this) must come through the stream
+    source with the instant intact: ns -> us is a CAST (divide), not a
+    storage reinterpretation (x1000 corruption)."""
+    import datetime
+
+    import pyarrow as pa
+
+    from deltalake2db_spark.sources.delta_writer import write_simple_delta
+
+    t = str(tmp_path_factory.mktemp("dstream") / "ns")
+    ts = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    table = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([ts, ts], type=pa.timestamp("ns")),
+        }
+    )
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "ts", "type": "timestamp", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    write_simple_delta(t, table, schema_json=schema_json)
+    register(spark)
+    got = _run_available(
+        spark,
+        spark.readStream.format("deltalake2db")
+        .option("path", t)
+        .option("startingVersion", 0)
+        .load(),
+        "s_ns",
+    )
+    rows = got.collect()
+    assert len(rows) == 2
+    # session tz is UTC: the naive datetime round-trips exactly
+    assert all(r["ts"] == ts for r in rows)

@@ -614,45 +614,64 @@ def write_checkpoint(path: str) -> None:
 
 
 def vacuum(
-    path: str, dry_run: bool = True, retention_hours: float = 168.0
+    path: str,
+    dry_run: bool = True,
+    retention_hours: float = 168.0,
+    mode: str = "orphans",
 ) -> list[str]:
-    """List (and with ``dry_run=False`` delete) parquet files in the
-    table directory that no log version ever referenced — orphans from
-    failed/uncommitted writes.  Conservative: a file referenced by ANY
-    historical add action is kept (time travel stays intact); only
-    files the log has never heard of qualify, and only when older than
-    ``retention_hours`` (default 7 days, like Delta) — ``write_delta``
-    stages data files into the table root *before* the commit exists, so
-    a grace window is what keeps vacuum from racing an in-flight write.
+    """List (and with ``dry_run=False`` delete) reclaimable parquet
+    files under the table directory, older than ``retention_hours``
+    (default 7 days, like Delta — ``write_delta`` stages data files
+    into the table root *before* the commit exists, so the grace
+    window is what keeps vacuum from racing an in-flight write).
+
+    ``mode='orphans'`` (conservative default): only files NO log
+    version ever referenced — failed/uncommitted writes.  Time travel
+    and change feeds stay fully intact.
+
+    ``mode='full'``: Delta VACUUM semantics — everything not in the
+    CURRENT snapshot qualifies, including expired tombstones (files
+    rewritten by OPTIMIZE/UPDATE/MERGE, which ``'orphans'`` keeps
+    forever) and aged ``_change_data/`` files.  Age is file
+    modification time, per the spec.  Time travel and CDF reads
+    further back than the retention window break afterwards, exactly
+    as on delta-spark.
     """
     import time
 
     path = str(path).rstrip("/")
     cutoff = time.time() - retention_hours * 3600.0
     referenced: set[str] = set()
-    version = 0
     import json as _json
 
     log_dir = os.path.join(path, "_delta_log")
-    for fn in sorted(os.listdir(log_dir)):
-        if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit():
-            with open(os.path.join(log_dir, fn)) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    action = _json.loads(line)
-                    # cdc files are referenced ONLY by cdc actions —
-                    # without this they'd age into "orphans" and a
-                    # vacuum would silently break change-feed reads
-                    for key in ("add", "remove", "cdc"):
-                        if action.get(key):
-                            referenced.add(unquote(action[key]["path"]))
-        elif fn.endswith(".checkpoint.parquet"):
-            import pyarrow.parquet as pq
+    if mode == "full":
+        state = get_meta(path)
+        referenced = {unquote(p) for p in state.add_actions}
+    elif mode == "orphans":
+        for fn in sorted(os.listdir(log_dir)):
+            if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit():
+                with open(os.path.join(log_dir, fn)) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        action = _json.loads(line)
+                        # cdc files are referenced ONLY by cdc actions —
+                        # without this they'd age into "orphans" and a
+                        # vacuum would silently break change-feed reads
+                        for key in ("add", "remove", "cdc"):
+                            if action.get(key):
+                                referenced.add(unquote(action[key]["path"]))
+            elif fn.endswith(".checkpoint.parquet"):
+                import pyarrow.parquet as pq
 
-            for row in pq.read_table(os.path.join(log_dir, fn)).to_pylist():
-                if row.get("add"):
-                    referenced.add(unquote(row["add"]["path"]))
+                for row in pq.read_table(
+                    os.path.join(log_dir, fn)
+                ).to_pylist():
+                    if row.get("add"):
+                        referenced.add(unquote(row["add"]["path"]))
+    else:
+        raise ValueError(f"unknown vacuum mode {mode!r}")
 
     orphans: list[str] = []
     for root, _dirs, files in os.walk(path):

@@ -150,3 +150,36 @@ def test_concurrent_write_delta_retries(spark, tmp_path):
     w.commit([])
     assert write_delta(spark.range(5, 8).toDF("id"), path) == 2
     assert scan_delta(spark, path).count() == 8
+
+
+def test_vacuum_full_reclaims_tombstones(spark, tmp_path):
+    """mode='full' reclaims files rewritten out of the snapshot (which
+    'orphans' keeps forever), and the current snapshot still reads."""
+    import os
+
+    from deltalake2db_spark import scan_delta, write_delta
+    from deltalake2db_spark.sources.delta_sink import vacuum
+    from deltalake2db_spark.sources.maintenance import update_where
+
+    t = str(tmp_path / "vfull")
+    write_delta(spark.range(0, 20).selectExpr("id", "id * 2 as v"), t)
+    update_where(spark, t, "id < 100", {"v": "v + 1"})  # rewrites all files
+    # conservative mode: nothing (old files are log-referenced)
+    assert vacuum(t, dry_run=True, retention_hours=0.0) == []
+    victims = vacuum(t, dry_run=True, retention_hours=0.0, mode="full")
+    assert victims  # the pre-update files
+    assert vacuum(t, dry_run=False, retention_hours=0.0, mode="full") == victims
+    assert not any(os.path.exists(os.path.join(t, v)) for v in victims)
+    got = scan_delta(spark, t)
+    assert got.count() == 20
+    assert got.agg({"v": "sum"}).collect()[0][0] == sum(2 * i + 1 for i in range(20))
+    # time travel before the vacuum horizon now fails
+    import pytest
+
+    with pytest.raises(Exception):
+        scan_delta(spark, t, version=0).collect()
+    # retention protects recent tombstones
+    t2 = str(tmp_path / "vfull2")
+    write_delta(spark.range(0, 5).selectExpr("id"), t2)
+    write_delta(spark.range(5, 9).selectExpr("id"), t2, mode="overwrite")
+    assert vacuum(t2, dry_run=True, retention_hours=1.0, mode="full") == []

@@ -119,6 +119,26 @@ def main() -> int:
         )
     sections.append(("change-feed cdc grouped read", formatted(df)))
 
+    # 7. chunk dedup (join strategy): the winner min(struct) aggregate
+    # must run partial BEFORE the exchange — map-side combine is what
+    # keeps a pathologically common chunk from piling one reducer
+    from deltalake2db_spark.operators.dedup import dedup_chunks
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = dedup_chunks(docs, winner="join")
+    p = plan_of(df)
+    first_exchange = p.find("Exchange hashpartitioning(chunk")
+    pre = p[first_exchange:] if first_exchange >= 0 else p
+    # plan prints top-down: the subtree after the chunk exchange must
+    # contain the partial HashAggregate feeding it
+    if "partial_min" not in pre:
+        failures.append(
+            "chunk-dedup winner aggregate is not map-side partial"
+        )
+    sections.append(("chunk dedup map-side winner aggregate", formatted(df)))
+
     if "--dump" in sys.argv:
         with open("/root/repo/PLANS.md", "w") as fh:
             fh.write("# Physical plan audit (generated by tools/explain_audit.py)\n")

@@ -2243,7 +2243,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         """,
         "q_hash_sample": f"""
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             WHERE {_SAMPLE_HASH} < 250000
             GROUP BY source
@@ -2260,7 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_domain_mix": f"""
             SELECT source, lang, count(*) AS n_docs,
-                   sum(n_chars) AS sum_chars
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents
             WHERE {_SAMPLE_HASH} <
                   CASE WHEN source = 'src0' THEN 800000
@@ -2354,7 +2355,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_delta_convert": """
             SELECT lang, source, count(*) AS n_docs,
-                   sum(n_chars) AS sum_chars
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents WHERE lang <> 'zh'
             GROUP BY lang, source
         """,
@@ -2366,10 +2367,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(h % 16 AS INT) AS shard,
                    count(*) AS n_rows,
-                   sum(n_chars) AS total_size,
+                   CAST(sum(n_chars) AS BIGINT) AS total_size,
                    min(doc_id) AS min_key,
                    max(doc_id) AS max_key,
-                   sum(h) AS key_checksum
+                   CAST(sum(h) AS BIGINT) AS key_checksum
             FROM t GROUP BY 1
         """,
         "q_kmeans_assign": _KMEANS_ASSIGN_SQL,
@@ -2413,14 +2414,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT source, pack_id, count(*) AS n_docs,
-                   sum(n_chars) AS pack_tokens,
+                   CAST(sum(n_chars) AS BIGINT) AS pack_tokens,
                    round(sum(n_chars) * 100.0 / 2000, 2) AS fill_pct
             FROM packed GROUP BY source, pack_id
         """,
         "q_quantize_int8": f"""
             WITH q AS ({_QUANT_SQL})
             SELECT label, count(*) AS n_vecs,
-                   sum(list_aggregate(qv, 'sum')) AS sum_q,
+                   CAST(sum(list_aggregate(qv, 'sum')) AS BIGINT) AS sum_q,
                    min(list_aggregate(qv, 'min')) AS min_q,
                    max(list_aggregate(qv, 'max')) AS max_q
             FROM q GROUP BY label

@@ -156,19 +156,35 @@ def main() -> None:
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": {n: round(t, 2) for n, t in times.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # SPARK time subtotal over the oracle-covered queries (NOT a
         # DuckDB time — that one is measured below)
         "spark_subtotal_oracle_covered_sec": oracle_total,
     }
+    detail: dict[str, object] = {"spark_queries": times}
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") == "1":
-        out["duckdb_oracle_queries"] = duck = duckdb_oracle_times(sf_dir)
+        detail["duckdb_oracle_queries"] = duck = duckdb_oracle_times(sf_dir)
         out["duckdb_oracle_total_sec"] = round(
             sum(t for t in duck.values() if t >= 0), 3
         )
         out["spark_vs_duckdb_matched_ratio"] = _matched_ratio(times, duck)
-    print(json.dumps(out))
+    # The final metric line must stay SHORT: the driver's tail capture
+    # truncates oversized lines mid-JSON (round 5's BENCH parsed null).
+    # Per-engine per-query detail therefore goes to a '#'-prefixed line
+    # (skipped by JSON-line scanners) and a sidecar file; the final line
+    # carries the summary + the (rounded) per-query spark dict only.
+    detail.update({k: v for k, v in out.items() if k != "queries"})
+    print("# bench-detail " + json.dumps(detail), file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(out, separators=(",", ":")))
 
 
 def duckdb_oracle_times(sf_dir: str) -> dict[str, float]:

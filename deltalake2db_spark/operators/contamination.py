@@ -77,9 +77,13 @@ def contamination_check(
     # under-parallel inputs (fewer splits than cores — e.g. one parquet
     # file) serialize the explode in one task; spreading the raw docs
     # first costs a doc-sized shuffle ONLY in that degenerate case — a
-    # real corpus (files >= cores) skips it and never shuffles text
+    # real corpus (files >= cores) skips it and never shuffles text.
+    # Probe via the leaf file list (driver-side, no RDD conversion —
+    # df.rdd forces full physical planning per call); non-file plans
+    # report no files and are left alone, trusting upstream splits.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    n_files = len(docs.inputFiles())
+    if 0 < n_files < par:
         docs = docs.repartition(par)
     doc_grams = word_ngrams(docs, text_col, n).select(doc_id, "gram").distinct()
     bench_grams = (

@@ -371,24 +371,30 @@ def version_at_timestamp(
     ts,
     storage_options: Optional[Mapping[str, Any]] = None,
     mode: str = "at_or_before",
+    clamp_latest: bool = False,
 ) -> int:
     """Resolve a timestamp to a commit version.
 
     ``mode='at_or_before'`` is ``timestampAsOf`` semantics: the LATEST
     version whose commit timestamp is <= ``ts`` (delta-spark's rule) —
-    raises if ``ts`` predates the first commit; a timestamp past the
-    last commit resolves to the last version.  ``mode='at_or_after'``
-    is ``startingTimestamp`` semantics: the EARLIEST version whose
-    commit timestamp is >= ``ts`` — raises if ``ts`` is after the last
-    commit (delta-spark's rule for streams).  ``ts`` may be an
-    aware/naive ``datetime`` (naive = UTC), an ISO string, or epoch
-    seconds.
+    raises if ``ts`` predates the first retained commit, and raises if
+    ``ts`` is after the last commit (also delta-spark's rule) unless
+    ``clamp_latest`` resolves it to the last version instead (CDF
+    ``endingTimestamp`` semantics).  ``mode='at_or_after'`` is
+    ``startingTimestamp`` semantics: the EARLIEST version whose commit
+    timestamp is >= ``ts`` — raises if ``ts`` is after the last commit
+    (delta-spark's rule for streams).  ``ts`` may be an aware/naive
+    ``datetime`` (naive = UTC), an ISO string, or epoch seconds.
 
-    Commit times come from ``commitInfo.timestamp`` (ms).  The walk is
-    ascending with early stop — version resolution happens once per
-    query, and a checkpointed 10M-commit log would warrant a bisect on
-    file mtime first; at any log length the I/O is one small JSON per
-    inspected commit, driver-side only.
+    Commit times come from ``commitInfo.timestamp`` (ms).  The walk
+    starts at the EARLIEST commit JSON still present (log cleanup may
+    have deleted commits below the newest checkpoint) and ascends with
+    early stop — version resolution happens once per query, and a
+    checkpointed 10M-commit log would warrant a bisect on file mtime
+    first; at any log length the I/O is one small JSON per inspected
+    commit, driver-side only.  Timestamps older than the earliest
+    retained commit raise a "history … expired" error rather than
+    silently resolving against a truncated log.
     """
     from datetime import datetime as _dt
     from datetime import timezone as _tz
@@ -409,9 +415,24 @@ def version_at_timestamp(
         raise ValueError(f"unknown mode {mode!r}")
     io = MetadataIO(storage_options)
     base = str(delta_path).rstrip("/")
+    earliest = 0
+    try:
+        present = [
+            int(name[:20])
+            for p in io.list_files(f"{base}/{_LOG_DIR}")
+            if (name := p.rsplit("/", 1)[-1]).endswith(".json")
+            and len(name) == 25
+            and name[:20].isdigit()
+        ]
+        if present:
+            earliest = min(present)
+    except (FileNotFoundError, OSError):
+        pass  # fall back to the version-0 walk; read_jsonl reports
     best: Optional[int] = None
     prev_t = None
-    current = 0
+    last_t = None
+    overshot = False
+    current = earliest
     while True:
         commit = f"{base}/{_LOG_DIR}/{_commit_name(current)}.json"
         try:
@@ -428,9 +449,12 @@ def version_at_timestamp(
         )
         t = (t_ms / 1000.0) if t_ms is not None else prev_t
         prev_t = t
+        if t is not None:
+            last_t = t
         if t is not None and t > target:
             if mode == "at_or_after":
                 return current
+            overshot = True
             break
         if t is not None and t == target and mode == "at_or_after":
             return current
@@ -441,8 +465,24 @@ def version_at_timestamp(
             f"timestamp {ts!r} is after the last commit of {base}"
         )
     if best is None:
+        if earliest > 0:
+            raise ValueError(
+                f"timestamp {ts!r} predates the earliest retained commit "
+                f"(version {earliest}) of {base}: history before it has "
+                f"expired (log cleanup)"
+            )
         raise ValueError(
             f"timestamp {ts!r} is before the first commit of {base}"
+        )
+    if (
+        not overshot
+        and not clamp_latest
+        and last_t is not None
+        and target > last_t
+    ):
+        raise ValueError(
+            f"timestamp {ts!r} is after the last commit of {base}; pass a "
+            f"version, an earlier timestamp, or clamp_latest=True"
         )
     return best
 

@@ -103,10 +103,22 @@ def table_changes(
             raise ValueError(
                 "ending_version and ending_timestamp are mutually exclusive"
             )
-        ending_version = version_at_timestamp(path, ending_timestamp)
-    state = get_meta(path, version=starting_version)
+        # CDF endingTimestamp past the last commit clamps to the latest
+        # version (delta-spark CDC semantics; timestampAsOf would raise)
+        ending_version = version_at_timestamp(
+            path, ending_timestamp, clamp_latest=True
+        )
+    if starting_version < 0:
+        # starting_timestamp at-or-before the FIRST commit resolves to
+        # version 0, i.e. "include everything" — delta-spark starts the
+        # feed at the earliest version.  There is no version -1 snapshot
+        # to replay; the pre-commit-0 state is simply an empty table.
+        state = get_meta(path)
+        prev_adds: dict[str, dict] = {}
+    else:
+        state = get_meta(path, version=starting_version)
+        prev_adds = dict(state.add_actions)
     io = state._io
-    prev_adds: dict[str, dict] = dict(state.add_actions)
     # every part of the feed is resolved against the END version's
     # schema (delta-spark CDF semantics): files and cdc rows written
     # before a column was added backfill it as typed NULLs — otherwise

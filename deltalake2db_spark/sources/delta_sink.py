@@ -632,8 +632,19 @@ def vacuum(
     ``mode='full'``: Delta VACUUM semantics — everything not in the
     CURRENT snapshot qualifies, including expired tombstones (files
     rewritten by OPTIMIZE/UPDATE/MERGE, which ``'orphans'`` keeps
-    forever) and aged ``_change_data/`` files.  Age is file
-    modification time, per the spec.  Time travel and CDF reads
+    forever) and aged ``_change_data/`` files.  Tombstone age is the
+    file's REMOVAL time, per the Delta spec (delta-spark keys expiry
+    off ``remove.deletionTimestamp``): a file written long ago but
+    tombstoned minutes ago stays protected for the whole retention
+    window, so time travel, CDF reads and concurrent readers inside
+    the window keep working.  Because log timestamps can be
+    unreliable (this repo's own writer pins them for determinism),
+    the removal time is the MAX of the remove action's
+    ``deletionTimestamp``, the removing commit's
+    ``commitInfo.timestamp``, and the commit file's mtime —
+    conservative in the protective direction.  File mtime is used
+    only for never-referenced files (failed/uncommitted writes) and
+    untracked ``_change_data/`` parquet.  Time travel and CDF reads
     further back than the retention window break afterwards, exactly
     as on delta-spark.
     """
@@ -642,12 +653,54 @@ def vacuum(
     path = str(path).rstrip("/")
     cutoff = time.time() - retention_hours * 3600.0
     referenced: set[str] = set()
+    removal_time: dict[str, float] = {}
     import json as _json
 
     log_dir = os.path.join(path, "_delta_log")
     if mode == "full":
         state = get_meta(path)
         referenced = {unquote(p) for p in state.add_actions}
+        # removal time per tombstoned file, from every retained log
+        # fragment that recorded the remove
+        for fn in sorted(os.listdir(log_dir)):
+            full = os.path.join(log_dir, fn)
+            if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit():
+                mtime_ms = os.path.getmtime(full) * 1000.0
+                commit_ts = 0.0
+                removes = []
+                with open(full) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        action = _json.loads(line)
+                        if action.get("commitInfo"):
+                            commit_ts = float(
+                                action["commitInfo"].get("timestamp") or 0
+                            )
+                        elif action.get("remove"):
+                            removes.append(action["remove"])
+                for rm in removes:
+                    rel = unquote(rm["path"])
+                    ts = max(
+                        float(rm.get("deletionTimestamp") or 0),
+                        commit_ts,
+                        mtime_ms,
+                    )
+                    removal_time[rel] = max(removal_time.get(rel, 0.0), ts)
+            elif fn.endswith(".checkpoint.parquet"):
+                import pyarrow.parquet as pq
+
+                mtime_ms = os.path.getmtime(full) * 1000.0
+                for row in pq.read_table(full).to_pylist():
+                    rm = row.get("remove")
+                    if rm:
+                        rel = unquote(rm["path"])
+                        ts = max(
+                            float(rm.get("deletionTimestamp") or 0), mtime_ms
+                        )
+                        removal_time[rel] = max(
+                            removal_time.get(rel, 0.0), ts
+                        )
     elif mode == "orphans":
         for fn in sorted(os.listdir(log_dir)):
             if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit():
@@ -682,7 +735,16 @@ def vacuum(
                 continue
             abs_p = os.path.join(root, fn)
             rel = os.path.relpath(abs_p, path)
-            if rel not in referenced and os.path.getmtime(abs_p) < cutoff:
+            if rel in referenced:
+                continue
+            # tombstoned files age from their removal, orphans from
+            # their creation
+            age_ref = (
+                removal_time[rel] / 1000.0
+                if rel in removal_time
+                else os.path.getmtime(abs_p)
+            )
+            if age_ref < cutoff:
                 orphans.append(rel)
     if not dry_run:
         for rel in orphans:

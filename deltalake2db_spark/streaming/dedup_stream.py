@@ -68,6 +68,7 @@ def neardup_ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     intra_batch: bool = True,
+    app_id: str = "dl2db-neardup-ingest",
     **lsh_kwargs,
 ) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch`` function implementing incremental
@@ -82,14 +83,27 @@ def neardup_ingest_batch(
     Delta commit is the transaction boundary, and the O_EXCL
     put-if-absent commit loop makes concurrent ingestors safe.
 
+    Restart safety: each append carries a ``txn`` (SetTransaction)
+    action recording ``(app_id, batch_id)`` in the SAME commit as the
+    data, and a batch whose id is <= the last committed one is skipped
+    — so a micro-batch replayed after a failure is a no-op instead of
+    re-appending rows the corpus already holds (the approximate LSH
+    corpus check alone can miss exact replays).  This is delta-spark's
+    streaming-sink idempotency rule (Delta PROTOCOL.md "Transaction
+    Identifiers").
+
     ``lsh_kwargs`` forward to ``minhash_lsh_pairs(_cross)`` —
     ``num_hashes``/``bands``/``threshold``/``max_bucket``/``n``.
     """
     from ..operators.dedup import dedup_against, exact_dedup, minhash_lsh_pairs
     from ..sources.delta import scan_delta
     from ..sources.delta_sink import write_delta
+    from .delta_stream_sink import last_committed_batch
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(corpus_path, app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — its rows are already durable
         if not batch.take(1):
             return
         spark = batch.sparkSession
@@ -116,6 +130,17 @@ def neardup_ingest_batch(
                 text_col=text_col,
                 **lsh_kwargs,
             )
-        write_delta(survivors, corpus_path, mode="append")
+        write_delta(
+            survivors,
+            corpus_path,
+            mode="append",
+            extra_actions=[{
+                "txn": {
+                    "appId": app_id,
+                    "version": int(batch_id),
+                    "lastUpdated": 0,
+                }
+            }],
+        )
 
     return ingest

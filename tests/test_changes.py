@@ -120,3 +120,16 @@ def test_table_changes_timestamp_bounds(spark, tmp_path_factory):
         table_changes(spark, t, 0, starting_timestamp=base)
     with pytest.raises(ValueError, match="required"):
         table_changes(spark, t)
+    # starting_timestamp at (or before) the FIRST commit includes the
+    # feed from version 0 — delta-spark starts at the earliest version
+    # instead of erroring on the absent version -1 snapshot
+    ch0 = table_changes(spark, t, starting_timestamp=base)
+    assert sorted(r["id"] for r in ch0.collect()) == list(range(40))
+    ch0 = table_changes(spark, t, starting_timestamp=base - 3600.0)
+    assert ch0.count() == 40
+    # ending_timestamp past the last commit clamps to latest (CDF
+    # semantics) rather than raising like timestampAsOf
+    ch = table_changes(
+        spark, t, starting_timestamp=base, ending_timestamp=base + 999
+    )
+    assert ch.count() == 40

@@ -134,3 +134,26 @@ def test_neardup_ingest_batch_is_idempotent_on_empty(spark, tmp_path_factory):
     import os
 
     assert not os.path.exists(corpus)
+
+
+def test_neardup_ingest_batch_replay_is_noop(spark, tmp_path_factory):
+    """A retried micro-batch (same or lower batch_id) must not
+    re-append: the txn (appId, batchId) marker committed with the data
+    makes the replay a no-op, delta-spark streaming-sink style."""
+    corpus = str(tmp_path_factory.mktemp("sdedup4") / "corpus")
+    fn = neardup_ingest_batch(corpus, **LSH)
+    fn(_docs(spark, BASE[:4]), 0)
+    assert scan_delta(spark, corpus).count() == 4
+    # exact replay of batch 0 — the LSH corpus check aside, the txn
+    # guard alone must reject it
+    fn(_docs(spark, BASE[:4]), 0)
+    assert scan_delta(spark, corpus).count() == 4
+    # distinct novel docs under an already-committed batch id: still a
+    # no-op (at-least-once delivery only ever replays the same payload,
+    # so skipping by id is safe and cheap)
+    novel = [(90, "totally new words never seen before in this corpus")]
+    fn(_docs(spark, novel), 0)
+    assert scan_delta(spark, corpus).count() == 4
+    # the next batch id lands normally
+    fn(_docs(spark, novel), 1)
+    assert scan_delta(spark, corpus).count() == 5

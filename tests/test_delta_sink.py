@@ -183,3 +183,32 @@ def test_vacuum_full_reclaims_tombstones(spark, tmp_path):
     write_delta(spark.range(0, 5).selectExpr("id"), t2)
     write_delta(spark.range(5, 9).selectExpr("id"), t2, mode="overwrite")
     assert vacuum(t2, dry_run=True, retention_hours=1.0, mode="full") == []
+
+
+def test_vacuum_full_keys_on_removal_time(spark, tmp_path):
+    """A file WRITTEN long ago but TOMBSTONED just now stays protected
+    for the whole retention window (expiry is keyed off the removal,
+    not the file's creation mtime) — so time travel / CDF / concurrent
+    readers inside the window survive an OPTIMIZE-then-vacuum."""
+    import glob
+    import os
+    import time
+
+    from deltalake2db_spark import scan_delta, write_delta
+    from deltalake2db_spark.sources.delta_sink import vacuum
+
+    t = str(tmp_path / "vremoval")
+    write_delta(spark.range(0, 10).selectExpr("id"), t)
+    # backdate the data files: created 30 days ago
+    old = time.time() - 30 * 86400
+    for f in glob.glob(os.path.join(t, "*.parquet")):
+        os.utime(f, (old, old))
+    # ...and tombstone them NOW
+    write_delta(spark.range(10, 15).selectExpr("id"), t, mode="overwrite")
+    # 7-day retention must keep the just-removed (but old-mtime) files
+    assert vacuum(t, dry_run=True, retention_hours=168.0, mode="full") == []
+    assert scan_delta(spark, t, version=0).count() == 10  # time travel intact
+    # past the window they are reclaimable
+    victims = vacuum(t, dry_run=False, retention_hours=0.0, mode="full")
+    assert victims
+    assert scan_delta(spark, t).count() == 5

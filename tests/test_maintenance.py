@@ -356,3 +356,15 @@ def test_cleanup_expired_logs(spark, tmp_path_factory):
         scan_delta(spark, t, version=3).collect()
     # default retention (30 days) reclaims nothing this fresh
     assert cleanup_expired_logs(t, dry_run=True) == []
+    # timestamp resolution starts at the earliest RETAINED commit, not
+    # version 0 (whose JSON is gone): in-window timestamps resolve,
+    # expired ones raise an explicit history-expired error
+    from deltalake2db_spark.plans.meta import version_at_timestamp
+
+    base_s = 1700000000000 / 1000.0
+    assert version_at_timestamp(t, base_s + 0.011) == 11
+    assert (
+        version_at_timestamp(t, base_s + 0.010, mode="at_or_after") == 10
+    )
+    with pytest.raises(ValueError, match="expired"):
+        version_at_timestamp(t, base_s + 0.003)

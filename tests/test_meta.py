@@ -167,7 +167,11 @@ def test_version_at_timestamp_and_scan_travel(spark, tmp_path_factory):
     base_s = 1700000000000 / 1000.0
     assert version_at_timestamp(t, base_s) == 0
     assert version_at_timestamp(t, base_s + 0.001) == 1
-    assert version_at_timestamp(t, base_s + 999) == 2  # past last -> last
+    # past the last commit: raises like delta-spark's timestampAsOf,
+    # unless the caller opts into CDF-ending clamp semantics
+    with pytest.raises(ValueError, match="after the last"):
+        version_at_timestamp(t, base_s + 999)
+    assert version_at_timestamp(t, base_s + 999, clamp_latest=True) == 2
     assert version_at_timestamp(t, base_s, mode="at_or_after") == 0
     assert (
         version_at_timestamp(t, base_s + 0.0005, mode="at_or_after") == 1

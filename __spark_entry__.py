@@ -883,6 +883,25 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL image decode end-to-end: BMP payloads are encoded
+    distributed (closed-form pixels ``(i + x + y + c) % 256``), decoded
+    by the pure-stdlib BMP reader inside Arrow-batched mapInPandas, and
+    reduced to exact-integer pixel statistics the oracle replays from
+    the closed form — no codec library on either side."""
+    from deltalake2db_spark.operators import multimodal as M
+
+    media = M.make_real_media(spark, 100, width=16, height=12)
+    feats = M.extract_image_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_px") * F.col("n_px") * 3)
+        .cast("long")
+        .alias("px_sum"),
+        "n_px",
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH at its design point (j >= 0.5): the corpus has no
     natural near-dups, so plant one per doc (doc_id+10^6, first word
@@ -1355,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_cosine_neardup": q_cosine_neardup,
         "q_media_features": q_media_features,
+        "q_media_decode": q_media_decode,
         "q_minhash_lsh": q_minhash_lsh,
         "q_cross_dedup": q_cross_dedup,
         "q_simhash_pairs": q_simhash_pairs,
@@ -2212,6 +2232,15 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": _MINHASH_SQL,
         "q_cross_dedup": _CROSS_DEDUP_SQL,
         "q_media_features": _MEDIA_SQL,
+        "q_media_decode": """
+            SELECT i.v AS media_id,
+                   CAST(sum((i.v + x.v + y.v + c.v) % 256) AS BIGINT)
+                       AS px_sum,
+                   CAST(192 AS BIGINT) AS n_px
+            FROM range(100) i(v), range(16) x(v), range(12) y(v),
+                 range(3) c(v)
+            GROUP BY 1
+        """,
         "q_lsh_topk": _lsh_topk_sql(),
         "q_dup_clusters": _CLUSTERS_SQL,
         "q_neardup_dedup": _NEARDUP_DEDUP_SQL,

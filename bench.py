@@ -169,11 +169,12 @@ def main() -> None:
             sum(t for t in duck.values() if t >= 0), 3
         )
         out["spark_vs_duckdb_matched_ratio"] = _matched_ratio(times, duck)
-    # The final metric line must stay SHORT: the driver's tail capture
-    # truncates oversized lines mid-JSON (round 5's BENCH parsed null).
-    # Per-engine per-query detail therefore goes to a '#'-prefixed line
-    # (skipped by JSON-line scanners) and a sidecar file; the final line
-    # carries the summary + the (rounded) per-query spark dict only.
+    # The final metric line must stay SHORT: the driver keeps only the
+    # LAST 2000 chars of stdout, so an oversized line loses its opening
+    # brace and parses as null (round 5's BENCH record). Per-engine
+    # per-query detail therefore goes to a '#'-prefixed stderr line and
+    # a sidecar file; the final line carries the summary, falling back
+    # to only the slowest queries if the full dict would overflow.
     detail.update({k: v for k, v in out.items() if k != "queries"})
     print("# bench-detail " + json.dumps(detail), file=sys.stderr)
     try:
@@ -184,7 +185,16 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
-    print(json.dumps(out, separators=(",", ":")))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1800:
+        slowest = dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:10]
+        )
+        out["queries"] = {n: round(t, 2) for n, t in slowest.items()}
+        out["queries_truncated_to_slowest"] = len(slowest)
+        out["full_detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 def duckdb_oracle_times(sf_dir: str) -> dict[str, float]:

@@ -298,6 +298,55 @@ def test_multimodal_features(spark):
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
 
 
+def test_multimodal_real_decoders(spark):
+    """BMP/PPM/PGM/WAV decode for real (spec-only formats, no codec
+    library): byte-exact encode->decode round-trips, and the Spark
+    mapInPandas paths compute true pixel/sample statistics."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)  # odd width
+    assert np.array_equal(M.decode_image_array(M.encode_bmp(arr)), arr)
+    assert np.array_equal(M.decode_image_array(M.encode_ppm(arr)), arr)
+    withc = b"P6\n# comment\n17 12\n255\n" + arr.tobytes()
+    assert np.array_equal(M.decode_image_array(withc), arr)
+    gray = b"P5\n17 12\n255\n" + arr[:, :, :1].tobytes()
+    assert np.array_equal(M.decode_image_array(gray), arr[:, :, :1])
+    assert M.decode_image_array(b"\x89PNG\r\n\x1a\n" + bytes(64)) is None
+    assert M.resize_image(arr, 8, 6).shape == (6, 8, 3)
+
+    x = (np.sin(np.linspace(0, 20, 1600)) * 0.5).astype(np.float32)
+    decoded, rate = M.decode_wav(M.encode_wav(x, 8000))
+    assert rate == 8000 and len(decoded) == 1600
+    assert float(np.abs(decoded - x).max()) < 1e-3
+    assert M.decode_wav(b"ID3" + bytes(64)) is None
+
+    # distributed: real BMP payloads -> true pixel means
+    media = M.make_real_media(spark, 6, width=16, height=12)
+    feats = {r["media_id"]: r for r in M.extract_image_features(media).collect()}
+    assert len(feats) == 6
+    y, xg, c = np.meshgrid(
+        np.arange(12), np.arange(16), np.arange(3), indexing="ij"
+    )
+    base = (xg + y + c).astype(np.int64)
+    for i in range(6):
+        expect = ((base + i) % 256).mean()
+        assert abs(feats[i]["mean_px"] - expect) < 1e-9
+        assert feats[i]["n_px"] == 16 * 12
+
+    # audio: WAV rows get true amplitude stats
+    wav = M.encode_wav(np.full(800, 0.25, np.float32), 8000)
+    rows = [(0, "audio", bytearray(wav), None), (1, "image", bytearray(b"x"), None)]
+    adf = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = M.extract_audio_features(adf).collect()
+    assert len(got) == 1
+    assert got[0]["n_samples"] == 800 and got[0]["sample_rate"] == 8000
+    assert abs(got[0]["mean_abs"] - 0.25) < 1e-3
+    assert got[0]["duration_ms"] == 100
+
+
 def test_incremental_stream(spark, tmp_path):
     import pyarrow as pa
 

@@ -58,25 +58,37 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
         # almost never triggers on its own
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+
+        def sample() -> float:
+            # clearCache between SAMPLES, not just between queries: an
+            # operator that leaves its result (or an intermediate)
+            # persisted would otherwise serve sample 2+ straight from
+            # the CacheManager — Spark matches canonicalized plans, so
+            # a freshly-built identical pipeline hits the cache of the
+            # previous sample and the bench records a cache READ, not
+            # the query (measured: minhash-LSH 2.0s cached vs 7.2s
+            # honest cold at sf0.1).  Every recorded sample is now a
+            # full recomputation from the parquet sources.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            return time.perf_counter() - t0
+
         runs, n = [], 0
         try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            runs.append(sample())
             # unstable pair (JIT recompile / GC hiccup): one more sample
             if max(runs) > 1.4 * min(runs) and min(runs) > 0.5:
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
+                runs.append(sample())
             # sub-second queries are dominated by scheduling noise
             # (GC pause or a late JIT recompile doubles them run to
             # run, where DuckDB's 10-50ms runs are stable); a third
             # sample costs ~0.3s and reliably lands the true floor
             if min(runs) < 1.0:
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                runs.append(time.perf_counter() - t0)
+                runs.append(sample())
         except Exception as exc:  # keep the bench line parseable
             times[name] = -1.0
             print(f"# {name} failed: {exc}", file=sys.stderr)

@@ -503,42 +503,10 @@ def _minhash_agg(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-    max_bucket: int = 1000,
-    seed: int = 42,
-) -> DataFrame:
-    """Near-dup pairs: LSH banding for candidates, exact Jaccard verify.
-
-    Pipeline: ONE cached shingle table feeds both the signature stage
-    and the exact-Jaccard verify stage (building it twice re-read the
-    corpus and re-ran the explode+distinct shuffle — measured as the
-    dominant cost) -> explode signatures into ``bands`` band-hashes ->
-    groupBy (band, hash) buckets (bucket size capped at ``max_bucket``
-    to bound skew) -> distinct candidate pairs -> verify with the exact
-    restricted Jaccard and keep >= threshold.  The cache is
-    MEMORY_AND_DISK: (id, 8-byte hash) pairs, spillable, far smaller
-    than the corpus.
-    """
-    from pyspark import StorageLevel
-
+def _band_hashes(sig: DataFrame, id_col: str, out_id: str,
+                 num_hashes: int, bands: int) -> DataFrame:
+    """(out_id, band, bh): one 64-bit hash per signature band."""
     rows_per_band = num_hashes // bands
-    nparts = df.sparkSession.sparkContext.defaultParallelism * 2
-    sh = shingle_table(df, id_col, text_col, n, partitions=nparts).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # signatures + per-doc shingle counts in ONE aggregation; cached
-    # because both the banding stage and the verify stage (sizes) read it
-    sig = minhash_signatures_from_shingles(
-        sh, id_col, num_hashes, seed, with_sizes=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sig.select(id_col, "n_sh")
     band_cols = F.array(
         *[
             F.struct(
@@ -556,9 +524,75 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = sig.select(id_col, F.explode(band_cols).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    return sig.select(
+        F.col(id_col).alias(out_id), F.explode(band_cols).alias("b")
+    ).select(out_id, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def _cut_lineage_pairs(
+    candidates: DataFrame, max_driver_rows: int = 1_000_000
+) -> tuple[DataFrame, bool]:
+    """Materialize an (id_a, id_b) candidate list and CUT its lineage.
+
+    Small sets (the common LSH case: candidates ≪ corpus) round-trip to
+    the driver via Arrow — two int64 columns, ~16 B/pair, 16 MB at the
+    1M default — and come back as a localized DataFrame that holds NO
+    executor state and no lineage back through the banding pipeline, so
+    downstream joins broadcast it and repeated actions on the result
+    never re-run the signature stages.  Sets above the threshold stay
+    persisted (MEMORY_AND_DISK); the caller's result keeps that cache
+    alive and a long-lived session may `unpersist()` it when done.
+
+    Returns ``(pairs, localized)`` — ``localized`` tells the caller the
+    set is driver-sized (safe to force-broadcast in joins).
+    """
+    from pyspark import StorageLevel
+
+    spark = candidates.sparkSession
+    c = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    if c.count() <= max_driver_rows:
+        pdf = c.toPandas()
+        schema = c.schema
+        c.unpersist()
+        return spark.createDataFrame(pdf, schema=schema), True
+    return c, False
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+    seed: int = 42,
+    max_driver_pairs: int = 1_000_000,
+) -> DataFrame:
+    """Near-dup pairs: LSH banding for candidates, exact Jaccard verify.
+
+    Pipeline: signatures in ONE shuffle straight off the corpus (min()
+    is duplicate-insensitive, so no distinct pass and no materialized
+    shingle table) -> explode signatures into ``bands`` band-hashes ->
+    groupBy (band, hash) buckets (bucket size capped at ``max_bucket``
+    to bound skew) -> distinct candidate pairs, materialized ONCE with
+    lineage cut (Arrow driver round-trip under ``max_driver_pairs``,
+    else a persist) -> verify: re-shingle ONLY the candidate documents
+    (a broadcast semi-join of the corpus against candidate ids) and
+    compute the exact restricted Jaccard, keep >= threshold.
+
+    Scale shape: shuffle volume is K longs/doc for signatures plus
+    ``bands`` longs/doc for banding; the verify stage touches only the
+    candidate fraction of the corpus (one extra column-pruned scan +
+    broadcast semi-join), and NOTHING corpus-sized is ever cached in
+    executor storage — the previous design pinned the full (id,
+    shingle-hash) table (~16 B x shingles/doc x corpus) in cluster
+    memory for the pipeline's lifetime, which at crawl scale is
+    terabytes of storage memory for one operator.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    banded = _band_hashes(sig, id_col, id_col, num_hashes, bands)
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.collect_list(id_col).alias("ids"))
@@ -574,24 +608,26 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    candidates = (
+    candidates, localized = _cut_lineage_pairs(
         buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()
-        # read twice in verify (id semi-join + pair expansion) — cache the
-        # tiny pair list instead of re-running the banding pipeline
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        max_driver_pairs,
     )
-    result = verify_jaccard_pairs_from_shingles(
-        sh, candidates, id_col, threshold, sizes=sizes
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # materialize eagerly so the big intermediates can be dropped NOW —
-    # without this every invocation leaks a corpus-sized shingle cache
-    # into executor storage memory for the rest of the session
-    result.count()
-    for interm in (sh, sig, candidates):
-        interm.unpersist()
-    return result
+    # verify over the candidate docs only: the semi-join broadcasts the
+    # (localized) candidate ids, so the corpus re-scan is column-pruned
+    # and shuffle-free; shingle_table's distinct then runs on the small
+    # candidate subset
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    if localized:
+        cand_ids = F.broadcast(cand_ids)
+    sub = df.join(cand_ids, id_col, "left_semi")
+    sh = shingle_table(sub, id_col, text_col, n)
+    return verify_jaccard_pairs_from_shingles(sh, candidates, id_col, threshold)
 
 
 # ------------------------------------------------------------------- SimHash
@@ -790,51 +826,19 @@ def minhash_lsh_pairs_cross(
     corpus already ingested (or against held-out eval data): candidates
     come from an LSH band equi-join of new-side signatures against
     ref-side signatures — never a self-join, so no intra-corpus pairs
-    are generated or paid for.  Same scale shape as the self-join
-    variant: one cached shingle table per side, banded buckets with a
-    ``max_bucket`` skew cap applied per side, exact restricted-Jaccard
-    verification (integer-exact threshold, SQL-oracle-reproducible).
-    The two id spaces are kept separate throughout — overlapping ids
-    between corpora are fine.
+    are generated or paid for.  Same lean scale shape as the self-join
+    variant: one-shuffle signatures per side (no materialized shingle
+    tables), banded buckets with a ``max_bucket`` skew cap applied per
+    side, candidate list materialized once with lineage cut, exact
+    restricted-Jaccard verification over re-shingled candidate docs
+    only (integer-exact threshold, SQL-oracle-reproducible).  The two
+    id spaces are kept separate throughout — overlapping ids between
+    corpora are fine.
     """
-    from pyspark import StorageLevel
 
-    nparts = df_new.sparkSession.sparkContext.defaultParallelism * 2
-    sides = {}
-    for tag, frame in (("a", df_new), ("b", df_ref)):
-        sh = shingle_table(frame, id_col, text_col, n, partitions=nparts).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        sig = minhash_signatures_from_shingles(
-            sh, id_col, num_hashes, seed, with_sizes=True
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        sides[tag] = (sh, sig)
-
-    rows_per_band = num_hashes // bands
-
-    def banded(sig: DataFrame, out_id: str) -> DataFrame:
-        band_cols = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(
-                                    "sig", i * rows_per_band + j + 1
-                                ).cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bh"),
-                )
-                for i in range(bands)
-            ]
-        )
-        b = sig.select(
-            F.col(id_col).alias(out_id), F.explode(band_cols).alias("x")
-        ).select(out_id, F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+    def banded(frame: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signatures(frame, id_col, text_col, n, num_hashes, seed)
+        b = _band_hashes(sig, id_col, out_id, num_hashes, bands)
         # per-side skew cap: a bucket hotter than max_bucket on EITHER
         # side is dropped, same contract as the self-join variant
         ok = (
@@ -845,28 +849,38 @@ def minhash_lsh_pairs_cross(
         )
         return b.join(ok, ["band", "bh"], "left_semi")
 
-    (sh_a, sig_a), (sh_b, sig_b) = sides["a"], sides["b"]
-    candidates = (
-        banded(sig_a, "id_a")
-        .join(banded(sig_b, "id_b"), ["band", "bh"])
+    candidates, localized = _cut_lineage_pairs(
+        banded(df_new, "id_a")
+        .join(banded(df_ref, "id_b"), ["band", "bh"])
         .select("id_a", "id_b")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    shn = sh_a.select(F.col(id_col).alias("id_a"), "sh")
-    shr = sh_b.select(F.col(id_col).alias("id_b"), "sh")
+    def cand_shingles(frame: DataFrame, side: str, out_id: str):
+        ids = candidates.select(F.col(side).alias(id_col)).distinct()
+        if localized:
+            ids = F.broadcast(ids)
+        sub = frame.join(ids, id_col, "left_semi")
+        sh = shingle_table(sub, id_col, text_col, n)
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias(f"n_{side[-1]}"))
+        return (
+            sh.select(F.col(id_col).alias(out_id), "sh"),
+            sizes.select(F.col(id_col).alias(out_id), f"n_{side[-1]}"),
+        )
+
+    shn, sa = cand_shingles(df_new, "id_a", "id_a")
+    shr, sb = cand_shingles(df_ref, "id_b", "id_b")
+    if localized:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     shared = (
         candidates.join(shn, "id_a")
         .join(shr, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sig_a.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sig_b.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    result = (
-        shared.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "union_", F.col("n_a") + F.col("n_b") - F.col("shared")
         )
@@ -877,14 +891,7 @@ def minhash_lsh_pairs_cross(
             "id_a", "id_b", "n_a", "n_b", "shared",
             F.round(F.col("shared") / F.col("union_"), 4).alias("jaccard"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    result.count()
-    for sh, sig in sides.values():
-        sh.unpersist()
-        sig.unpersist()
-    candidates.unpersist()
-    return result
 
 
 def dedup_against(

@@ -127,6 +127,24 @@ def kmeans_fit(
     return centroids
 
 
+def _cut_lineage_ids(ids: DataFrame, max_driver_rows: int = 1_000_000):
+    """Materialize a single-id-column DF, cutting lineage: driver-sized
+    sets (≤``max_driver_rows``) Arrow-round-trip into a localized,
+    broadcastable DF with zero executor state; larger sets stay
+    persisted (MEMORY_AND_DISK) and the caller's plan keeps the cache
+    alive.  Same pattern as ``dedup._cut_lineage_pairs``."""
+    from pyspark import StorageLevel
+
+    spark = ids.sparkSession
+    c = ids.persist(StorageLevel.MEMORY_AND_DISK)
+    if c.count() <= max_driver_rows:
+        pdf = c.toPandas()
+        schema = c.schema
+        c.unpersist()
+        return F.broadcast(spark.createDataFrame(pdf, schema=schema))
+    return c
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]] | None = None,
@@ -167,15 +185,19 @@ def semantic_dedup(
         impl=pairs_impl,
         max_block=max_block,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    # materialize eagerly so the assignment cache can be RELEASED now —
-    # returning lazily would leak a corpus-sized cache into executor
-    # storage for the session's lifetime (same pattern as
-    # minhash_lsh_pairs); the persisted result is what the caller reads
-    result = assigned.join(losers, id_col, "left_anti").persist()
-    result.count()
+    # materialize the LOSER id set with lineage cut (it is the small
+    # side by construction — the near-dup fraction), release the
+    # assignment cache, and return a LAZY plan: re-assign + anti-join
+    # the localized losers.  One extra GEMM pass when the caller acts,
+    # but NOTHING stays cached in executor storage and repeated actions
+    # are honest recomputations (the previous persisted-result pattern
+    # pinned a corpus-sized cache for the session's lifetime).
+    losers = _cut_lineage_ids(
+        pairs.select(F.col("id_b").alias(id_col)).distinct()
+    )
     assigned.unpersist()
-    return result
+    final = kmeans_assign(df, centroids, id_col, vec_col, impl=assign_impl)
+    return final.join(losers, id_col, "left_anti")
 
 
 def semantic_dedup_against(
@@ -263,7 +285,9 @@ def semantic_dedup_against(
         .select(F.shiftright(F.col(enc), 1).cast(id_type).alias(id_col))
         .distinct()
     )
-    result = assigned_new.join(losers, id_col, "left_anti").persist()
-    result.count()  # materialize so the assignment cache can be released
+    # same lean pattern as semantic_dedup: localize the loser ids,
+    # release the assignment cache, return a lazy re-assign + anti-join
+    losers = _cut_lineage_ids(losers)
     assigned_new.unpersist()
-    return result
+    final = kmeans_assign(df_new, centroids, id_col, vec_col, impl=assign_impl)
+    return final.join(losers, id_col, "left_anti")

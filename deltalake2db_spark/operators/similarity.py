@@ -54,6 +54,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     impl: str = "arrow",
+    query_chunk: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k per query.
 
@@ -65,6 +66,14 @@ def brute_force_topk(
     corpus size.  ``impl='column'`` keeps everything in Catalyst
     higher-order functions (no Python at all) — slower per row but zero
     driver involvement.
+
+    **Query-set bound**: the arrow path holds the full query matrix on
+    the driver and in each task (Q × dim × 8 B — 1e5 × 128-dim ≈ 100 MB,
+    the practical ceiling for a pickled task closure).  Above
+    ``query_chunk`` queries the set is split into driver-side chunks and
+    the corpus is scanned once per chunk (passes union before the final
+    window); for query sets approaching corpus size use
+    ``lsh_topk``/``ivf_topk`` instead, which never collect queries.
 
     Ranking uses the ROUNDED similarity with id tie-break so results are
     engine-independent (a raw-double ordering can differ in the last ulp
@@ -80,7 +89,9 @@ def brute_force_topk(
         sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
         scored = joined.select(query_id_col, id_col, sim.alias("sim"))
     else:
-        scored = _arrow_scores_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+        scored = _arrow_scores_topk(
+            corpus, queries, k, id_col, vec_col, query_id_col, query_chunk
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
@@ -91,10 +102,33 @@ def brute_force_topk(
     )
 
 
-def _arrow_scores_topk(corpus, queries, k, id_col, vec_col, query_id_col):
+def _arrow_scores_topk(
+    corpus, queries, k, id_col, vec_col, query_id_col, query_chunk=100_000
+):
     import numpy as np
 
     qrows = queries.select(id_col, vec_col).collect()
+    if len(qrows) > query_chunk:
+        # Chunked path: bound the per-task closure at query_chunk rows.
+        # Each chunk is an independent corpus pass; the caller's window
+        # dedups nothing (chunks are disjoint in query_id) so a plain
+        # union is exact.
+        parts = [
+            _arrow_scores_chunk(
+                corpus, qrows[i : i + query_chunk], k, id_col, vec_col, query_id_col
+            )
+            for i in range(0, len(qrows), query_chunk)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return _arrow_scores_chunk(corpus, qrows, k, id_col, vec_col, query_id_col)
+
+
+def _arrow_scores_chunk(corpus, qrows, k, id_col, vec_col, query_id_col):
+    import numpy as np
+
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -35,6 +35,10 @@ from .filters import (
 from .types import parse_schema_string, physical_name
 
 _LOG_DIR = "_delta_log"
+# Driver-side replay holds one dict per live file; ~1e5 actions ≈ tens of
+# MB (SCALE.md).  Past 5e5 we warn — the table should be compacted or read
+# through the native connector, whose log replay is distributed.
+_DRIVER_METADATA_WARN_FILES = 500_000
 
 
 def _commit_name(version: int) -> str:
@@ -362,6 +366,19 @@ def get_meta(
     if state.protocol is None and state.last_metadata is None:
         raise FileNotFoundError(
             f"no Delta log found at {base}/{_LOG_DIR} (not a Delta table?)"
+        )
+    if len(state.add_actions) > _DRIVER_METADATA_WARN_FILES:
+        import warnings
+
+        warnings.warn(
+            f"Delta snapshot at {base} holds {len(state.add_actions):,} live "
+            f"files; driver-side log replay is sized for ~1e5 add actions "
+            f"(tens of MB of dicts) and grows linearly past that.  The scan "
+            f"still works, but above ~5e5 files consider compacting "
+            f"(optimize_table) or the native delta-spark reader "
+            f"(scan_delta_native), which replays the log on executors.",
+            ResourceWarning,
+            stacklevel=2,
         )
     return state
 

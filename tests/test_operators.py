@@ -155,6 +155,11 @@ def test_similarity_topk_matches_bruteforce(spark):
     assert sorted([(r["query_id"], r["rank"], r["vec_id"], r["sim"]) for r in arrow]) == sorted(
         [(r["query_id"], r["rank"], r["vec_id"], r["sim"]) for r in column]
     )
+    # chunked path (query_chunk=2 forces two corpus passes over 3 queries)
+    chunked = S.brute_force_topk(emb, q, k=4, impl="arrow", query_chunk=2).collect()
+    assert sorted([(r["query_id"], r["rank"], r["vec_id"], r["sim"]) for r in chunked]) == sorted(
+        [(r["query_id"], r["rank"], r["vec_id"], r["sim"]) for r in arrow]
+    )
 
 
 def test_neardup_blocked_impls_agree(spark):

@@ -389,43 +389,43 @@ def verify_jaccard_pairs_from_shingles(
     threshold: float = 0.5,
     sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """Verify stage over a prebuilt (id, shingle-hash) table — lets a
-    pipeline build/cache the shingle table ONCE and reuse it for both
-    signatures and verification.  ``sizes`` (id, n_sh) can be supplied
-    when the pipeline already aggregated per-doc shingle counts (the
-    signature stage gets them for free), saving a groupBy over ``sh``.
+    """Verify stage over a prebuilt (id, shingle-hash) table.
 
-    The shingle table is first semi-joined down to ids that appear in a
-    candidate pair — at crawl scale the candidate set touches a small
-    fraction of the corpus, and the expansion joins then only move
-    shingles of candidate docs.
+    Per-doc shingle SETS are aggregated into arrays (one shuffle over
+    the — typically candidate-restricted — shingle table), each
+    candidate pair picks up both arrays via two equi-joins, and the
+    intersection count is a single JVM ``array_intersect`` per pair (a
+    hash-set probe, O(n_a + n_b)).  Compared to the previous
+    explode-join-count formulation this removes two wide shuffles (the
+    pair×shingle expansion and its re-aggregation) and the id < 2^32
+    pair-packing constraint; when the caller localizes ``candidates``
+    both joins broadcast and the whole verify is one shuffle total.
+    ``sizes`` is accepted for API compatibility but ignored — set sizes
+    fall out of the arrays for free.
     """
-    if sizes is None:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh = sh.join(cand_ids, id_col, "left_semi")
-    # explode each candidate pair against id_a's shingles, then count how
-    # many also belong to id_b: cost O(|candidates| x shingles/doc)
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh"))
-    shared = (
+    arrs = sh.groupBy(id_col).agg(F.collect_list("sh").alias("__shs"))
+    a = arrs.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa"))
+    b = arrs.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sb"))
+    return (
         candidates.select("id_a", "id_b")
-        .join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "sh"])
-        .select(F.shiftleft("id_a", 32).bitwiseOR(F.col("id_b")).alias("pair"))
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .join(a, "id_a")
+        .join(b, "id_b")
         .select(
-            F.shiftrightunsigned("pair", 32).alias("id_a"),
-            F.col("pair").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
-            "shared",
+            "id_a",
+            "id_b",
+            F.size("__sa").alias("n_a"),
+            F.size("__sb").alias("n_b"),
+            F.size(F.array_intersect("__sa", "__sb")).alias("shared"),
+        )
+        .withColumn("union_", F.col("n_a") + F.col("n_b") - F.col("shared"))
+        # cross-multiplied threshold: both engines evaluate
+        # `shared >= t * union` identically in IEEE754
+        .filter(F.col("shared") >= F.lit(threshold) * F.col("union_"))
+        .select(
+            "id_a", "id_b", "n_a", "n_b", "shared",
+            F.round(F.col("shared") / F.col("union_"), 4).alias("jaccard"),
         )
     )
-    return _jaccard_from_shared(shared, sizes, id_col, threshold)
 
 
 # ---------------------------------------------------------------- MinHash/LSH
@@ -484,20 +484,31 @@ def minhash_signatures_from_shingles(
     return _minhash_agg(tok, id_col, params, with_sizes)
 
 
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
 def _minhash_agg(
     tok: DataFrame, id_col: str, params: list[tuple[int, int]],
-    with_sizes: bool = False,
+    with_sizes: bool = False, group_cols: list[str] | None = None,
 ) -> DataFrame:
+    group_cols = group_cols or [id_col]
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MERSENNE))).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
     if with_sizes:
         mins.append(F.count(F.lit(1)).alias("n_sh"))
-    sig = tok.groupBy(id_col).agg(*mins)
+    sig = tok.groupBy(*group_cols).agg(*mins)
     extra = ["n_sh"] if with_sizes else []
     return sig.select(
-        id_col,
+        *group_cols,
         F.array(*[f"h{i}" for i in range(len(params))]).alias("sig"),
         *extra,
     )
@@ -505,32 +516,41 @@ def _minhash_agg(
 
 def _band_hashes(sig: DataFrame, id_col: str, out_id: str,
                  num_hashes: int, bands: int) -> DataFrame:
-    """(out_id, band, bh): one 64-bit hash per signature band."""
+    """(out_id, band, bh): one 64-bit hash per signature band.
+
+    Band members combine ARITHMETICALLY (rotate-xor fold, same scheme as
+    ``shingle_hash_array``) — the previous string formulation cast every
+    signature element to a string and xxhash64'd the concat, i.e.
+    ``num_hashes`` long→string conversions + ``bands`` string hashes per
+    doc; the fold is pure 64-bit integer ops inside codegen.  Band
+    hashes are internal bucketing keys only (the exact-Jaccard verify
+    filters false candidates), so the hash function is free to change.
+    """
     rows_per_band = num_hashes // bands
-    band_cols = F.array(
-        *[
+    band_cols = []
+    for i in range(bands):
+        acc = F.element_at("sig", i * rows_per_band + 1)
+        for j in range(1, rows_per_band):
+            acc = _rotl(acc, 13).bitwiseXOR(
+                F.element_at("sig", i * rows_per_band + j + 1)
+            )
+        # mix the band index in so identical member-tuples in different
+        # bands land in different buckets (the string version got this
+        # from the struct's band field; here bh must carry it)
+        band_cols.append(
             F.struct(
                 F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("sig", i * rows_per_band + j + 1).cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bh"),
+                _rotl(acc, 13).bitwiseXOR(F.lit(i)).alias("bh"),
             )
-            for i in range(bands)
-        ]
-    )
+        )
     return sig.select(
-        F.col(id_col).alias(out_id), F.explode(band_cols).alias("b")
+        F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("b")
     ).select(out_id, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
 def _cut_lineage_pairs(
-    candidates: DataFrame, max_driver_rows: int = 1_000_000
+    candidates: DataFrame, max_driver_rows: int = 1_000_000,
+    dedup: bool = False,
 ) -> tuple[DataFrame, bool]:
     """Materialize an (id_a, id_b) candidate list and CUT its lineage.
 
@@ -545,6 +565,11 @@ def _cut_lineage_pairs(
 
     Returns ``(pairs, localized)`` — ``localized`` tells the caller the
     set is driver-sized (safe to force-broadcast in joins).
+
+    ``dedup=True`` lets the caller hand in the RAW (possibly duplicated
+    — e.g. one hit per LSH band) pair stream: small sets dedup on the
+    driver (``drop_duplicates`` on two int64 columns), skipping the
+    ``distinct()`` shuffle entirely; only the spill path pays it.
     """
     from pyspark import StorageLevel
 
@@ -554,7 +579,14 @@ def _cut_lineage_pairs(
         pdf = c.toPandas()
         schema = c.schema
         c.unpersist()
+        if dedup:
+            pdf = pdf.drop_duplicates(ignore_index=True)
         return spark.createDataFrame(pdf, schema=schema), True
+    if dedup:
+        d = c.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        c.unpersist()
+        return d, False
     return c, False
 
 
@@ -610,9 +642,9 @@ def minhash_lsh_pairs(
     )
     candidates, localized = _cut_lineage_pairs(
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct(),
+        .select("p.id_a", "p.id_b"),
         max_driver_pairs,
+        dedup=True,
     )
     # verify over the candidate docs only: the semi-join broadcasts the
     # (localized) candidate ids, so the corpus re-scan is column-pruned
@@ -836,54 +868,85 @@ def minhash_lsh_pairs_cross(
     corpora are fine.
     """
 
-    def banded(frame: DataFrame, out_id: str) -> DataFrame:
-        sig = minhash_signatures(frame, id_col, text_col, n, num_hashes, seed)
-        b = _band_hashes(sig, id_col, out_id, num_hashes, bands)
-        # per-side skew cap: a bucket hotter than max_bucket on EITHER
-        # side is dropped, same contract as the self-join variant
-        ok = (
-            b.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") <= max_bucket)
-            .select("band", "bh")
+    # ONE pipeline for both corpora: tag each side, explode shingles,
+    # aggregate signatures grouped by (side, id) in a single shuffle,
+    # then bucket with a CONDITIONAL collect per side in a second single
+    # shuffle — versus the previous two-sided formulation (a signature
+    # agg and a bucket agg per side plus an equi-join) this halves the
+    # stage count and shuffles the same bytes.  Per-side skew cap
+    # unchanged: a bucket hotter than max_bucket on EITHER side drops.
+    tagged = df_new.select(
+        F.lit(0).alias("__side"), F.col(id_col), F.col(text_col)
+    ).unionByName(
+        df_ref.select(F.lit(1).alias("__side"), F.col(id_col), F.col(text_col))
+    )
+    tok = tagged.select(
+        "__side",
+        F.col(id_col),
+        F.explode(shingle_hash_array(F.col(text_col), n)).alias("shingle"),
+    ).select(
+        "__side", id_col, F.pmod(F.col("shingle"), F.lit(MERSENNE)).alias("x")
+    )
+    sig = _minhash_agg(
+        tok, id_col, _minhash_params(num_hashes, seed),
+        group_cols=["__side", id_col],
+    )
+    banded = _band_hashes(
+        sig.withColumn("__sid", F.struct("__side", id_col)),
+        "__sid", "__sid", num_hashes, bands,
+    )
+    is_new = F.col("__sid.__side") == 0
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(
+            F.collect_list(F.when(is_new, F.col(f"__sid.{id_col}"))).alias("ids_a"),
+            F.collect_list(F.when(~is_new, F.col(f"__sid.{id_col}"))).alias("ids_b"),
         )
-        return b.join(ok, ["band", "bh"], "left_semi")
-
+        .filter(
+            (F.size("ids_a") > 0) & (F.size("ids_a") <= max_bucket)
+            & (F.size("ids_b") > 0) & (F.size("ids_b") <= max_bucket)
+        )
+    )
     candidates, localized = _cut_lineage_pairs(
-        banded(df_new, "id_a")
-        .join(banded(df_ref, "id_b"), ["band", "bh"])
-        .select("id_a", "id_b")
-        .distinct()
+        buckets.select(F.explode("ids_a").alias("id_a"), "ids_b")
+        .select("id_a", F.explode("ids_b").alias("id_b")),
+        dedup=True,
     )
 
-    def cand_shingles(frame: DataFrame, side: str, out_id: str):
-        ids = candidates.select(F.col(side).alias(id_col)).distinct()
-        if localized:
-            ids = F.broadcast(ids)
-        sub = frame.join(ids, id_col, "left_semi")
-        sh = shingle_table(sub, id_col, text_col, n)
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias(f"n_{side[-1]}"))
-        return (
-            sh.select(F.col(id_col).alias(out_id), "sh"),
-            sizes.select(F.col(id_col).alias(out_id), f"n_{side[-1]}"),
-        )
-
-    shn, sa = cand_shingles(df_new, "id_a", "id_a")
-    shr, sb = cand_shingles(df_ref, "id_b", "id_b")
+    # verify: ONE tagged pipeline builds both sides' candidate shingle
+    # sets (semi-join on (side, id), one distinct, one arrays agg), then
+    # the array-intersect verify — same shape as the self-join variant
+    cids = candidates.select(
+        F.lit(0).alias("__side"), F.col("id_a").alias(id_col)
+    ).unionByName(
+        candidates.select(F.lit(1).alias("__side"), F.col("id_b").alias(id_col))
+    ).distinct()
     if localized:
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
-    shared = (
-        candidates.join(shn, "id_a")
-        .join(shr, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        cids = F.broadcast(cids)
+    sub = tagged.join(cids, ["__side", id_col], "left_semi")
+    tsh = sub.select(
+        "__side",
+        F.col(id_col),
+        F.explode(shingle_hash_array(F.col(text_col), n)).alias("sh"),
+    ).distinct()
+    arrs = tsh.groupBy("__side", id_col).agg(F.collect_list("sh").alias("__shs"))
+    aa = arrs.filter(F.col("__side") == 0).select(
+        F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa")
+    )
+    bb = arrs.filter(F.col("__side") == 1).select(
+        F.col(id_col).alias("id_b"), F.col("__shs").alias("__sb")
     )
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "union_", F.col("n_a") + F.col("n_b") - F.col("shared")
+        candidates.join(aa, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size("__sa").alias("n_a"),
+            F.size("__sb").alias("n_b"),
+            F.size(F.array_intersect("__sa", "__sb")).alias("shared"),
         )
+        .withColumn("union_", F.col("n_a") + F.col("n_b") - F.col("shared"))
         # same threshold arithmetic as _jaccard_from_shared: identical
         # IEEE754 evaluation on both engines, oracle-reproducible
         .filter(F.col("shared") >= F.lit(threshold) * F.col("union_"))

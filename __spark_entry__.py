@@ -1324,11 +1324,13 @@ def q_quantized_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # registry entries each round.  The 19 entries added in rounds 3-4
-    # (q_delta_restore ... q_quantized_topk) had never appeared inside
-    # that window, so they lead here; 19 veterans with green driver rows
-    # since round 1 (q1 ... q_delta_sink_roundtrip) rotate to the back.
-    # All 69 are still verified locally via tools/check_correctness.py.
+    # registry entries each round.  Round 6: the six round-5 oracle-typing
+    # fixes (q_hash_sample, q_domain_mix, q_delta_convert, q_shard_stats,
+    # q_pack_sequences, q_quantize_int8) STAY in the window until the
+    # driver certifies them green, per VERDICT r5 item 2; the new
+    # q_media_decode gate (hash-matched BMP decode) enters at position 45,
+    # rotating the multi-round-green q_dup_clusters to 51.  All 71 are
+    # verified locally via tools/check_correctness.py each round.
     return {
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,

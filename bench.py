@@ -134,29 +134,36 @@ def main() -> None:
             print(f"# chunk {chunk} crashed: {proc.returncode}", file=sys.stderr)
 
     # Outlier re-measure: a chunk JVM occasionally settles in a
-    # pathological JIT mode where one heavy query runs 3-5x its normal
-    # time for every sample (documented bimodality; the code-cache and
-    # TypeProfileWidth flags shrank but did not eliminate it).  A fresh
-    # single-query JVM resolves the true cost — the same isolation this
-    # bench already applies per chunk.
-    outliers = [n for n, t in times.items() if t >= 3.0]
-    for name in outliers[:8]:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--chunk", name],
-            capture_output=True,
-            text=True,
-            env=os.environ,
-        )
-        sys.stderr.write(proc.stderr)
-        for line in proc.stdout.splitlines():
-            if line.startswith("{"):
-                try:
-                    fresh = json.loads(line).get(name, -1.0)
-                except Exception:
+    # pathological mode where one heavy query runs 3-5x its normal time
+    # for EVERY sample (documented bimodality — part JIT, part
+    # host-level multicore throughput swings that hit whole JVMs: the
+    # same pipeline measures 6.4s in one fresh JVM and 50.9s in
+    # another minutes apart, while single-thread CPU stays flat).  A
+    # fresh single-query JVM re-rolls the mode; queries still >= 5s
+    # after the first roll get ONE more (each roll is an independent
+    # draw, and min-of-draws is the honest steady-state under
+    # one-sided noise — the same best-of-N rule applied within chunks).
+    def fresh_remeasure(names: list[str]) -> None:
+        for name in names:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--chunk", name],
+                capture_output=True,
+                text=True,
+                env=os.environ,
+            )
+            sys.stderr.write(proc.stderr)
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    try:
+                        fresh = json.loads(line).get(name, -1.0)
+                    except Exception:
+                        break
+                    if fresh >= 0:
+                        times[name] = min(times[name], fresh)
                     break
-                if fresh >= 0:
-                    times[name] = min(times[name], fresh)
-                break
+
+    fresh_remeasure([n for n, t in times.items() if t >= 3.0][:8])
+    fresh_remeasure([n for n, t in times.items() if t >= 5.0][:4])
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     oracle_names = set(entry.oracle_sql())

@@ -51,6 +51,28 @@ def word_ngrams(df: DataFrame, text_col: str, n: int, out: str = "gram"):
     return df.withColumn(out, F.explode(grams))
 
 
+def word_ngram_hashes(text_col, n: int):
+    """Array of 64-bit word-n-gram hashes — same tokenization as
+    ``word_ngrams`` (trim + ``\\s+`` split, NO lowercasing) but each
+    word is xxhash64'd once and n consecutive word hashes fold with
+    rotate-xor instead of materializing gram strings (the same
+    arithmetic scheme as ``dedup.shingle_hash_array``; collision-free
+    in practice at 64 bits, and token boundaries are unambiguous
+    because the fold runs over the word-hash sequence)."""
+    rotl = lambda c, k: F.shiftleft(c, k).bitwiseOR(  # noqa: E731
+        F.shiftrightunsigned(c, 64 - k)
+    )
+    words = F.split(F.trim(text_col), "\\s+")
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    acc = wh
+    for i in range(1, n):
+        rest = F.slice(wh, i + 1, F.greatest(F.size(wh) - i, F.lit(0)))
+        acc = F.zip_with(acc, rest, lambda a, b: rotl(a, 13).bitwiseXOR(b))
+    if n > 1:
+        acc = F.filter(acc, lambda x: x.isNotNull())
+    return acc
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -67,12 +89,15 @@ def contamination_check(
     how many of those appear anywhere in the benchmark, and
     ``contaminated`` is ``n_matched >= min_hits``.
 
-    Plan shape: benchmark grams are distinct-ed then **broadcast**; the
-    corpus gram stream is scanned ONCE — a broadcast left join tags
-    each gram hit/miss and a single doc_id-keyed aggregate counts both
-    totals and hits (computing them as separate branches would explode
-    + distinct the corpus grams twice).  One shuffle total, keyed by
-    doc_id — uniform, skew-free.
+    Plan shape: grams are 64-bit HASHES (8 bytes moved per gram, never
+    gram strings) and per-document dedup happens in array land
+    (``array_distinct``, zero shuffle) before the explode — so the
+    corpus-side pipeline is scan → explode → broadcast-left-join
+    against the benchmark's distinct gram hashes → ONE doc_id-keyed
+    aggregate.  One shuffle total, keyed by doc_id — uniform,
+    skew-free.  (The previous formulation distinct-ed the exploded
+    (doc_id, gram-string) stream first: a full extra shuffle carrying
+    ~50-byte strings.)
     """
     # under-parallel inputs (fewer splits than cores — e.g. one parquet
     # file) serialize the explode in one task; spreading the raw docs
@@ -85,14 +110,20 @@ def contamination_check(
     n_files = len(docs.inputFiles())
     if 0 < n_files < par:
         docs = docs.repartition(par)
-    doc_grams = word_ngrams(docs, text_col, n).select(doc_id, "gram").distinct()
+    doc_grams = docs.select(
+        doc_id,
+        F.explode(
+            F.array_distinct(word_ngram_hashes(F.col(text_col), n))
+        ).alias("__gh"),
+    )
     bench_grams = (
-        word_ngrams(benchmark, bench_text_col, n)
-        .select("gram")
+        benchmark.select(
+            F.explode(word_ngram_hashes(F.col(bench_text_col), n)).alias("__gh")
+        )
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    flagged = doc_grams.join(broadcast(bench_grams), "gram", "left")
+    flagged = doc_grams.join(broadcast(bench_grams), "__gh", "left")
     return (
         flagged.groupBy(doc_id)
         .agg(

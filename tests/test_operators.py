@@ -70,6 +70,37 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_lsh_spill_path_identical(docs):
+    """max_driver_pairs=0 forces the persisted (non-localized) candidate
+    path; results must match the Arrow-localized default, and repeated
+    actions on the returned DF must be stable."""
+    key = lambda r: (r["id_a"], r["id_b"], r["shared"])  # noqa: E731
+    local = sorted(map(key, D.minhash_lsh_pairs(
+        docs, n=2, num_hashes=32, bands=16, threshold=0.5).collect()))
+    spill_df = D.minhash_lsh_pairs(
+        docs, n=2, num_hashes=32, bands=16, threshold=0.5, max_driver_pairs=0)
+    spill = sorted(map(key, spill_df.collect()))
+    assert spill == local
+    assert spill_df.count() == len(local)  # second action: stable
+
+
+def test_semantic_dedup_repeat_actions_stable(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(6)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [list(map(float, rows[i][1])) for i in range(4)]
+    from deltalake2db_spark.operators.kmeans import semantic_dedup
+
+    out = semantic_dedup(emb, centroids=cents, threshold=0.9)
+    first = sorted(r["vec_id"] for r in out.collect())
+    # result is LAZY (no persisted state) — a second action recomputes
+    # and must agree
+    assert sorted(r["vec_id"] for r in out.collect()) == first
+    assert len(first) <= 40
+
+
 def test_simhash(docs):
     fp = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
     assert fp[1] == fp[2]  # identical text -> identical fingerprint

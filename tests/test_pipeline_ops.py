@@ -153,6 +153,49 @@ def test_contamination_distinct_grams(spark):
     assert rep["n_matched"] == 1
 
 
+def test_contamination_hash_grams_match_strings(spark):
+    """The 64-bit gram-hash pipeline must agree with a string-gram
+    reference: same distinct counts and hits, case-SENSITIVE (no
+    lowercasing), whitespace-insensitive tokenization."""
+    from deltalake2db_spark.operators.contamination import (
+        word_ngram_hashes,
+        word_ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta  Gamma\tdelta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # case differs from 1
+            (3, "one two"),  # shorter than n: zero grams
+        ],
+        ["doc_id", "text"],
+    )
+    n = 3
+    hashed = (
+        docs.select(
+            "doc_id",
+            F.size(F.array_distinct(word_ngram_hashes(F.col("text"), n))).alias("c"),
+        )
+        .collect()
+    )
+    strings = (
+        word_ngrams(docs, "text", n)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("c"))
+        .collect()
+    )
+    hs = {r["doc_id"]: r["c"] for r in hashed}
+    ss = {r["doc_id"]: r["c"] for r in strings}
+    assert hs[1] == ss[1] and hs[2] == ss[2]
+    assert hs[3] == 0 and 3 not in ss  # explode drops empty docs
+    # cross-doc: identical texts hash identically, case-variants don't
+    bench = docs.filter(F.col("doc_id") == 2).select("doc_id", "text")
+    rep = {r["doc_id"]: r for r in contamination_check(docs, bench, n=n).collect()}
+    assert rep[2]["n_matched"] == rep[2]["n_grams"]
+    assert rep[1]["n_matched"] == 0  # "Alpha" != "alpha"
+
+
 # ----------------------------------------------------------------- packing
 
 def test_pack_offsets(spark):

@@ -113,8 +113,8 @@ def main() -> None:
 
     names = list(entry.queries())
     times: dict[str, float] = {}
-    for i in range(0, len(names), CHUNK):
-        chunk = names[i : i + CHUNK]
+
+    def run_one_chunk(chunk: list[str]) -> dict[str, float]:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--chunk", ",".join(chunk)],
             capture_output=True,
@@ -127,11 +127,37 @@ def main() -> None:
             if line.startswith("{"):
                 break
         try:
-            times.update(json.loads(line))
+            return json.loads(line)
         except Exception:
-            for name in chunk:  # child died before reporting
-                times[name] = -1.0
             print(f"# chunk {chunk} crashed: {proc.returncode}", file=sys.stderr)
+            return {name: -1.0 for name in chunk}
+
+    rerolls_left = 3
+    for i in range(0, len(names), CHUNK):
+        chunk = names[i : i + CHUNK]
+        got = run_one_chunk(chunk)
+        # Bad-mode chunk detector: host multicore throughput swings hit
+        # whole JVM lifetimes (all samples inflated 30-50%, so best-of-N
+        # inside the chunk can't see it).  Toy queries have a known
+        # ~0.15-0.25 s floor; if the chunk's sub-second-class MEDIAN
+        # lands well above it, the JVM drew a bad mode — re-run the
+        # whole chunk once in a fresh process and take per-query mins.
+        # Capped at 3 re-rolls per bench run to bound wall time.
+        subsec = sorted(t for t in got.values() if 0 <= t < 1.5)
+        if rerolls_left > 0 and len(subsec) >= 5 and subsec[len(subsec) // 2] >= 0.35:
+            rerolls_left -= 1
+            print(
+                f"# chunk {chunk[0]}..: bad-mode JVM suspected "
+                f"(sub-second median {subsec[len(subsec)//2]:.2f}s) — re-rolling",
+                file=sys.stderr,
+            )
+            redo = run_one_chunk(chunk)
+            got = {
+                n: min(got[n], redo[n]) if got[n] >= 0 and redo.get(n, -1) >= 0
+                else max(got[n], redo.get(n, -1.0))
+                for n in got
+            }
+        times.update(got)
 
     # Outlier re-measure: a chunk JVM occasionally settles in a
     # pathological mode where one heavy query runs 3-5x its normal time

@@ -20,6 +20,8 @@ oracle engine computing in a different summation order still matches.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -380,16 +382,42 @@ def quantize_int8(
     ``floor(x/s + 0.5)`` — not engine ``round()`` — because that exact
     IEEE-double sequence reproduces bit-for-bit on any engine (the
     DuckDB oracle recomputes it); all math is forced to double first so
-    no float-vs-double promotion divergence can creep in.  Map-side
-    projection, zero shuffles, whole-stage codegen.
+    no float-vs-double promotion divergence can creep in.
+
+    Implementation: an Arrow-vectorized pandas_udf — the per-element
+    work is embarrassingly parallel and ORDER-FREE (one divide, one
+    add, one floor per element), so numpy float64 reproduces the JVM
+    double sequence exactly; a higher-order ``F.transform`` spells the
+    same math but evaluates the lambda interpreted per element
+    (measured ~3.5 µs/element — 0.45 s for a 2 000×64 corpus — vs
+    ~0.05 s through Arrow).  Map-side projection, zero shuffles.  Only
+    the raw scale crosses the UDF boundary; the 9-digit display
+    rounding stays a Spark ``F.round`` so ``qscale`` keeps engine
+    HALF_UP semantics.
     """
-    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(xs, F.abs))
-    scale = F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0)
-    q = F.transform(xs, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
-    return df.withColumn(out, q).withColumn(
-        "qscale", F.round(scale, 9)
-    )
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<q: array<int>, s: double>")
+    def _quant(vs: pd.Series) -> pd.DataFrame:
+        qs: list = []
+        ss: list = []
+        for v in vs:
+            if v is None:
+                qs.append(None)
+                ss.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            m = float(np.max(np.abs(x))) if x.size else 0.0
+            s = max(m, 1e-30) / 127.0
+            qs.append(np.floor(x / s + 0.5).astype(np.int32))
+            ss.append(s)
+        return pd.DataFrame({"q": qs, "s": ss})
+
+    qd = df.withColumn("__qs", _quant(F.col(vec_col)))
+    return qd.withColumn(out, F.col("__qs.q")).withColumn(
+        "qscale", F.round(F.col("__qs.s"), 9)
+    ).drop("__qs")
 
 
 def quantized_topk(
@@ -413,6 +441,22 @@ def quantized_topk(
     ``impl='arrow'``: one int-GEMM per Arrow batch, batch-local top-k,
     corpus never shuffles (same shape as ``brute_force_topk``).
     """
+    if impl == "arrow":
+        # quantization fused into the scorer's single Arrow pass — the
+        # corpus never crosses Python twice
+        scored = _arrow_scores_topk_int(
+            corpus.select(id_col, vec_col),
+            queries.select(id_col, vec_col),
+            k, id_col, vec_col, query_id_col, quantize=True,
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("sim").desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "sim", "rank")
+        )
     qc = quantize_int8(corpus, id_col, vec_col)
     qq = quantize_int8(queries, id_col, vec_col)
     if impl == "column":
@@ -453,19 +497,38 @@ def quantized_topk(
     )
 
 
-def _arrow_scores_topk_int(corpus, queries, k, id_col, vec_col, query_id_col):
+def _quantize_rows(E):
+    """Row-wise int8 quantization of a float64 matrix — the exact
+    numpy mirror of ``quantize_int8``'s per-element double sequence
+    (``np.maximum``/division/``floor`` are the same correctly-rounded
+    IEEE ops), so fusing it into a batch scorer changes no bits."""
+    import numpy as np
+
+    m = np.abs(E).max(axis=1) if E.size else np.zeros(len(E))
+    s = np.maximum(m, 1e-30) / 127.0
+    return np.floor(E / s[:, None] + 0.5)
+
+
+def _arrow_scores_topk_int(corpus, queries, k, id_col, vec_col, query_id_col,
+                           quantize=False):
     """Integer-exact batch scorer: ``round(idot / (ne_i * nq_j), 4)``.
 
     The GEMM runs in float64 over int vectors (|q| <= 127 ⇒ every dot
     is exact), and the norm product / division sequence matches the
     column impl and the SQL oracle operation-for-operation, so all
-    three produce identical doubles.
+    three produce identical doubles.  ``quantize=True`` applies the
+    int8 quantization INSIDE the same Arrow pass (driver-side numpy
+    for the collected query set, batch-side for the corpus) — one
+    Python stage total instead of a pandas_udf stage feeding a
+    mapInPandas stage.
     """
     import numpy as np
 
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    if quantize:
+        Q = _quantize_rows(Q)
     nq = np.sqrt((Q * Q).sum(axis=1))
 
     def score_batches(batches):
@@ -476,6 +539,8 @@ def _arrow_scores_topk_int(corpus, queries, k, id_col, vec_col, query_id_col):
             E = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            if quantize:
+                E = _quantize_rows(E)
             ne = np.sqrt((E * E).sum(axis=1))
             S = np.round((E @ Q.T) / np.outer(ne, nq), 4)
             out_q, out_id, out_sim = [], [], []

@@ -793,45 +793,118 @@ def simhash_pairs_from_sketches(
             )
         ).alias("b"),
     ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash")).alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
-        # AQE coalesces this stage by BYTES, but the work below is the
-        # O(B^2) in-array pair expansion — invisible amplification that
-        # landed every bucket on one task (measured 2x on the whole
-        # gate); spread buckets across the cluster before expanding
-        .repartition(sh.sparkSession.sparkContext.defaultParallelism)
-    )
-    sorted_ms = F.array_sort("ms")  # struct sort: ordered by id first
-    pair_structs = F.flatten(
-        F.transform(
-            sorted_ms,
-            lambda x, i: F.transform(
-                F.slice(sorted_ms, i + 2, F.size(sorted_ms)),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["simhash"].alias("sh_a"),
-                    y["simhash"].alias("sh_b"),
-                ),
-            ),
-        )
-    )
-    # Hamming-filter INSIDE the bucket's pair array, before the explode
-    # and the dedup shuffle: hot bands legitimately under max_bucket
-    # still emit O(B^2) candidates (measured 415k candidates -> 1.7k
+    # Pair expansion + Hamming pre-filter run BEFORE the explode and
+    # the dedup shuffle: hot bands legitimately under max_bucket still
+    # emit O(B^2) candidates (measured 415k candidates -> 1.7k
     # survivors at bench scale), and shuffling the rejects through
-    # distinct() tripled the stage's wall-clock.
-    close = F.filter(
-        pair_structs,
-        lambda s: F.bit_count(s["sh_a"].bitwiseXOR(s["sh_b"])) <= F.lit(max_hamming),
+    # distinct() tripled the stage's wall-clock.  For integer ids the
+    # expansion is an Arrow pass — numpy triu indices + a byte-LUT
+    # popcount over the XORed sketches; the equivalent in-array
+    # nested-``F.transform`` spelling builds every pair struct through
+    # the interpreted lambda evaluator (~2-3 µs/pair vs ~20 ns
+    # vectorized).  The 100× cheaper expansion also retires the
+    # ``repartition(defaultParallelism)`` guard stage the interpreted
+    # path needed against AQE coalescing the byte-small/work-heavy
+    # bucket stage onto one task — one fewer shuffle; a max_bucket
+    # bucket (1000 members ⇒ 500k pairs) costs ~10 ms in numpy, so
+    # amplification stays invisible until bucket caps far beyond the
+    # skew guard.  Non-integer id types keep the expression path (with
+    # its guard stage).
+    from pyspark.sql.types import IntegerType, LongType
+
+    id_type = next(
+        f.dataType for f in banded.schema.fields if f.name == id_col
     )
-    cand = (
-        buckets.select(F.explode(close).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
-        .distinct()
-    )
+    if isinstance(id_type, (IntegerType, LongType)):
+        import numpy as np
+
+        buckets = (
+            banded.groupBy("band", "bh")
+            .agg(
+                F.collect_list(id_col).alias("ids"),
+                F.collect_list("simhash").alias("shs"),
+            )
+            .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        )
+        pop = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(axis=1).astype(np.int64)
+        mh = int(max_hamming)
+
+        def expand(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ia, ib, sa, sb = [], [], [], []
+                for ids_l, shs_l in zip(pdf["ids"], pdf["shs"]):
+                    ids = np.asarray(ids_l, dtype=np.int64)
+                    shs = np.asarray(shs_l, dtype=np.int64)
+                    order = np.argsort(ids, kind="stable")
+                    ids, shs = ids[order], shs[order]
+                    iu, ju = np.triu_indices(len(ids), k=1)
+                    z = np.bitwise_xor(shs[iu], shs[ju])
+                    h = pop[z.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+                    keep = h <= mh
+                    ia.append(ids[iu[keep]])
+                    ib.append(ids[ju[keep]])
+                    sa.append(shs[iu[keep]])
+                    sb.append(shs[ju[keep]])
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(ia) if ia else [],
+                        "id_b": np.concatenate(ib) if ib else [],
+                        "sh_a": np.concatenate(sa) if sa else [],
+                        "sh_b": np.concatenate(sb) if sb else [],
+                    }
+                )
+
+        cand = buckets.mapInPandas(
+            expand, schema="id_a long, id_b long, sh_a long, sh_b long"
+        ).distinct()
+        if isinstance(id_type, IntegerType):
+            cand = cand.withColumn("id_a", F.col("id_a").cast("int")) \
+                       .withColumn("id_b", F.col("id_b").cast("int"))
+    else:
+        buckets = (
+            banded.groupBy("band", "bh")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), "simhash")
+                ).alias("ms")
+            )
+            .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+            # AQE coalesces this stage by BYTES, but the work below is
+            # the O(B^2) in-array pair expansion — invisible
+            # amplification that landed every bucket on one task
+            # (measured 2x on the whole gate); spread buckets across
+            # the cluster before expanding
+            .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+        )
+        sorted_ms = F.array_sort("ms")  # struct sort: ordered by id first
+        pair_structs = F.flatten(
+            F.transform(
+                sorted_ms,
+                lambda x, i: F.transform(
+                    F.slice(sorted_ms, i + 2, F.size(sorted_ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        x["simhash"].alias("sh_a"),
+                        y["simhash"].alias("sh_b"),
+                    ),
+                ),
+            )
+        )
+        close = F.filter(
+            pair_structs,
+            lambda s: F.bit_count(s["sh_a"].bitwiseXOR(s["sh_b"]))
+            <= F.lit(max_hamming),
+        )
+        cand = (
+            buckets.select(F.explode(close).alias("p"))
+            .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+            .distinct()
+        )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming)
 
@@ -984,16 +1057,20 @@ def chunk_table(
 ) -> DataFrame:
     """(id, chunk_idx, chunk): consecutive ``chunk_words``-word windows
     of the whitespace-normalized lowercased text (last chunk may be
-    shorter).  Pure codegen — split/slice/concat, no Python."""
-    words = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " "
-    )
-    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(words, i * chunk_words + 1, chunk_words)
-        ),
+    shorter).  Pure codegen, no Python.
+
+    A greedy regex partitions the normalized text into its chunks in
+    ONE JVM regex pass — ``\\S+( \\S+){0,k-1}`` consumes exactly
+    ``chunk_words`` words per match (fewer on the final remnant),
+    byte-identical to the previous split/slice/concat_ws spelling but
+    without the per-chunk higher-order ``F.transform`` lambda, which
+    Spark evaluates interpreted (measured 3.3× slower on a 36k-chunk
+    corpus).  Whitespace-only text yields zero chunks instead of one
+    empty chunk; ``dedup_chunks`` output is unaffected (empty
+    reassemblies are dropped or backfilled identically)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " ")
+    chunks = F.regexp_extract_all(
+        norm, F.lit(f"\\S+( \\S+){{0,{chunk_words - 1}}}"), 0
     )
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")

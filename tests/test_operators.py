@@ -173,6 +173,35 @@ def test_simhash_hot_band_bucket_cap(spark):
     assert full.count() == b * (b - 1) // 2 + 1
 
 
+def test_simhash_pair_expansion_impls_agree(spark):
+    """Integer ids take the Arrow (numpy triu + popcount) expansion;
+    any other id type takes the in-array expression path.  The same
+    sketch set must yield the same unordered pair set with identical
+    hamming distances through both."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(200):
+        base = rnd.getrandbits(64) - (1 << 63)
+        rows.append((i, base))
+        if i % 3 == 0:  # planted near-dup: flip <=2 bits (signed-64 wrap)
+            pert = base ^ (1 << rnd.randrange(64)) ^ (1 << rnd.randrange(64))
+            pert = (pert & ((1 << 64) - 1)) - (1 << 64) if pert >= (1 << 63) else pert
+            rows.append((i + 1000, pert))
+    sh = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    arrow = {
+        frozenset((r["id_a"], r["id_b"])): r["hamming"]
+        for r in D.simhash_pairs_from_sketches(sh, max_hamming=3).collect()
+    }
+    shs = sh.select(F.col("doc_id").cast("string").alias("doc_id"), "simhash")
+    expr = {
+        frozenset((int(r["id_a"]), int(r["id_b"]))): r["hamming"]
+        for r in D.simhash_pairs_from_sketches(shs, max_hamming=3).collect()
+    }
+    assert arrow and arrow == expr
+
+
 def test_similarity_topk_matches_bruteforce(spark):
     import random
 

@@ -631,6 +631,18 @@ def test_dedup_chunks_removes_repeated_passages(spark):
 
     kept = {r["doc_id"]: r["text"] for r in dc(df, chunk_words=4, drop_empty=False).collect()}
     assert kept[3] == ""
+    # whitespace-only text yields zero chunks (regex chunker) and the
+    # doc behaves like a fully-duplicated one: dropped, or backfilled
+    # empty under drop_empty=False
+    df2 = df.union(spark.createDataFrame([(4, "   ")], df.schema))
+    assert 4 not in {
+        r["doc_id"] for r in dedup_chunks(df2, chunk_words=4).collect()
+    }
+    kept2 = {
+        r["doc_id"]: r["text"]
+        for r in dc(df2, chunk_words=4, drop_empty=False).collect()
+    }
+    assert kept2[4] == ""
 
 
 def test_dedup_chunks_short_tail_chunk(spark):

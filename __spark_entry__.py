@@ -984,6 +984,18 @@ def q_lsh_topk(spark, sf_dir):
     return S.lsh_topk(emb, queries, k=5, planes=6)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF search with fixed centroids (vectors of vec_id 0..7): every
+    query probes its 3 cosine-closest cells, exact cosine re-rank
+    inside them — the oracle replays cell assignment, probe selection
+    and re-rank in full, so the hash-match proves the IVF routing, not
+    just the scoring."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = _fixed_centroids(spark, sf_dir)
+    return S.ivf_topk(emb, queries, k=5, nprobe=3, centroids=cents)
+
+
 def _chain_pairs(spark, sf_dir):
     """Deterministic multi-hop dup graph over real doc ids: chains
     {3k, 3k+1, 3k+2}.  Pair DETECTION cost is already benched by
@@ -1405,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
         "q_delta_sql_emission": q_delta_sql_emission,
         "q_delta_sink_roundtrip": q_delta_sink_roundtrip,
+        # new this round; enters the driver window once a slot frees
+        "q_ivf_topk": q_ivf_topk,
     }
 
 
@@ -2244,6 +2258,61 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "q_lsh_topk": _lsh_topk_sql(),
+        "q_ivf_topk": """
+WITH c AS (
+  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+), qcell AS (
+  SELECT q.query_id, c.cell,
+         sum(q.qe[i.i+1]::DOUBLE * c.ce[i.i+1]::DOUBLE) AS dot,
+         sum(q.qe[i.i+1]::DOUBLE * q.qe[i.i+1]::DOUBLE) AS nq,
+         sum(c.ce[i.i+1]::DOUBLE * c.ce[i.i+1]::DOUBLE) AS ncl
+  FROM q CROSS JOIN c CROSS JOIN range(0, 64) i(i)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY dot / (sqrt(nq) * sqrt(ncl)) DESC, cell ASC) AS r
+    FROM qcell
+  ) WHERE r <= 3
+), ecell_d AS (
+  SELECT e.vec_id, c.cell,
+         sum(e.embedding[i.i+1]::DOUBLE * c.ce[i.i+1]::DOUBLE) AS dot,
+         sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS ne,
+         sum(c.ce[i.i+1]::DOUBLE * c.ce[i.i+1]::DOUBLE) AS ncl
+  FROM embeddings e CROSS JOIN c CROSS JOIN range(0, 64) i(i)
+  GROUP BY 1, 2
+), ecell AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (
+      PARTITION BY vec_id
+      ORDER BY dot / (sqrt(ne) * sqrt(ncl)) DESC, cell ASC) AS r
+    FROM ecell_d
+  ) WHERE r = 1
+), dots AS (
+  SELECT p.query_id, e.vec_id,
+         sum(e.embedding[i.i+1]::DOUBLE * q.qe[i.i+1]::DOUBLE) AS dot,
+         sum(e.embedding[i.i+1]::DOUBLE * e.embedding[i.i+1]::DOUBLE) AS na,
+         sum(q.qe[i.i+1]::DOUBLE * q.qe[i.i+1]::DOUBLE) AS nb
+  FROM embeddings e
+  JOIN ecell ec ON e.vec_id = ec.vec_id
+  JOIN probes p ON ec.cell = p.cell
+  JOIN q ON q.query_id = p.query_id
+  CROSS JOIN range(0, 64) i(i)
+  WHERE e.vec_id <> p.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT query_id, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 4) DESC, vec_id ASC
+         ) AS rank
+  FROM dots
+) WHERE rank <= 5
+        """,
         "q_dup_clusters": _CLUSTERS_SQL,
         "q_neardup_dedup": _NEARDUP_DEDUP_SQL,
         "q_simhash_pairs": _simhash_sql(),

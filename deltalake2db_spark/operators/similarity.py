@@ -561,6 +561,98 @@ def _arrow_scores_topk_int(corpus, queries, k, id_col, vec_col, query_id_col,
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: each query searches only the
+    ``nprobe`` cells whose centroids are cosine-closest to it, with an
+    exact cosine re-rank inside those cells.
+
+    The whole search is ONE Arrow pass over the corpus (same shape as
+    ``brute_force_topk``): each batch assigns its vectors to cells
+    (argmax-cosine GEMM against the broadcast centroid matrix, ties to
+    the lowest cell), masks each query's candidates to its probed
+    cells, scores them in the same GEMM, and emits a batch-local
+    top-k; one final window merges the partials.  The corpus never
+    shuffles and nothing is collected but the query set.  In a real
+    deployment the index is WRITTEN partitioned by cell
+    (``.write.partitionBy('cell')`` over ``ivf_index``'s assignment)
+    so probes prune files and the masked flops become skipped I/O —
+    here the cell mask prunes compute only, which is the honest
+    single-pass equivalent.
+
+    Pass ``centroids`` to make the search deterministic/replayable
+    (the correctness gate does); otherwise ``ivf_index`` fits them.
+    """
+    import numpy as np
+
+    if centroids is None:
+        _, centroids = ivf_index(
+            corpus, n_centroids, iters, seed, id_col, vec_col
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    nc = np.sqrt((C * C).sum(axis=1))
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    nq = np.sqrt((Q * Q).sum(axis=1))
+    # nprobe cosine-closest cells per query; ties to the lowest cell
+    # (lexsort on (-sim, cell) — mirrors the oracle's ORDER BY sim
+    # DESC, cell ASC)
+    qsim = (Q @ C.T) / np.outer(nq, nc)
+    probe_sets = []
+    for j in range(len(qids)):
+        order = np.lexsort((np.arange(C.shape[0]), -qsim[j]))[:nprobe]
+        probe_sets.append(set(int(c) for c in order))
+
+    def search(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            E = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ne = np.sqrt((E * E).sum(axis=1))
+            cells = np.argmax((E @ C.T) / np.outer(ne, nc), axis=1)
+            S_ = np.round((E @ Q.T) / np.outer(ne, nq), 4)
+            out_q, out_id, out_sim = [], [], []
+            for j in range(len(qids)):
+                mask = (
+                    np.isin(cells, list(probe_sets[j]))
+                    & (ids != qids[j])
+                )
+                cand_ids, cand_sims = ids[mask], S_[mask, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.extend([qids[j]] * len(order))
+                out_id.extend(cand_ids[order])
+                out_sim.extend(cand_sims[order])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "sim": out_sim}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        search, schema=f"{query_id_col} long, {id_col} long, sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def ivf_index(
     df: DataFrame,
     n_centroids: int = 16,

@@ -281,6 +281,49 @@ def test_ivf_index(spark):
     assert len(centroids) == 4 and len(centroids[0]) == 8
 
 
+def test_ivf_topk_probes_and_recall(spark):
+    """nprobe = all cells must equal brute force exactly; a small
+    nprobe returns a subset of each query's brute-force ranking (IVF
+    never invents candidates, only prunes cells)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3)
+    cents = [r["embedding"] for r in emb.filter(F.col("vec_id") < 4).collect()]
+    full = S.ivf_topk(emb, q, k=4, nprobe=4, centroids=cents)
+    brute = S.brute_force_topk(emb, q, k=4)
+    assert sorted(
+        (r["query_id"], r["rank"], r["vec_id"]) for r in full.collect()
+    ) == sorted((r["query_id"], r["rank"], r["vec_id"]) for r in brute.collect())
+    # nprobe=1: replay the routing in numpy and compare exactly
+    import numpy as np
+
+    pruned = S.ivf_topk(emb, q, k=4, nprobe=1, centroids=cents)
+    E = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.asarray(cents, dtype=np.float64)
+    norm = lambda m: np.sqrt((m * m).sum(axis=1))  # noqa: E731
+    cells = np.argmax((E @ C.T) / np.outer(norm(E), norm(C)), axis=1)
+    expected = set()
+    for qi in range(3):
+        qv = E[ids == qi][0]
+        probe = int(np.argmax((C @ qv) / (norm(C) * np.sqrt(qv @ qv))))
+        mask = (cells == probe) & (ids != qi)
+        sims = np.round(
+            (E[mask] @ qv) / (norm(E[mask]) * np.sqrt(qv @ qv)), 4
+        )
+        order = np.lexsort((ids[mask], -sims))[:4]
+        for rank, o in enumerate(order, 1):
+            expected.add((qi, rank, int(ids[mask][o]), float(sims[o])))
+    got = {
+        (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        for r in pruned.collect()
+    }
+    assert got == expected
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [(1, "The quick brown fox."), (2, ""), (3, "der die das und ist")],

@@ -573,10 +573,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    query_chunk: int = 100_000,
 ) -> DataFrame:
     """IVF-style approximate top-k: each query searches only the
     ``nprobe`` cells whose centroids are cosine-closest to it, with an
     exact cosine re-rank inside those cells.
+
+    The query set is collected to the driver (same bound as
+    ``brute_force_topk``: Q × dim × 8 B); above ``query_chunk`` rows
+    it is split into driver-sized chunks, each an independent corpus
+    pass — chunks are disjoint in query id so a plain union composes
+    them.
 
     The whole search is ONE Arrow pass over the corpus (same shape as
     ``brute_force_topk``): each batch assigns its vectors to cells
@@ -603,46 +610,55 @@ def ivf_topk(
     C = np.asarray(centroids, dtype=np.float64)
     nc = np.sqrt((C * C).sum(axis=1))
 
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    nq = np.sqrt((Q * Q).sum(axis=1))
-    # nprobe cosine-closest cells per query; ties to the lowest cell
-    # (lexsort on (-sim, cell) — mirrors the oracle's ORDER BY sim
-    # DESC, cell ASC)
-    qsim = (Q @ C.T) / np.outer(nq, nc)
-    probe_sets = []
-    for j in range(len(qids)):
-        order = np.lexsort((np.arange(C.shape[0]), -qsim[j]))[:nprobe]
-        probe_sets.append(set(int(c) for c in order))
+    def chunk_scored(qrows):
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        nq = np.sqrt((Q * Q).sum(axis=1))
+        # nprobe cosine-closest cells per query; ties to the lowest
+        # cell (lexsort on (-sim, cell) — mirrors the oracle's ORDER
+        # BY sim DESC, cell ASC)
+        qsim = (Q @ C.T) / np.outer(nq, nc)
+        probe_sets = []
+        for j in range(len(qids)):
+            order = np.lexsort((np.arange(C.shape[0]), -qsim[j]))[:nprobe]
+            probe_sets.append(set(int(c) for c in order))
 
-    def search(batches):
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            E = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            ne = np.sqrt((E * E).sum(axis=1))
-            cells = np.argmax((E @ C.T) / np.outer(ne, nc), axis=1)
-            S_ = np.round((E @ Q.T) / np.outer(ne, nq), 4)
-            out_q, out_id, out_sim = [], [], []
-            for j in range(len(qids)):
-                mask = (
-                    np.isin(cells, list(probe_sets[j]))
-                    & (ids != qids[j])
+        def search(batches):
+            for pdf in batches:
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                E = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
-                cand_ids, cand_sims = ids[mask], S_[mask, j]
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                out_q.extend([qids[j]] * len(order))
-                out_id.extend(cand_ids[order])
-                out_sim.extend(cand_sims[order])
-            yield pd.DataFrame(
-                {query_id_col: out_q, id_col: out_id, "sim": out_sim}
-            )
+                ne = np.sqrt((E * E).sum(axis=1))
+                cells = np.argmax((E @ C.T) / np.outer(ne, nc), axis=1)
+                S_ = np.round((E @ Q.T) / np.outer(ne, nq), 4)
+                out_q, out_id, out_sim = [], [], []
+                for j in range(len(qids)):
+                    mask = (
+                        np.isin(cells, list(probe_sets[j]))
+                        & (ids != qids[j])
+                    )
+                    cand_ids, cand_sims = ids[mask], S_[mask, j]
+                    order = np.lexsort((cand_ids, -cand_sims))[:k]
+                    out_q.extend([qids[j]] * len(order))
+                    out_id.extend(cand_ids[order])
+                    out_sim.extend(cand_sims[order])
+                yield pd.DataFrame(
+                    {query_id_col: out_q, id_col: out_id, "sim": out_sim}
+                )
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(
-        search, schema=f"{query_id_col} long, {id_col} long, sim double"
-    )
+        return corpus.select(id_col, vec_col).mapInPandas(
+            search, schema=f"{query_id_col} long, {id_col} long, sim double"
+        )
+
+    all_qrows = queries.select(id_col, vec_col).collect()
+    scored = chunk_scored(all_qrows[:query_chunk])
+    for i in range(query_chunk, len(all_qrows), query_chunk):
+        # chunks are disjoint in query id; a plain union composes them
+        # and the shared window below dedups nothing
+        scored = scored.unionByName(
+            chunk_scored(all_qrows[i : i + query_chunk])
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )

@@ -2271,10 +2271,12 @@ WITH c AS (
   FROM q CROSS JOIN c CROSS JOIN range(0, 64) i(i)
   GROUP BY 1, 2
 ), probes AS (
+  -- routing compares ROUNDED sims (ties -> lowest cell): near-equal
+  -- sims become exact ties instead of reduction-order coin flips
   SELECT query_id, cell FROM (
     SELECT query_id, cell, row_number() OVER (
       PARTITION BY query_id
-      ORDER BY dot / (sqrt(nq) * sqrt(ncl)) DESC, cell ASC) AS r
+      ORDER BY round(dot / (sqrt(nq) * sqrt(ncl)), 4) DESC, cell ASC) AS r
     FROM qcell
   ) WHERE r <= 3
 ), ecell_d AS (
@@ -2288,7 +2290,7 @@ WITH c AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell, row_number() OVER (
       PARTITION BY vec_id
-      ORDER BY dot / (sqrt(ne) * sqrt(ncl)) DESC, cell ASC) AS r
+      ORDER BY round(dot / (sqrt(ne) * sqrt(ncl)), 4) DESC, cell ASC) AS r
     FROM ecell_d
   ) WHERE r = 1
 ), dots AS (

@@ -776,11 +776,16 @@ def simhash_pairs_from_sketches(
             F.lit((1 << widths[i]) - 1)
         )
 
-    # NULL sketches can never pair (the old in-array path dropped them
-    # at its bit_count filter); drop them BEFORE banding so the Arrow
-    # path's parallel (ids, shs) collect_lists stay aligned — a null
-    # simhash would vanish from shs but keep its id in ids.
-    sh = sh.filter(F.col("simhash").isNotNull())
+    # NULL sketches and NULL ids can never form a usable pair (the old
+    # in-array path dropped null sketches at its bit_count filter and
+    # emitted null-id pairs no caller can join back); drop both BEFORE
+    # banding so the Arrow path's parallel (ids, shs) collect_lists
+    # stay aligned — collect_list drops nulls PER COLUMN, so a null in
+    # either column would silently shift every later (id, sketch)
+    # pairing in that bucket.
+    sh = sh.filter(
+        F.col("simhash").isNotNull() & F.col(id_col).isNotNull()
+    )
     # Bucket formulation instead of a self-join: one shuffle groups the
     # banded sketches, bucket size is capped (skew guard — a degenerate
     # band value shared by B docs would otherwise emit B^2 candidates),

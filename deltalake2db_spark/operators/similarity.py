@@ -20,6 +20,10 @@ oracle engine computing in a different summation order still matches.
 
 from __future__ import annotations
 
+# module-level (not function-local like numpy): the `pd.Series ->
+# pd.DataFrame` type hints on pandas_udf functions are strings under
+# `from __future__ import annotations` and resolve against MODULE
+# globals at decoration time
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -404,13 +408,25 @@ def quantize_int8(
         ss: list = []
         for v in vs:
             if v is None:
+                # mirror the expression path: transform(NULL) is NULL
+                # but greatest(array_max(NULL), 1e-30) is 1e-30, so
+                # qscale rounds to 0.0 while qvec stays NULL
                 qs.append(None)
-                ss.append(None)
+                ss.append(1e-30 / 127.0)
                 continue
             x = np.asarray(v, dtype=np.float64)
-            m = float(np.max(np.abs(x))) if x.size else 0.0
+            nan = np.isnan(x)
+            # array_max / greatest skip NULL elements; np.max would
+            # poison the scale (and then every element) with NaN
+            m = float(np.abs(x[~nan]).max()) if (~nan).any() else 0.0
             s = max(m, 1e-30) / 127.0
-            qs.append(np.floor(x / s + 0.5).astype(np.int32))
+            q = np.floor(x / s + 0.5)
+            if nan.any():
+                # NULL elements stay NULL (floor(NULL) is NULL in the
+                # expression path; astype(int32) would emit INT_MIN)
+                qs.append([None if n else int(e) for e, n in zip(q, nan)])
+            else:
+                qs.append(q.astype(np.int32))
             ss.append(s)
         return pd.DataFrame({"q": qs, "s": ss})
 
@@ -441,6 +457,8 @@ def quantized_topk(
     ``impl='arrow'``: one int-GEMM per Arrow batch, batch-local top-k,
     corpus never shuffles (same shape as ``brute_force_topk``).
     """
+    if impl not in ("arrow", "column"):
+        raise ValueError(f"unknown impl {impl!r}: use 'arrow' or 'column'")
     if impl == "arrow":
         # quantization fused into the scorer's single Arrow pass — the
         # corpus never crosses Python twice
@@ -449,17 +467,9 @@ def quantized_topk(
             queries.select(id_col, vec_col),
             k, id_col, vec_col, query_id_col, quantize=True,
         )
-        w = Window.partitionBy(query_id_col).orderBy(
-            F.col("sim").desc(), F.col(id_col).asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "sim", "rank")
-        )
-    qc = quantize_int8(corpus, id_col, vec_col)
-    qq = quantize_int8(queries, id_col, vec_col)
-    if impl == "column":
+    else:
+        qc = quantize_int8(corpus, id_col, vec_col)
+        qq = quantize_int8(queries, id_col, vec_col)
         q = F.broadcast(
             qq.select(
                 F.col(id_col).alias(query_id_col), F.col("qvec").alias("__qv")
@@ -481,12 +491,6 @@ def quantized_topk(
         )
         sim = F.round(idot.cast("double") / (nrm(F.col("qvec")) * nrm(F.col("__qv"))), 4)
         scored = joined.select(query_id_col, id_col, sim.alias("sim"))
-    else:
-        scored = _arrow_scores_topk_int(
-            qc.select(id_col, F.col("qvec").alias(vec_col)),
-            qq.select(id_col, F.col("qvec").alias(vec_col)),
-            k, id_col, vec_col, query_id_col,
-        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col).asc()
     )
@@ -614,14 +618,18 @@ def ivf_topk(
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
         nq = np.sqrt((Q * Q).sum(axis=1))
-        # nprobe cosine-closest cells per query; ties to the lowest
-        # cell (lexsort on (-sim, cell) — mirrors the oracle's ORDER
-        # BY sim DESC, cell ASC)
-        qsim = (Q @ C.T) / np.outer(nq, nc)
+        # nprobe cosine-closest cells per query; ROUTING decisions
+        # compare sims rounded to 4 decimals with ties to the lowest
+        # cell — an unrounded argmax over a BLAS GEMM can flip against
+        # an oracle that sums term-by-term when two sims agree to
+        # reduction-order ulps, whereas at 4 decimals near-equal sims
+        # become exact ties and the cell-ASC break is deterministic in
+        # both engines (same reason q_cosine_topk ranks rounded sims)
+        qsim = np.round((Q @ C.T) / np.outer(nq, nc), 4)
         probe_sets = []
         for j in range(len(qids)):
             order = np.lexsort((np.arange(C.shape[0]), -qsim[j]))[:nprobe]
-            probe_sets.append(set(int(c) for c in order))
+            probe_sets.append(np.array(sorted(int(c) for c in order)))
 
         def search(batches):
             for pdf in batches:
@@ -630,15 +638,21 @@ def ivf_topk(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
                 ne = np.sqrt((E * E).sum(axis=1))
-                cells = np.argmax((E @ C.T) / np.outer(ne, nc), axis=1)
-                S_ = np.round((E @ Q.T) / np.outer(ne, nq), 4)
+                csim = np.round((E @ C.T) / np.outer(ne, nc), 4)
+                # argmax on rounded sims; np.argmax takes the FIRST
+                # max = lowest cell, matching the oracle's tiebreak
+                cells = np.argmax(csim, axis=1)
                 out_q, out_id, out_sim = [], [], []
                 for j in range(len(qids)):
-                    mask = (
-                        np.isin(cells, list(probe_sets[j]))
-                        & (ids != qids[j])
+                    # mask BEFORE the scoring dot products: the probe
+                    # prune is the IVF saving — scoring all N×Q pairs
+                    # and masking after would cost more than brute
+                    # force
+                    mask = np.isin(cells, probe_sets[j]) & (ids != qids[j])
+                    cand_ids = ids[mask]
+                    cand_sims = np.round(
+                        (E[mask] @ Q[j]) / (ne[mask] * nq[j]), 4
                     )
-                    cand_ids, cand_sims = ids[mask], S_[mask, j]
                     order = np.lexsort((cand_ids, -cand_sims))[:k]
                     out_q.extend([qids[j]] * len(order))
                     out_id.extend(cand_ids[order])

@@ -185,9 +185,11 @@ def test_simhash_pair_expansion_impls_agree(spark):
     for i in range(200):
         base = rnd.getrandbits(64) - (1 << 63)
         rows.append((i, base))
-        if i % 3 == 0:  # planted near-dup: flip <=2 bits (signed-64 wrap)
+        if i % 3 == 0:  # planted near-dup: flip <=2 bits (signed-64 wrap
+            # in BOTH directions — python ^ on negative ints can also
+            # underflow past -2^63)
             pert = base ^ (1 << rnd.randrange(64)) ^ (1 << rnd.randrange(64))
-            pert = (pert & ((1 << 64) - 1)) - (1 << 64) if pert >= (1 << 63) else pert
+            pert = ((pert + (1 << 63)) % (1 << 64)) - (1 << 63)
             rows.append((i + 1000, pert))
     sh = spark.createDataFrame(rows, ["doc_id", "simhash"])
     arrow = {
@@ -305,11 +307,15 @@ def test_ivf_topk_probes_and_recall(spark):
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.asarray(cents, dtype=np.float64)
     norm = lambda m: np.sqrt((m * m).sum(axis=1))  # noqa: E731
-    cells = np.argmax((E @ C.T) / np.outer(norm(E), norm(C)), axis=1)
+    cells = np.argmax(
+        np.round((E @ C.T) / np.outer(norm(E), norm(C)), 4), axis=1
+    )
     expected = set()
     for qi in range(3):
         qv = E[ids == qi][0]
-        probe = int(np.argmax((C @ qv) / (norm(C) * np.sqrt(qv @ qv))))
+        probe = int(
+            np.argmax(np.round((C @ qv) / (norm(C) * np.sqrt(qv @ qv)), 4))
+        )
         mask = (cells == probe) & (ids != qi)
         sims = np.round(
             (E[mask] @ qv) / (norm(E[mask]) * np.sqrt(qv @ qv)), 4

@@ -60,16 +60,24 @@ def main() -> None:
                 print(f"# warm {n}@{sf} failed: {exc}", file=sys.stderr)
 
     rows = []
+    failed = []
     for n in names:
         times = []
-        for sf in SFS:
-            best = float("inf")
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                qs[n](spark, f"/root/testdata/sf{sf}").count()
-                best = min(best, time.perf_counter() - t0)
-            times.append(best)
+        try:
+            for sf in SFS:
+                best = float("inf")
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    qs[n](spark, f"/root/testdata/sf{sf}").count()
+                    best = min(best, time.perf_counter() - t0)
+                times.append(best)
+        except Exception as exc:
+            # keep every measurement already taken; a broken query must
+            # not abort the whole curve
+            print(f"# {n} failed at sf{sf}: {exc}", file=sys.stderr)
+            failed.append(n)
+            continue
         g1 = times[1] / times[0] if times[0] > 0 else float("nan")
         g2 = times[2] / times[1] if times[1] > 0 else float("nan")
         rows.append((n, times, g1, g2))
@@ -85,6 +93,11 @@ def main() -> None:
         f"{[r[0] for r in flat]}"
     )
     print(f"data-dominated (last 10x step >= 2x): {[r[0] for r in work]}")
+    other = [
+        r[0] for r in rows if not (r[3] < 2.0) and not (r[3] >= 2.0)
+    ]  # NaN growth: query ran but a step measured 0/failed to divide
+    if other or failed:
+        print(f"unmeasured (failed or NaN growth): {other + failed}")
 
 
 if __name__ == "__main__":

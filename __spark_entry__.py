@@ -1336,68 +1336,19 @@ def q_quantized_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # registry entries each round.  Round 6: the six round-5 oracle-typing
-    # fixes (q_hash_sample, q_domain_mix, q_delta_convert, q_shard_stats,
-    # q_pack_sequences, q_quantize_int8) STAY in the window until the
-    # driver certifies them green, per VERDICT r5 item 2; the new
-    # q_media_decode gate (hash-matched BMP decode) enters at position 45,
-    # rotating the multi-round-green q_dup_clusters to 51.  All 71 are
-    # verified locally via tools/check_correctness.py each round.
+    # registry entries each round.  Round 7 rotation (VERDICT r6 item 2):
+    # the 22 entries that had never been driver-certified (TPC-H core
+    # q1/q3/q5/q6, windows, semi/anti, set ops, rollup/cube/grouping sets,
+    # quantiles, distinct counts, string/date/JSON, the three scan/sql/sink
+    # roundtrips, q_dup_clusters, q_neardup_dedup, q_ivf_topk) now occupy
+    # positions 1-22.  Positions 23-50 hold the 28 veterans this round's
+    # code touches (semantic dedup assignment cache, profile HLL default,
+    # floor triage, quantize NaN fix) so the driver re-certifies exactly
+    # what changed.  The 22 parked at 51+ are multi-round-green delta/event
+    # gates whose code is untouched this round; all 72 stay covered by
+    # tools/check_correctness.py locally each round.
     return {
-        "q_delta_restore": q_delta_restore,
-        "q_delta_history": q_delta_history,
-        "q_delta_clone": q_delta_clone,
-        "q_delta_schema_ddl": q_delta_schema_ddl,
-        "q_hash_sample": q_hash_sample,
-        "q_stratified_sample": q_stratified_sample,
-        "q_domain_mix": q_domain_mix,
-        "q_contamination": q_contamination,
-        "q_quality_rules": q_quality_rules,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_delta_convert": q_delta_convert,
-        "q_shard_stats": q_shard_stats,
-        "q_kmeans_assign": q_kmeans_assign,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_semantic_decontam": q_semantic_decontam,
-        "q_perplexity": q_perplexity,
-        "q_pack_sequences": q_pack_sequences,
-        "q_quantize_int8": q_quantize_int8,
-        "q_quantized_topk": q_quantized_topk,
-        "q_events_hourly": q_events_hourly,
-        "q_events_pivot": q_events_pivot,
-        "q_asof_events_orders": q_asof_events_orders,
-        "q_event_gaps": q_event_gaps,
-        "q_sessions": q_sessions,
-        "q_range_join": q_range_join,
-        "q_delta_time_travel": q_delta_time_travel,
-        "q_delta_column_mapping": q_delta_column_mapping,
-        "q_delta_dv_scan": q_delta_dv_scan,
-        "q_delta_optimize": q_delta_optimize,
-        "q_delta_changes": q_delta_changes,
-        "q_delta_cdf": q_delta_cdf,
-        "q_delta_stream": q_delta_stream,
-        "q_delta_update": q_delta_update,
-        "q_delta_merge": q_delta_merge,
-        "q_profile_orders": q_profile_orders,
-        "q_salted_agg": q_salted_agg,
-        "q_dedup_exact": q_dedup_exact,
-        "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
-        "q_pii_redaction": q_pii_redaction,
-        "q_jaccard_pairs": q_jaccard_pairs,
-        "q_cosine_topk": q_cosine_topk,
-        "q_cosine_neardup": q_cosine_neardup,
-        "q_media_features": q_media_features,
-        "q_media_decode": q_media_decode,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_cross_dedup": q_cross_dedup,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_lsh_topk": q_lsh_topk,
-        "q_dup_clusters": q_dup_clusters,
-        # position 51+: multi-round-green veterans (driver checks the
-        # first 50; these keep their local check_correctness coverage)
-        "q_neardup_dedup": q_neardup_dedup,
+        # -- positions 1-22: first driver certification (rotated in r7) --
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
@@ -1417,8 +1368,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
         "q_delta_sql_emission": q_delta_sql_emission,
         "q_delta_sink_roundtrip": q_delta_sink_roundtrip,
-        # new this round; enters the driver window once a slot frees
+        "q_dup_clusters": q_dup_clusters,
+        "q_neardup_dedup": q_neardup_dedup,
         "q_ivf_topk": q_ivf_topk,
+        # -- positions 23-50: veterans touched by round-7 changes --
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_semantic_decontam": q_semantic_decontam,
+        "q_profile_orders": q_profile_orders,
+        "q_kmeans_assign": q_kmeans_assign,
+        "q_quantize_int8": q_quantize_int8,
+        "q_quantized_topk": q_quantized_topk,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_lang_id": q_lang_id,
+        "q_quality_rules": q_quality_rules,
+        "q_contamination": q_contamination,
+        "q_perplexity": q_perplexity,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_lsh_topk": q_lsh_topk,
+        "q_text_stats": q_text_stats,
+        "q_dedup_exact": q_dedup_exact,
+        "q_salted_agg": q_salted_agg,
+        "q_hash_sample": q_hash_sample,
+        "q_stratified_sample": q_stratified_sample,
+        "q_domain_mix": q_domain_mix,
+        "q_delta_convert": q_delta_convert,
+        "q_shard_stats": q_shard_stats,
+        "q_pack_sequences": q_pack_sequences,
+        "q_media_decode": q_media_decode,
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_cosine_topk": q_cosine_topk,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_cross_dedup": q_cross_dedup,
+        "q_simhash_pairs": q_simhash_pairs,
+        # -- positions 51+: multi-round-green gates untouched this round --
+        "q_delta_restore": q_delta_restore,
+        "q_delta_history": q_delta_history,
+        "q_delta_clone": q_delta_clone,
+        "q_delta_schema_ddl": q_delta_schema_ddl,
+        "q_events_hourly": q_events_hourly,
+        "q_events_pivot": q_events_pivot,
+        "q_asof_events_orders": q_asof_events_orders,
+        "q_event_gaps": q_event_gaps,
+        "q_sessions": q_sessions,
+        "q_range_join": q_range_join,
+        "q_delta_time_travel": q_delta_time_travel,
+        "q_delta_column_mapping": q_delta_column_mapping,
+        "q_delta_dv_scan": q_delta_dv_scan,
+        "q_delta_optimize": q_delta_optimize,
+        "q_delta_changes": q_delta_changes,
+        "q_delta_cdf": q_delta_cdf,
+        "q_delta_stream": q_delta_stream,
+        "q_delta_update": q_delta_update,
+        "q_delta_merge": q_delta_merge,
+        "q_pii_redaction": q_pii_redaction,
+        "q_cosine_neardup": q_cosine_neardup,
+        "q_media_features": q_media_features,
     }
 
 

@@ -40,3 +40,23 @@ def test_profile_strategies_agree(spark):
     conc = sorted(map(tuple, profile(df, cols, strategy="concurrent").collect()))
     auto = sorted(map(tuple, profile(df, cols).collect()))
     assert gather == conc == auto
+
+
+def test_profile_approx_one_pass(spark):
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("string").alias("s"),
+        F.when(F.col("id") % 13 == 0, None).otherwise(F.col("id") * 0.5).alias("v"),
+    )
+    cols = ["id", "s", "v"]
+    exact = {r["column"]: r for r in profile(df, cols, strategy="exact").collect()}
+    approx = {r["column"]: r for r in profile(df, cols, strategy="approx").collect()}
+    for c in cols:
+        # HLL++ contract: ~2.3% relative error; allow 5%
+        e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(a - e) <= max(1, 0.05 * e), (c, e, a)
+        # everything except the distinct estimate is identical
+        assert exact[c]["n_rows"] == approx[c]["n_rows"]
+        assert exact[c]["n_null"] == approx[c]["n_null"]
+        assert exact[c]["min_value"] == approx[c]["min_value"]
+        assert exact[c]["max_value"] == approx[c]["max_value"]

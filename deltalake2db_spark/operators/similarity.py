@@ -108,12 +108,23 @@ def brute_force_topk(
     )
 
 
+def _empty_scored(corpus, id_col, query_id_col):
+    """Typed empty (query_id, id, sim) relation — the no-queries result
+    for every driver-collected query path (an empty query matrix is
+    1-D in numpy and would AxisError before any Spark job runs)."""
+    return corpus.sparkSession.createDataFrame(
+        [], schema=f"{query_id_col} long, {id_col} long, sim double"
+    )
+
+
 def _arrow_scores_topk(
     corpus, queries, k, id_col, vec_col, query_id_col, query_chunk=100_000
 ):
     import numpy as np
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return _empty_scored(corpus, id_col, query_id_col)
     if len(qrows) > query_chunk:
         # Chunked path: bound the per-task closure at query_chunk rows.
         # Each chunk is an independent corpus pass; the caller's window
@@ -505,10 +516,25 @@ def _quantize_rows(E):
     """Row-wise int8 quantization of a float64 matrix — the exact
     numpy mirror of ``quantize_int8``'s per-element double sequence
     (``np.maximum``/division/``floor`` are the same correctly-rounded
-    IEEE ops), so fusing it into a batch scorer changes no bits."""
+    IEEE ops), so fusing it into a batch scorer changes no bits.
+    NaN elements (NULLs in the source arrays) are skipped when
+    computing the scale — same as ``quantize_int8``'s NULL-aware
+    ``array_max`` — and stay NaN in the output, where they propagate
+    to NaN sims that rank below every real sim (the column impl's
+    NULL sims order last the same way)."""
     import numpy as np
 
-    m = np.abs(E).max(axis=1) if E.size else np.zeros(len(E))
+    if E.size:
+        absE = np.abs(E)
+        nan = np.isnan(absE)
+        if nan.any():
+            absE = np.where(nan, -np.inf, absE)
+            m = absE.max(axis=1)
+            m[~np.isfinite(m)] = 0.0  # all-NaN row: scale from 0
+        else:
+            m = absE.max(axis=1)
+    else:
+        m = np.zeros(len(E))
     s = np.maximum(m, 1e-30) / 127.0
     return np.floor(E / s[:, None] + 0.5)
 
@@ -529,6 +555,8 @@ def _arrow_scores_topk_int(corpus, queries, k, id_col, vec_col, query_id_col,
     import numpy as np
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return _empty_scored(corpus, id_col, query_id_col)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     if quantize:
@@ -666,6 +694,16 @@ def ivf_topk(
         )
 
     all_qrows = queries.select(id_col, vec_col).collect()
+    if not all_qrows:
+        scored = _empty_scored(corpus, id_col, query_id_col)
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("sim").desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "sim", "rank")
+        )
     scored = chunk_scored(all_qrows[:query_chunk])
     for i in range(query_chunk, len(all_qrows), query_chunk):
         # chunks are disjoint in query id; a plain union composes them
@@ -683,6 +721,45 @@ def ivf_topk(
     )
 
 
+def _assign_cells_arrow(
+    frame: DataFrame, centroids: list[list[float]], vec_col: str,
+    out: str = "cell",
+) -> DataFrame:
+    """Argmax-cosine cell assignment as ONE numpy GEMM per Arrow batch
+    — the same rounded-sim + lowest-cell-tiebreak routing ``ivf_topk``
+    uses in its search pass, so index and search route identically.
+    Replaces k interpreted HOF cosine folds per row (~k×dim µs-scale
+    lambda evaluations — the fit path's hot loop, VERDICT r6 item 6)."""
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    C = np.asarray(centroids, dtype=np.float64)
+    nc = np.sqrt((C * C).sum(axis=1))
+    schema = StructType(
+        list(frame.schema.fields) + [StructField(out, IntegerType())]
+    )
+
+    def go(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(X) == 0:
+                yield pdf.assign(**{out: pd.Series([], dtype="int32")})
+                continue
+            nx = np.sqrt((X * X).sum(axis=1))
+            sim = np.round((X @ C.T) / np.outer(nx, nc), 4)
+            # np.argmax takes the FIRST max = lowest cell on ties,
+            # matching the column fold's strict-improvement rule on
+            # rounded sims
+            yield pdf.assign(**{out: np.argmax(sim, axis=1).astype("int32")})
+
+    return frame.mapInPandas(go, schema)
+
+
 def ivf_index(
     df: DataFrame,
     n_centroids: int = 16,
@@ -690,13 +767,18 @@ def ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_impl: str = "arrow",
 ) -> tuple[DataFrame, list[list[float]]]:
     """Assign each vector to its nearest coarse centroid (IVF cell).
 
     Lloyd iterations with broadcast centroids; the assignment column is
     the partition key a real deployment would write the index with
     (``.write.partitionBy('cell')``) so probes prune files.
-    """
+
+    ``assign_impl='arrow'`` (default) routes every assignment — the
+    ``iters`` fit passes and the returned index — through one
+    rounded-cosine GEMM per Arrow batch; ``'column'`` keeps the pure
+    expression fold (zero Python workers, unrounded sims)."""
     sample = [r[0] for r in df.select(vec_col).limit(n_centroids * 10).collect()]
     import random
 
@@ -704,6 +786,8 @@ def ivf_index(
     centroids = [list(map(float, v)) for v in rnd.sample(sample, min(n_centroids, len(sample)))]
 
     def assign(frame: DataFrame) -> DataFrame:
+        if assign_impl == "arrow":
+            return _assign_cells_arrow(frame, centroids, vec_col)
         best_cell = F.lit(-1)
         best_sim = F.lit(-2.0)
         for ci, c in enumerate(centroids):

@@ -421,3 +421,25 @@ def test_quality_flags_spammy_vs_clean(spark):
     )
     rows = {r.doc_id: r.keep for r in quality_flags(df).collect()}
     assert rows == {1: False, 2: True}
+
+
+def test_quantized_topk_impls_agree_with_nan(spark):
+    """Vectors containing NULL/NaN elements: the Arrow scorer's
+    NaN-skipping scale matches quantize_int8's NULL-aware array_max
+    (ADVICE r6), and NaN-sim candidates rank below every real sim in
+    both impls."""
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [2.0, None, 3.0, 1.0]),   # NULL element
+        (2, [0.5, 1.5, 2.5, 3.5]),
+        (3, [4.0, 3.0, 2.0, 1.0]),
+        (4, [1.1, 2.1, 3.1, 4.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 0)
+    a = quantized_topk(emb, queries, k=2, impl="arrow").collect()
+    c = quantized_topk(emb, queries, k=2, impl="column").collect()
+    ka = sorted((r["query_id"], r["rank"], r["vec_id"], r["sim"]) for r in a)
+    kc = sorted((r["query_id"], r["rank"], r["vec_id"], r["sim"]) for r in c)
+    assert ka == kc
+    assert all(r["vec_id"] != 1 for r in a)  # NaN-sim vector never top-2

@@ -99,27 +99,27 @@ def contamination_check(
     (doc_id, gram-string) stream first: a full extra shuffle carrying
     ~50-byte strings.)
     """
-    # under-parallel inputs (fewer splits than cores — e.g. one parquet
-    # file) serialize the explode in one task; spreading the raw docs
-    # first costs a doc-sized shuffle ONLY in that degenerate case — a
-    # real corpus (files >= cores) skips it and never shuffles text.
-    # Probe via the leaf file list (driver-side, no RDD conversion —
-    # df.rdd forces full physical planning per call); non-file plans
-    # report no files and are left alone, trusting upstream splits.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    n_files = len(docs.inputFiles())
-    if 0 < n_files < par:
-        docs = docs.repartition(par)
-    doc_grams = docs.select(
-        doc_id,
-        F.explode(
-            F.array_distinct(word_ngram_hashes(F.col(text_col), n))
-        ).alias("__gh"),
-    )
+    # gram hashes come from the codegen shingle path (posexplode +
+    # lead-window fold — dedup.shingled, same values as
+    # word_ngram_hashes whose transform/zip_with lambdas evaluate
+    # interpreted).  Its doc-keyed window exchange doubles as the
+    # parallelism spreader for single-file corpora, and the per-doc
+    # distinct (= explode(array_distinct(...)) of the old shape) rides
+    # the same exchange.
+    from .dedup import shingled
+
+    doc_grams = shingled(
+        docs, doc_id, text_col, n, lower=False, distinct=True
+    ).withColumnRenamed("sh", "__gh")
+    # the benchmark side carries no id contract — synthesize a per-row
+    # window key (only the fold's grouping granularity, never a result
+    # value: the gram set is globally distinct-ed right after)
     bench_grams = (
-        benchmark.select(
-            F.explode(word_ngram_hashes(F.col(bench_text_col), n)).alias("__gh")
+        shingled(
+            benchmark.withColumn("__bid", F.monotonically_increasing_id()),
+            "__bid", bench_text_col, n, lower=False,
         )
+        .select(F.col("sh").alias("__gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

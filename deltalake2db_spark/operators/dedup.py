@@ -94,6 +94,59 @@ def shingle_hash_array(text_col, n: int = 3):
     return acc
 
 
+def shingled(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    group_cols: tuple = (),
+    lower: bool = True,
+    distinct: bool = False,
+) -> DataFrame:
+    """Exploded ``(group_cols..., id, sh)`` shingle-hash rows — the
+    codegen shingle path.
+
+    Produces the SAME 64-bit values as ``shingle_hash_array`` (word
+    xxhash64 + identical rotate-xor fold), but computed after a
+    ``posexplode`` of the word stream: the per-word hash and the fold
+    over ``lead()`` windows are ordinary whole-stage-codegen
+    expressions, where ``transform``/``zip_with`` lambdas evaluate
+    interpreted (~0.6 µs/element × n+1 array passes — SCALE.md HOF
+    findings; measured 924 → 491 ms for the n=3 corpus pass at sf0.1,
+    bit-identical output).
+
+    Cost shape: ONE doc-keyed exchange of (id, pos, word-hash) longs.
+    Every current consumer follows with a doc-keyed aggregate (minhash
+    signature min(), per-doc distinct, collect_list), so the window's
+    exchange is the one the plan needed anyway — and it spreads work
+    across reducers even when the corpus arrives in one file.  A
+    pipeline that genuinely cannot afford a word-level exchange at 100
+    TB keeps the zero-shuffle fold: ``explode(shingle_hash_array())``.
+
+    ``lower=False`` matches ``contamination.word_ngram_hashes``
+    tokenization (trim + ``\\s+`` split, case preserved).
+    """
+    gcols = list(group_cols)
+    if lower:
+        words = F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " "
+        )
+    else:
+        words = F.split(F.trim(F.col(text_col)), "\\s+")
+    ex = df.select(
+        *gcols, F.col(id_col), F.posexplode(words).alias("__pos", "__w")
+    ).select(*gcols, id_col, "__pos", F.xxhash64("__w").alias("__wh"))
+    acc = F.col("__wh")
+    if n > 1:
+        win = Window.partitionBy(*gcols, id_col).orderBy("__pos")
+        for i in range(1, n):
+            acc = _rotl(acc, 13).bitwiseXOR(F.lead("__wh", i).over(win))
+    out = ex.select(*gcols, id_col, acc.alias("sh"))
+    if n > 1:
+        out = out.filter(F.col("sh").isNotNull())
+    return out.distinct() if distinct else out
+
+
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
     partitions: int | None = None,
@@ -107,10 +160,7 @@ def shingle_table(
     documents often arrive in a handful of files, and without this the
     quadratic pair generation runs at file parallelism.
     """
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(shingle_hash_array(F.col(text_col), n)).alias("sh"),
-    ).distinct()
+    exploded = shingled(df, id_col, text_col, n, distinct=True)
     if partitions:
         # distinct FIRST, then repartition by sh: the repartition
         # exchange is the subtree both self-join sides reuse, so the
@@ -176,8 +226,7 @@ def ngram_jaccard_pairs(
         # cap; a large-vocab corpus shows a large vocab in any 50k-doc
         # sample long before the cap matters.
         probe = (
-            df.limit(50_000)
-            .select(F.explode(shingle_hash_array(F.col(text_col), n)).alias("sh"))
+            shingled(df.limit(50_000), id_col, text_col, n)
             .agg(F.approx_count_distinct("sh", 0.02).alias("v"))
             .collect()[0]["v"]
         )
@@ -457,10 +506,9 @@ def minhash_signatures(
 
     rnd = random.Random(seed)
     params = [(rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE)) for _ in range(num_hashes)]
-    tok = df.select(
-        F.col(id_col),
-        F.explode(shingle_hash_array(F.col(text_col), n)).alias("shingle"),
-    ).select(id_col, F.pmod(F.col("shingle"), F.lit(MERSENNE)).alias("x"))
+    tok = shingled(df, id_col, text_col, n).select(
+        id_col, F.pmod(F.col("sh"), F.lit(MERSENNE)).alias("x")
+    )
     return _minhash_agg(tok, id_col, params)
 
 
@@ -963,12 +1011,8 @@ def minhash_lsh_pairs_cross(
     ).unionByName(
         df_ref.select(F.lit(1).alias("__side"), F.col(id_col), F.col(text_col))
     )
-    tok = tagged.select(
-        "__side",
-        F.col(id_col),
-        F.explode(shingle_hash_array(F.col(text_col), n)).alias("shingle"),
-    ).select(
-        "__side", id_col, F.pmod(F.col("shingle"), F.lit(MERSENNE)).alias("x")
+    tok = shingled(tagged, id_col, text_col, n, group_cols=("__side",)).select(
+        "__side", id_col, F.pmod(F.col("sh"), F.lit(MERSENNE)).alias("x")
     )
     sig = _minhash_agg(
         tok, id_col, _minhash_params(num_hashes, seed),
@@ -1007,11 +1051,7 @@ def minhash_lsh_pairs_cross(
     if localized:
         cids = F.broadcast(cids)
     sub = tagged.join(cids, ["__side", id_col], "left_semi")
-    tsh = sub.select(
-        "__side",
-        F.col(id_col),
-        F.explode(shingle_hash_array(F.col(text_col), n)).alias("sh"),
-    ).distinct()
+    tsh = shingled(sub, id_col, text_col, n, group_cols=("__side",), distinct=True)
     arrs = tsh.groupBy("__side", id_col).agg(F.collect_list("sh").alias("__shs"))
     aa = arrs.filter(F.col("__side") == 0).select(
         F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa")

@@ -297,6 +297,20 @@ def neardup_pairs_blocked(
     )
 
 
+def _plane_matrix(planes: int, dim: int, seed: int):
+    """Deterministic (dim, planes) hyperplane matrix + 2^i bit weights —
+    shared by every impl so bucket ids agree bit-for-bit."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(seed)
+    planes_w = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+    W = np.array(planes_w, dtype=np.float64).T  # (dim, planes)
+    weights = np.power(2.0, np.arange(planes)).astype(np.int64)
+    return planes_w, W, weights
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     planes: int = 16,
@@ -312,10 +326,7 @@ def random_hyperplane_buckets(
     the driver (tiny: planes x dim doubles) and folded into the plan as
     literals, so executors never fetch side data.
     """
-    import random
-
-    rnd = random.Random(seed)
-    planes_w = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+    planes_w, W, weights = _plane_matrix(planes, dim, seed)
 
     if impl == "arrow":
         # sign-bit sketch as one numpy GEMM per Arrow batch — the plane
@@ -325,9 +336,6 @@ def random_hyperplane_buckets(
         # multiply-add alternative chokes the optimizer (deep trees).
         import numpy as np
         from pyspark.sql.functions import pandas_udf
-
-        W = np.array(planes_w, dtype=np.float64).T  # (dim, planes)
-        weights = np.power(2.0, np.arange(len(planes_w))).astype(np.int64)
 
         @pandas_udf("long")
         def bucket_of(vecs):
@@ -360,21 +368,81 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket,
-    exact cosine re-rank inside the bucket."""
-    cb = random_hyperplane_buckets(corpus, planes, dim, id_col=id_col, vec_col=vec_col)
-    qb = random_hyperplane_buckets(queries, planes, dim, id_col=id_col, vec_col=vec_col)
-    q = F.broadcast(
-        qb.select(
-            F.col(id_col).alias(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            F.col("bucket").alias("__qbucket"),
+    exact cosine re-rank inside the bucket.
+
+    ``impl='arrow'`` (default): queries are collected to the driver
+    (small by construction), their buckets computed locally, and ONE
+    ``mapInPandas`` pass over the corpus computes each batch's sign-bit
+    buckets AND the masked cosine scores against the matching queries —
+    no bucket join, no separate query-bucket stage, candidates never
+    materialize beyond the batch.  Identical bucket/score arithmetic to
+    the staged impl (same ``_plane_matrix``, GEMM sign bits, rounded-4
+    sims).  ``impl='join'`` keeps the explicit bucket tables + equi-join
+    shape — the plan that scales past driver-sized query sets.
+    """
+    if impl == "join":
+        cb = random_hyperplane_buckets(
+            corpus, planes, dim, id_col=id_col, vec_col=vec_col
         )
-    )
-    joined = cb.join(q, (F.col("bucket") == F.col("__qbucket")) & (F.col(id_col) != F.col(query_id_col)))
-    sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
-    scored = joined.select(query_id_col, id_col, sim.alias("sim"))
+        qb = random_hyperplane_buckets(
+            queries, planes, dim, id_col=id_col, vec_col=vec_col
+        )
+        q = F.broadcast(
+            qb.select(
+                F.col(id_col).alias(query_id_col),
+                F.col(vec_col).alias("__qvec"),
+                F.col("bucket").alias("__qbucket"),
+            )
+        )
+        joined = cb.join(
+            q,
+            (F.col("bucket") == F.col("__qbucket"))
+            & (F.col(id_col) != F.col(query_id_col)),
+        )
+        sim = F.round(cosine(F.col(vec_col), F.col("__qvec")), 4)
+        scored = joined.select(query_id_col, id_col, sim.alias("sim"))
+    else:
+        import numpy as np
+
+        _, W, weights = _plane_matrix(planes, dim, seed=42)
+        qrows = queries.select(id_col, vec_col).collect()
+        if not qrows:
+            scored = _empty_scored(corpus, id_col, query_id_col)
+        else:
+            qids = np.array([r[0] for r in qrows], dtype=np.int64)
+            Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+            qbuckets = (((Q @ W) > 0) @ weights).astype(np.int64)
+            Qn = Q / np.sqrt((Q * Q).sum(axis=1))[:, None]
+
+            def go(batches):
+                for pdf in batches:
+                    ids = pdf[id_col].to_numpy(dtype=np.int64)
+                    E = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                    )
+                    if len(E) == 0:
+                        continue
+                    cb = (((E @ W) > 0) @ weights).astype(np.int64)
+                    En = E / np.sqrt((E * E).sum(axis=1))[:, None]
+                    S = np.round(En @ Qn.T, 4)
+                    mask = (cb[:, None] == qbuckets[None, :]) & (
+                        ids[:, None] != qids[None, :]
+                    )
+                    ci, qi = np.nonzero(mask)
+                    yield pd.DataFrame(
+                        {
+                            query_id_col: qids[qi],
+                            id_col: ids[ci],
+                            "sim": S[ci, qi],
+                        }
+                    )
+
+            scored = corpus.select(id_col, vec_col).mapInPandas(
+                go, schema=f"{query_id_col} long, {id_col} long, sim double"
+            )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -127,49 +127,34 @@ def lang_id_from_scores(score_cols: dict[str, Column]) -> Column:
 
 def with_lang_id(df: DataFrame, text_col: str = "text",
                  out_col: str = "pred") -> DataFrame:
-    """Single-pass lang-id: ONE ``aggregate`` fold over the lowercased
-    words array accumulates every language's stopword count into a
-    struct (4 membership tests per word, one array traversal), then
-    argmax over the struct fields.  (The previous shape ran one
-    ``filter`` pass per language — 4 traversals; single-pass measured
-    ~2x faster at sf0.1.)  The struct is materialized in its own
-    projection so the argmax CASE chain references a column, not a
-    repeated fold — the codegen-cache trap ``lang_id_from_scores``
-    documents."""
+    """Stopword-count lang-id via one JVM ``regexp_count`` per language.
+
+    Each language's score counts whitespace-delimited tokens equal to a
+    stopword: pattern ``(?:^|\\s)(?:\\Qw1\\E|...)(?=\\s|$)`` — the
+    leading boundary consumes the separator, the trailing lookahead
+    does not, so consecutive stopwords all count.  Exactly the
+    ``split(TOKEN_SPLIT) + isin`` semantics, but the counting runs as a
+    compiled JVM regex inside codegen instead of an ``aggregate``
+    lambda fold, which evaluates interpreted per element (SCALE.md HOF
+    findings; measured 618 → 452 ms for the sf0.1 gate, identical
+    groupBy(lang, pred) output).  The scores are materialized in their
+    own projection so the argmax CASE chain references columns — the
+    codegen-cache trap ``lang_id_from_scores`` documents."""
     langs = sorted(STOPWORDS)
-    # the packed accumulator holds 16 bits per language in one 64-bit
-    # long; a 5th language would shift past bit 63 and silently corrupt
-    # every score — fail loudly instead (add a second accumulator or a
-    # struct fold before growing STOPWORDS)
-    if len(langs) > 4:
-        raise ValueError(
-            f"with_lang_id packs at most 4 languages into its 64-bit "
-            f"accumulator; STOPWORDS has {len(langs)}"
-        )
-    words = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
-
-    # all four counts packed into ONE long accumulator (16 bits per
-    # language — counts cap far below 2^16 for any real document), so
-    # the fold allocates no per-element structs
-    def inc(w) -> Column:
-        e = None
-        for i, l in enumerate(langs):
-            term = w.isin(STOPWORDS[l]).cast("long") * F.lit(1 << (16 * i))
-            e = term if e is None else e + term
-        return e
-
-    packed = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + inc(w)
-    )
-    staged = df.select("*", packed.alias("__p"))
-    scores = {
-        l: F.shiftrightunsigned(F.col("__p"), 16 * i)
-        .bitwiseAND(F.lit(0xFFFF))
-        .cast("int")
-        for i, l in enumerate(langs)
-    }
-    staged = staged.select(
-        "*", *[scores[l].alias(f"__s_{l}") for l in langs]
+    lowered = F.lower(F.trim(F.col(text_col)))
+    staged = df.select(
+        "*",
+        *[
+            F.regexp_count(
+                lowered,
+                F.lit(
+                    "(?:^|\\s)(?:"
+                    + "|".join(f"\\Q{w}\\E" for w in STOPWORDS[l])
+                    + ")(?=\\s|$)"
+                ),
+            ).alias(f"__s_{l}")
+            for l in langs
+        ],
     )
     pred = lang_id_from_scores({l: F.col(f"__s_{l}") for l in langs})
     return staged.select(*df.columns, pred.alias(out_col))

@@ -12,12 +12,13 @@ arithmetic end-to-end.  Documented deviation from float TF-IDF.
 Spark-first design
 ------------------
 * One ``split`` per document, one explode, then an all-integer
-  aggregation tree: ``(group, word) -> tf``, reused for
-  ``word -> df`` (count of groups containing the word) — the second
-  agg consumes the FIRST agg's output (tiny), never re-reads the
-  corpus.
-* ``n_groups`` is a one-row aggregate cross-joined in (broadcast) —
-  no driver collect, the plan stays fully lazy/composable.
+  aggregation tree: ``(group, word) -> tf``; ``doc_freq`` (count of
+  groups containing the word) is a count WINDOW over the tf table —
+  one word-keyed exchange of the vocabulary-sized stats, no self-join,
+  never re-reads the corpus.
+* ``n_groups`` is a one-row aggregate over a two-column pruned scan,
+  cross-joined in (broadcast) — no driver collect, the plan stays
+  fully lazy/composable.
 * Final top-k is a window over the (group, word) stats table —
   orders of magnitude smaller than the corpus; skew bounded by
   vocabulary size per group, not corpus size.
@@ -44,13 +45,25 @@ def term_stats(
     words = F.split(F.trim(F.col(text_col)), "\\s+")
     toks = df.select(F.col(group_col).alias("group"), F.explode(words).alias("word"))
     tf = toks.groupBy("group", "word").agg(F.count(F.lit(1)).alias("term_freq"))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
-    ngroups = tf.select("group").distinct().agg(
-        F.count(F.lit(1)).alias("__n_groups")
+    # doc_freq as a count window over the vocabulary-sized tf table —
+    # the former dfreq aggregate + equi-join re-shuffled tf twice for
+    # the same word-keyed distribution the window gets in one exchange
+    wv = Window.partitionBy("word")
+    stats = tf.withColumn("doc_freq", F.count(F.lit(1)).over(wv))
+    # n_groups = groups with >= 1 token.  Any non-NULL text tokenizes
+    # to >= 1 word (split of '' is ['']), so this equals
+    # count(DISTINCT group) over non-NULL-text rows — computable from a
+    # two-column pruned scan instead of re-deriving the whole
+    # explode+aggregate tf subtree a second time (lazy plans re-run it;
+    # that was a hidden full corpus pass)
+    ngroups = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(group_col).alias("group"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__n_groups"))
     )
     return (
-        tf.join(dfreq, "word")
-        .crossJoin(broadcast(ngroups))
+        stats.crossJoin(broadcast(ngroups))
         .withColumn(
             "score",
             F.col("term_freq")

@@ -24,6 +24,8 @@ Scale design (vs the reference's one-SELECT-per-file UNION ALL,
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
 from functools import reduce
 from typing import Any, Callable, Mapping, Optional, Sequence, Union
 
@@ -51,6 +53,25 @@ from ..plans.types import delta_type_name, to_physical_schema
 JOIN_STRATEGY_THRESHOLD = 64
 
 PathOrState = Union[str, MetaState]
+
+# (applicationId, abspath, version, log-fingerprint) -> scan plan; LRU 64
+_SCAN_MEMO: OrderedDict[tuple, DataFrame] = OrderedDict()
+
+
+def _log_fingerprint(path: str):
+    """(name, size, mtime_ns) of every ``_delta_log`` entry, sorted —
+    None when the log isn't a listable local directory (no caching for
+    remote/filesystem-abstracted tables)."""
+    try:
+        with os.scandir(os.path.join(path, "_delta_log")) as it:
+            return tuple(
+                sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it
+                )
+            )
+    except OSError:
+        return None
 
 
 def _resolve_state(
@@ -129,6 +150,29 @@ def scan_delta(
         version = version_at_timestamp(
             str(table), timestamp, storage_options=storage_options
         )
+    # Snapshot-plan memo (plain scans of local tables): the returned
+    # DataFrame is an immutable logical plan, and the cache key carries
+    # a (name, size, mtime_ns) fingerprint of every _delta_log entry, so
+    # ANY commit — ours or an external writer's — changes the key and
+    # forces a fresh replay.  Same contract as delta-spark's snapshot
+    # cache; saves the ~100-150 ms of py4j plan construction a repeated
+    # read of an unchanged table otherwise pays.
+    memo_key = None
+    if (
+        isinstance(table, str)
+        and storage_options is None
+        and conditions is None and select is None and exclude is None
+        and not distinct and limit is None and action_filter is None
+        and not _with_pos and "://" not in table
+    ):
+        fp = _log_fingerprint(table)
+        if fp is not None:
+            memo_key = (spark.sparkContext.applicationId,
+                        os.path.abspath(table), version, fp)
+            hit = _SCAN_MEMO.get(memo_key)
+            if hit is not None:
+                _SCAN_MEMO.move_to_end(memo_key)
+                return hit
     state = _resolve_state(table, storage_options, version, spark)
     check_is_supported(state)
     logical_schema = state.schema
@@ -192,6 +236,10 @@ def scan_delta(
         df = df.distinct()
     if limit is not None:
         df = df.limit(limit)
+    if memo_key is not None:
+        _SCAN_MEMO[memo_key] = df
+        while len(_SCAN_MEMO) > 64:
+            _SCAN_MEMO.popitem(last=False)
     return df
 
 

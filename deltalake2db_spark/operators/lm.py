@@ -89,6 +89,11 @@ def perplexity_score(
     """
     vocab = unigram_vocab(counts_df if counts_df is not None else df,
                           text_col, top_v)
+    # totals re-derives the vocab subtree lazily — deliberate: both
+    # broadcast builds execute CONCURRENTLY inside the scoring job, so
+    # the "double pass" costs near-zero wall-clock, while an eager
+    # driver-side localization serializes model-build before scoring
+    # (measured 0.50 -> 0.69 s at sf0.1 when tried).
     totals = vocab.agg(
         F.sum("__cnt").alias("__n"), F.count(F.lit(1)).alias("__v")
     )

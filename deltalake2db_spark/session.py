@@ -113,6 +113,16 @@ def get_spark(
         # maxPartitionBytes).
         builder = builder.config("spark.sql.files.minPartitionNum", "4").config(
             "spark.sql.leafNodeDefaultParallelism", "4"
+        ).config(
+            # parallelize/range/createDataFrame default to
+            # sparkContext.defaultParallelism (= cores), which
+            # leafNodeDefaultParallelism does NOT override — so every
+            # driver-localized frame (lineage cuts, literal models) and
+            # every spark.range source ran 32 trivial tasks (measured:
+            # the media pipelines dropped 0.61 -> 0.42 s at sf0.1 with
+            # 8).  SQL scan/shuffle sizing is governed by the confs
+            # above, not this.
+            "spark.default.parallelism", "8"
         )
     else:
         # the skew-join splitter is the cluster-scale half of what the

@@ -109,6 +109,19 @@ def main() -> None:
         run_chunk(sys.argv[2].split(","), sf_dir)
         return
 
+    # 3-draw series by default: host multicore throughput is bimodal
+    # per JVM lifetime and DuckDB's own total swings ±30% between
+    # draws, so a single-draw ratio is a lottery ticket (SCALE.md
+    # measurement notes).  Every draw is a full independent
+    # measurement — its own chunk JVMs, re-roll/outlier protocol, and
+    # DuckDB oracle pass — and the final line reports the ratio of
+    # every draw plus min/median/max.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    draws = [one_draw(sf_dir) for _ in range(max(1, n_runs))]
+    emit(sf_dir, draws)
+
+
+def one_draw(sf_dir: str) -> dict:
     import __spark_entry__ as entry
 
     names = list(entry.queries())
@@ -191,8 +204,28 @@ def main() -> None:
     fresh_remeasure([n for n, t in times.items() if t >= 3.0][:8])
     fresh_remeasure([n for n, t in times.items() if t >= 5.0][:4])
 
-    total = round(sum(t for t in times.values() if t >= 0), 3)
+    draw: dict = {"spark_queries": times}
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") == "1":
+        draw["duckdb_oracle_queries"] = duck = duckdb_oracle_times(sf_dir)
+        draw["ratio"] = _matched_ratio(times, duck)
+        print(f"# draw ratio: {draw['ratio']}", file=sys.stderr)
+    return draw
+
+
+def emit(sf_dir: str, draws: list[dict]) -> None:
+    import __spark_entry__ as entry
+
     oracle_names = set(entry.oracle_sql())
+    ratios = [d["ratio"] for d in draws if d.get("ratio") is not None]
+    # the headline draw is the MEDIAN-ratio one — per-query times and
+    # totals all come from that single coherent measurement
+    if ratios:
+        med = sorted(ratios)[len(ratios) // 2]
+        head = next(d for d in draws if d.get("ratio") == med)
+    else:
+        head = draws[0]
+    times = head["spark_queries"]
+    total = round(sum(t for t in times.values() if t >= 0), 3)
     oracle_total = round(
         sum(t for n, t in times.items() if t >= 0 and n in oracle_names), 3
     )
@@ -204,23 +237,29 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in times.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # SPARK time subtotal over the oracle-covered queries (NOT a
-        # DuckDB time — that one is measured below)
+        # DuckDB time — that one is measured separately per draw)
         "spark_subtotal_oracle_covered_sec": oracle_total,
     }
-    detail: dict[str, object] = {"spark_queries": times}
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") == "1":
-        detail["duckdb_oracle_queries"] = duck = duckdb_oracle_times(sf_dir)
+    if ratios:
+        duck = head["duckdb_oracle_queries"]
         out["duckdb_oracle_total_sec"] = round(
             sum(t for t in duck.values() if t >= 0), 3
         )
-        out["spark_vs_duckdb_matched_ratio"] = _matched_ratio(times, duck)
+        out["spark_vs_duckdb_matched_ratio"] = med
+        out["ratio_series"] = ratios
+        out["ratio_min"] = min(ratios)
+        out["ratio_median"] = med
+        out["ratio_max"] = max(ratios)
     # The final metric line must stay SHORT: the driver keeps only the
     # LAST 2000 chars of stdout, so an oversized line loses its opening
     # brace and parses as null (round 5's BENCH record). Per-engine
     # per-query detail therefore goes to a '#'-prefixed stderr line and
     # a sidecar file; the final line carries the summary, falling back
     # to only the slowest queries if the full dict would overflow.
-    detail.update({k: v for k, v in out.items() if k != "queries"})
+    detail: dict[str, object] = {
+        "draws": draws,
+        **{k: v for k, v in out.items() if k != "queries"},
+    }
     print("# bench-detail " + json.dumps(detail), file=sys.stderr)
     try:
         with open(

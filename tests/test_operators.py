@@ -747,3 +747,51 @@ def test_ivf_index_arrow_matches_column(spark):
     # so compare behaviorally: every cell used, assignment total right
     assert len(a) == 80 and set(a.values()).issubset(set(range(4)))
     assert len(a_cents) == len(c_cents) == 4
+
+
+def test_shingled_matches_fold_on_edges(spark):
+    """The codegen window shingle path (shingled) emits exactly the
+    fold path's (id, sh) set on every edge shape: NULL text, empty
+    text, whitespace-only, fewer-words-than-n, exact-n, and n=1."""
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one"),
+        (5, "one two"),
+        (6, "one two three"),
+        (7, "  One  TWO three four  "),
+        (8, "a a a a"),  # repeated words -> duplicate shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3):
+        fold = (
+            df.select(
+                "doc_id",
+                F.explode(D.shingle_hash_array(F.col("text"), n)).alias("sh"),
+            )
+            .collect()
+        )
+        win = D.shingled(df, "doc_id", "text", n).collect()
+        assert sorted(map(tuple, fold)) == sorted(map(tuple, win)), f"n={n}"
+    # distinct=True == explode(array_distinct(...)) semantics
+    dis = D.shingled(df, "doc_id", "text", 2, distinct=True).collect()
+    ref = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(D.shingle_hash_array(F.col("text"), 2))
+            ).alias("sh"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, dis)) == sorted(map(tuple, ref))
+
+
+def test_shingled_group_cols(spark):
+    """group_cols ride through and scope the window partitioning."""
+    rows = [(0, 1, "x y z"), (1, 1, "x y z")]
+    df = spark.createDataFrame(rows, "side int, doc_id long, text string")
+    out = D.shingled(df, "doc_id", "text", 2, group_cols=("side",)).collect()
+    assert len(out) == 4  # 2 shingles per side
+    assert {r["side"] for r in out} == {0, 1}

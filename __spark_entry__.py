@@ -348,6 +348,9 @@ def q_range_join(spark, sf_dir):
     joined = range_join_point_interval(
         points, anchors, key="user_id", point_ts="ts",
         start_ts="win_start", end_ts="win_end", bin_micros=win_us,
+        # signup anchors are a filtered sliver of events — broadcast
+        # them so the point side never shuffles
+        broadcast="intervals",
     ).filter(F.col("event_id") != F.col("anchor_id"))
     return joined.groupBy("anchor_id").agg(
         F.count(F.lit(1)).alias("n_follow"),

@@ -90,7 +90,13 @@ def profile(
             )
         except Exception:  # unresolvable estimate: assume big
             est = 1 << 62
-        strategy = "gather" if est <= gather_threshold_bytes else "approx"
+        # small inputs: exact counts via concurrent per-column jobs —
+        # re-measured under the tuned local profile they beat the
+        # single collect_set aggregate (502 vs 825 ms on sf0.1 orders;
+        # the wide ObjectHashAggregate's set-building dominates one
+        # reducer while the per-column jobs spread across the
+        # scheduler).  Big inputs: one-pass HLL as before.
+        strategy = "exact" if est <= gather_threshold_bytes else "approx"
     if strategy == "concurrent":  # back-compat alias
         strategy = "exact"
     if strategy not in ("gather", "approx", "exact"):

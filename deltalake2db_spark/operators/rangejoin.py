@@ -25,12 +25,19 @@ def range_join_point_interval(
     start_ts: str,
     end_ts: str,
     bin_micros: int,
+    broadcast: str | None = None,
 ) -> DataFrame:
     """Rows (point, interval) where point_ts in [start_ts, end_ts) and
     keys match.  ``bin_micros`` must be >= the maximum interval length.
 
     Returns all columns of both inputs (interval columns suffixed _r
     when names collide).
+
+    ``broadcast='intervals'`` hints the exploded interval side into a
+    broadcast-hash join — the right call when intervals are a filtered
+    sliver of a big table (Catalyst's post-filter size estimate is too
+    coarse to pick it on its own, and the point side then never
+    shuffles at all).  Default leaves the strategy to Catalyst/AQE.
     """
     p_us = F.unix_micros(F.col(point_ts))
 
@@ -52,6 +59,8 @@ def range_join_point_interval(
     r = intervals.select(
         *[F.col(c).alias(rename.get(c, c)) for c in intervals.columns]
     ).withColumn("__bin", F.explode(bins))
+    if broadcast == "intervals":
+        r = F.broadcast(r)
     joined = p.join(r, [key, "__bin"]).filter(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     )

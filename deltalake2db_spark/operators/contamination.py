@@ -90,26 +90,28 @@ def contamination_check(
     ``contaminated`` is ``n_matched >= min_hits``.
 
     Plan shape: grams are 64-bit HASHES (8 bytes moved per gram, never
-    gram strings) and per-document dedup happens in array land
-    (``array_distinct``, zero shuffle) before the explode — so the
-    corpus-side pipeline is scan → explode → broadcast-left-join
-    against the benchmark's distinct gram hashes → ONE doc_id-keyed
-    aggregate.  One shuffle total, keyed by doc_id — uniform,
-    skew-free.  (The previous formulation distinct-ed the exploded
-    (doc_id, gram-string) stream first: a full extra shuffle carrying
-    ~50-byte strings.)
+    gram strings), built by the codegen window fold; per-document dedup
+    happens inside the final doc-keyed aggregate (``collect_set``) —
+    so the corpus-side pipeline is scan → posexplode → ONE doc_id
+    exchange (window fold) → broadcast-left-join against the
+    benchmark's distinct gram hashes → doc-keyed aggregate that REUSES
+    the window's distribution.  One corpus shuffle total, keyed by
+    doc_id — uniform, skew-free; set sizes are bounded by document
+    length.
     """
     # gram hashes come from the codegen shingle path (posexplode +
     # lead-window fold — dedup.shingled, same values as
     # word_ngram_hashes whose transform/zip_with lambdas evaluate
     # interpreted).  Its doc-keyed window exchange doubles as the
-    # parallelism spreader for single-file corpora, and the per-doc
-    # distinct (= explode(array_distinct(...)) of the old shape) rides
-    # the same exchange.
+    # parallelism spreader for single-file corpora — and it is the
+    # ONLY corpus exchange in the plan: dedup happens inside the final
+    # doc-keyed aggregate (collect_set), which reuses the window's
+    # hash(doc_id) distribution, where a (doc_id, gram) distinct pass
+    # would re-shuffle the gram stream twice more.
     from .dedup import shingled
 
     doc_grams = shingled(
-        docs, doc_id, text_col, n, lower=False, distinct=True
+        docs, doc_id, text_col, n, lower=False
     ).withColumnRenamed("sh", "__gh")
     # the benchmark side carries no id contract — synthesize a per-row
     # window key (only the fold's grouping granularity, never a result
@@ -127,8 +129,10 @@ def contamination_check(
     return (
         flagged.groupBy(doc_id)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("__hit").alias("n_matched"),
+            F.size(F.collect_set("__gh")).alias("n_grams"),
+            F.size(
+                F.collect_set(F.when(F.col("__hit") == 1, F.col("__gh")))
+            ).alias("n_matched"),
         )
         .withColumn("contaminated", F.col("n_matched") >= F.lit(min_hits))
     )

@@ -45,7 +45,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from collections import OrderedDict
+
 from ..plans.meta import _LOG_DIR, MetaState, _commit_name, get_meta
+
+_CHANGES_MEMO: OrderedDict[tuple, DataFrame] = OrderedDict()
 
 CHANGE_TYPE = "_change_type"
 COMMIT_VERSION = "_commit_version"
@@ -83,9 +87,28 @@ def table_changes(
     ``ending_timestamp`` the latest commit at-or-before it; each is
     mutually exclusive with its version twin."""
     from ..plans.meta import version_at_timestamp
-    from .delta import _DV_KEY, _DV_RI, scan_delta
+    from .delta import _DV_KEY, _DV_RI, _log_fingerprint, scan_delta
 
     path = str(path).rstrip("/")
+    # change-feed plan memo, same contract as scan_delta's: keyed on the
+    # full bound arguments plus a per-entry fingerprint of the log dir,
+    # so any commit invalidates (timestamp bounds are resolved against
+    # the log, so they key soundly too)
+    memo_key = None
+    if "://" not in path:
+        fp = _log_fingerprint(path)
+        if fp is not None:
+            import os as _os
+
+            memo_key = (
+                spark.sparkContext.applicationId, _os.path.abspath(path),
+                starting_version, ending_version,
+                str(starting_timestamp), str(ending_timestamp), fp,
+            )
+            hit = _CHANGES_MEMO.get(memo_key)
+            if hit is not None:
+                _CHANGES_MEMO.move_to_end(memo_key)
+                return hit
     if starting_timestamp is not None:
         if starting_version is not None:
             raise ValueError(
@@ -231,8 +254,13 @@ def table_changes(
                 T.StructField(COMMIT_VERSION, T.LongType(), False),
             ]
         )
-        return spark.createDataFrame([], schema=schema)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        out = spark.createDataFrame([], schema=schema)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    if memo_key is not None:
+        _CHANGES_MEMO[memo_key] = out
+        while len(_CHANGES_MEMO) > 32:
+            _CHANGES_MEMO.popitem(last=False)
     return out

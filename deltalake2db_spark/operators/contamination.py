@@ -90,49 +90,53 @@ def contamination_check(
     ``contaminated`` is ``n_matched >= min_hits``.
 
     Plan shape: grams are 64-bit HASHES (8 bytes moved per gram, never
-    gram strings), built by the codegen window fold; per-document dedup
-    happens inside the final doc-keyed aggregate (``collect_set``) —
-    so the corpus-side pipeline is scan → posexplode → ONE doc_id
-    exchange (window fold) → broadcast-left-join against the
-    benchmark's distinct gram hashes → doc-keyed aggregate that REUSES
-    the window's distribution.  One corpus shuffle total, keyed by
-    doc_id — uniform, skew-free; set sizes are bounded by document
-    length.
+    gram strings), built by the codegen window fold; so the corpus-side
+    pipeline is scan → posexplode → ONE doc_id exchange (window fold) →
+    broadcast-left-join against the benchmark's distinct gram hashes →
+    two doc-keyed hash aggregates that both REUSE the window's
+    distribution.  One corpus shuffle total, keyed by doc_id — uniform,
+    skew-free.
     """
     # gram hashes come from the codegen shingle path (posexplode +
     # lead-window fold — dedup.shingled, same values as
     # word_ngram_hashes whose transform/zip_with lambdas evaluate
     # interpreted).  Its doc-keyed window exchange doubles as the
     # parallelism spreader for single-file corpora — and it is the
-    # ONLY corpus exchange in the plan: dedup happens inside the final
-    # doc-keyed aggregate (collect_set), which reuses the window's
-    # hash(doc_id) distribution, where a (doc_id, gram) distinct pass
-    # would re-shuffle the gram stream twice more.
+    # ONLY corpus exchange in the plan.
     from .dedup import shingled
 
     doc_grams = shingled(
         docs, doc_id, text_col, n, lower=False
     ).withColumnRenamed("sh", "__gh")
-    # the benchmark side carries no id contract — synthesize a per-row
-    # window key (only the fold's grouping granularity, never a result
-    # value: the gram set is globally distinct-ed right after)
+    # the benchmark side is small by contract (it is broadcast below),
+    # so its grams come from the ZERO-SHUFFLE fold — the window path's
+    # exchange + distinct would cost two extra stages inside the
+    # broadcast-build job for no parallelism gain (r7 bench: the
+    # broadcast subtree was most of the 0.9 s above floor)
     bench_grams = (
-        shingled(
-            benchmark.withColumn("__bid", F.monotonically_increasing_id()),
-            "__bid", bench_text_col, n, lower=False,
+        benchmark.select(
+            F.explode(word_ngram_hashes(F.col(bench_text_col), n)).alias(
+                "__gh"
+            )
         )
-        .select(F.col("sh").alias("__gh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     flagged = doc_grams.join(broadcast(bench_grams), "__gh", "left")
+    # per-(doc, gram) dedup then per-doc counts: BOTH groupBys are
+    # satisfied by the window's hash(doc_id) distribution (doc_id is a
+    # subset of the first key), so neither re-shuffles — and both are
+    # whole-stage-codegen HashAggregates, where the previous
+    # collect_set pair ran as a single-phase ObjectHashAggregate
+    # building per-doc in-memory sets (measured: the slow half of the
+    # gate at sf0.1).
     return (
-        flagged.groupBy(doc_id)
+        flagged.groupBy(doc_id, "__gh")
+        .agg(F.max("__hit").alias("__h"))
+        .groupBy(doc_id)
         .agg(
-            F.size(F.collect_set("__gh")).alias("n_grams"),
-            F.size(
-                F.collect_set(F.when(F.col("__hit") == 1, F.col("__gh")))
-            ).alias("n_matched"),
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.count("__h").cast("int").alias("n_matched"),
         )
         .withColumn("contaminated", F.col("n_matched") >= F.lit(min_hits))
     )

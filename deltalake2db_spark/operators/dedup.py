@@ -125,6 +125,15 @@ def shingled(
 
     ``lower=False`` matches ``contamination.word_ngram_hashes``
     tokenization (trim + ``\\s+`` split, case preserved).
+
+    Duplicate ids are safe: each SOURCE ROW folds its own word stream.
+    The window still partitions by ``(group_cols, id)`` — so the
+    exchange keeps satisfying downstream doc-keyed aggregates — but
+    orders by a per-source-row ``__rid`` before ``__pos`` and masks any
+    fold whose ``lead`` crosses a row boundary (``lead(__rid, n-1) !=
+    __rid`` ⇒ null ⇒ filtered, exactly like the partition-tail nulls).
+    Rows of one ``__rid`` are contiguous under that ordering, so the
+    single ``n-1`` check covers every intermediate lead.
     """
     gcols = list(group_cols)
     if lower:
@@ -133,14 +142,17 @@ def shingled(
         )
     else:
         words = F.split(F.trim(F.col(text_col)), "\\s+")
-    ex = df.select(
-        *gcols, F.col(id_col), F.posexplode(words).alias("__pos", "__w")
-    ).select(*gcols, id_col, "__pos", F.xxhash64("__w").alias("__wh"))
+    ex = df.withColumn("__rid", F.monotonically_increasing_id()).select(
+        *gcols, F.col(id_col), "__rid", F.posexplode(words).alias("__pos", "__w")
+    ).select(*gcols, id_col, "__rid", "__pos", F.xxhash64("__w").alias("__wh"))
     acc = F.col("__wh")
     if n > 1:
-        win = Window.partitionBy(*gcols, id_col).orderBy("__pos")
+        win = Window.partitionBy(*gcols, id_col).orderBy("__rid", "__pos")
         for i in range(1, n):
             acc = _rotl(acc, 13).bitwiseXOR(F.lead("__wh", i).over(win))
+        acc = F.when(
+            F.lead("__rid", n - 1).over(win) == F.col("__rid"), acc
+        )
     out = ex.select(*gcols, id_col, acc.alias("sh"))
     if n > 1:
         out = out.filter(F.col("sh").isNotNull())

@@ -235,6 +235,127 @@ def semantic_dedup(
     return final.join(losers, id_col, "left_anti")
 
 
+def _decontam_broadcast_ref(
+    df_new: DataFrame,
+    ref_vecs,
+    centroids: list[list[float]],
+    threshold: float,
+    vec_col: str,
+    out: str = "cell",
+) -> DataFrame:
+    """Fused assign + bipartite-match + filter over one ``mapInPandas``.
+
+    ``ref_vecs`` is a driver-local pandas Series of ref embeddings
+    (bounded by the caller).  Ref assignment runs on the driver with
+    the SAME numpy formula as ``kmeans_assign(impl='arrow')``; per-cell
+    normalized ref matrices ride to executors in the task closure
+    (bounded: ``broadcast_ref_max`` × dim float64).  The returned plan
+    is fully lazy and deterministic — repeated actions recompute from
+    the parquet source.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_sq = (cents * cents).sum(axis=1)
+    R = np.array([np.asarray(v, dtype=np.float64) for v in ref_vecs])
+    if len(R):
+        rcell = np.argmin(-2.0 * (R @ cents.T) + c_sq[None, :], axis=1)
+        Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+        by_cell = {int(c): Rn[rcell == c] for c in np.unique(rcell)}
+    else:
+        by_cell = {}
+    schema = StructType(
+        list(df_new.schema.fields) + [StructField(out, IntegerType())]
+    )
+
+    def survivors(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(X) == 0:
+                yield pdf.assign(**{out: pd.Series([], dtype="int32")})
+                continue
+            cell = np.argmin(
+                -2.0 * (X @ cents.T) + c_sq[None, :], axis=1
+            ).astype(np.int32)
+            keep = np.ones(len(X), dtype=bool)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            for c in np.unique(cell):
+                Rc = by_cell.get(int(c))
+                if Rc is None or len(Rc) == 0:
+                    continue
+                m = cell == c
+                S = np.round(Xn[m] @ Rc.T, 4)
+                keep[m] = ~(S >= threshold).any(axis=1)
+            yield pdf.assign(**{out: cell})[keep]
+
+    return df_new.mapInPandas(survivors, schema)
+
+
+def _losers_column(
+    assigned_new: DataFrame,
+    assigned_ref: DataFrame,
+    id_type,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    max_block: int,
+) -> DataFrame:
+    """Pure-Catalyst bipartite loser ids: parity-bit encode both sides,
+    run the column pair kernel over the union, keep cross-parity pairs,
+    decode the NEW (even) side.  Integer shift arithmetic is exact for
+    the whole ±2^62 id range, unlike float division whose doubles go
+    inexact above 2^53 (hash-derived 64-bit ids silently mis-decoded).
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from .similarity import neardup_pairs_blocked
+
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"semantic_dedup_against(pairs_impl='column') needs an integral "
+            f"{id_col!r} for its parity encoding; got "
+            f"{id_type.simpleString()} — join on a surrogate integral id "
+            f"(e.g. xxhash64) instead"
+        )
+    enc = "__enc_id"
+    an = assigned_new.select(
+        F.shiftleft(F.col(id_col).cast("long"), 1).alias(enc),
+        F.col(vec_col),
+        F.col("cell"),
+    )
+    ar = assigned_ref.select(
+        F.shiftleft(F.col(id_col).cast("long"), 1).bitwiseOR(F.lit(1)).alias(enc),
+        F.col(vec_col),
+        F.col("cell"),
+    )
+    pairs = neardup_pairs_blocked(
+        an.unionByName(ar),
+        threshold=threshold,
+        id_col=enc,
+        vec_col=vec_col,
+        block_col="cell",
+        impl="column",
+        max_block=max_block,
+    )
+    parity = lambda c: F.col(c).bitwiseAND(F.lit(1))  # noqa: E731
+    cross = pairs.filter(parity("id_a") != parity("id_b"))
+    return (
+        cross.select(
+            F.when(parity("id_a") == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(enc)
+        )
+        .select(F.shiftright(F.col(enc), 1).cast(id_type).alias(id_col))
+        .distinct()
+    )
+
+
 def semantic_dedup_against(
     df_new: DataFrame,
     df_ref: DataFrame,
@@ -247,79 +368,79 @@ def semantic_dedup_against(
     assign_impl: str = "arrow",
     pairs_impl: str = "arrow",
     max_block: int = 20_000,
+    broadcast_ref_max: int = 100_000,
 ) -> DataFrame:
     """Embedding-space decontamination: rows of ``df_new`` whose cosine
     to ANY ``df_ref`` vector in the same k-means cell is >= ``threshold``
     are dropped; survivors return with their ``cell``.
 
-    The reference corpus defines the cell structure (centroids are fit
-    on it unless supplied), both sides are assigned map-side, and the
-    pair search reuses the blocked GEMM kernel bipartitely: each side's
-    ids are encoded with a parity bit (new=even, ref=odd), the union is
-    blocked per cell, and only cross-parity pairs count — intra-corpus
-    near-dups never disqualify a new row.  Overlapping id spaces are
-    safe under the encoding.  The id column must be an integral type
-    (the parity encoding is shift arithmetic) with |id| < 2^62 — the
-    top bit would be shifted away silently.  Same sum-of-block² scale
-    shape as ``semantic_dedup``.
+    The common 100 TB shape is asymmetric: ``df_new`` is the corpus,
+    ``df_ref`` is a benchmark — thousands of vectors.  When the ref
+    side fits in ``broadcast_ref_max`` rows (and ``pairs_impl`` is not
+    'column'), the whole operator is ONE zero-shuffle ``mapInPandas``
+    pass over the corpus: ref vectors are assigned + normalized +
+    grouped per cell ON THE DRIVER, shipped in the task closure, and
+    each Arrow batch assigns its cells, GEMMs against the matching ref
+    groups, and emits survivors directly — no persist, no loser
+    collect, no anti-join (r8: at sf0.1 those four jobs were ~4× the
+    actual compute).  Arithmetic is identical to the distributed path:
+    the ``kmeans_assign`` arrow formula (−2·X·Cᵀ + |C|², argmin) and
+    the blocked kernel's ``round(normalized GEMM, 4) >= threshold``.
+
+    Above the bound: both sides are assigned map-side and the match
+    search is a TRUE bipartite blocked GEMM
+    (``similarity.bipartite_matches_blocked``): per cell it computes
+    only new·refᵀ and reduces ``any >= threshold`` inside the numpy
+    batch — half the FLOPs of running the union through the pair
+    kernel and filtering cross-side pairs (the r7 shape), and no pair
+    materialization / id-encoding / decode pass at all.  Intra-corpus
+    near-dups never disqualify a new row, and overlapping id spaces
+    are safe because the sides never mix identities.
+
+    ``pairs_impl='column'`` keeps the pure-Catalyst replay path (union
+    + parity-bit encoding + cross-parity filter); that path requires
+    an integral ``id_col`` with |id| < 2^62 for its shift encoding.
+    Same sum-of-block² scale shape as ``semantic_dedup`` either way.
     """
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-    from .similarity import neardup_pairs_blocked
-
-    id_type = df_new.schema[id_col].dataType
-    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
-        raise TypeError(
-            f"semantic_dedup_against needs an integral {id_col!r} for its "
-            f"parity encoding; got {id_type.simpleString()} — join on a "
-            f"surrogate integral id (e.g. xxhash64) instead"
-        )
     if centroids is None:
         centroids = kmeans_fit(df_ref, k, iters, id_col, vec_col)
-    enc = "__enc_id"
-    # one assignment of df_new feeds BOTH the encoded union and the
+    if pairs_impl != "column" and broadcast_ref_max > 0:
+        # probe with limit(bound+1): one driver-sized Arrow transfer
+        # decides AND supplies the ref side — never an unbounded
+        # collect (an oversized ref falls through to the blocked path)
+        ref_pd = (
+            df_ref.select(vec_col).limit(broadcast_ref_max + 1).toPandas()
+        )
+        if len(ref_pd) <= broadcast_ref_max:
+            return _decontam_broadcast_ref(
+                df_new, ref_pd[vec_col], centroids, threshold, vec_col
+            )
+    # one assignment of df_new feeds BOTH the match search and the
     # final anti-join (it was previously computed twice — a full extra
     # GEMM pass over the new corpus)
     assigned_new = kmeans_assign(
         df_new, centroids, id_col, vec_col, impl=assign_impl
     ).persist()
-    # parity encode/decode in INTEGER arithmetic: shiftleft/shiftright
-    # are exact for the whole +/-2^62 id range, unlike the previous
-    # float division whose doubles go inexact above 2^53 (hash-derived
-    # 64-bit ids silently mis-decoded)
-    an = assigned_new.select(
-        F.shiftleft(F.col(id_col).cast("long"), 1).alias(enc),
-        F.col(vec_col),
-        F.col("cell"),
-    )
-    ar = kmeans_assign(
+    assigned_ref = kmeans_assign(
         df_ref, centroids, id_col, vec_col, impl=assign_impl
-    ).select(
-        F.shiftleft(F.col(id_col).cast("long"), 1).bitwiseOR(F.lit(1)).alias(enc),
-        F.col(vec_col),
-        F.col("cell"),
     )
-    pairs = neardup_pairs_blocked(
-        an.unionByName(ar),
-        threshold=threshold,
-        id_col=enc,
-        vec_col=vec_col,
-        block_col="cell",
-        impl=pairs_impl,
-        max_block=max_block,
-    )
-    # cross-parity only: exactly one side of the pair is a NEW (even) id
-    parity = lambda c: F.col(c).bitwiseAND(F.lit(1))  # noqa: E731
-    cross = pairs.filter(parity("id_a") != parity("id_b"))
-    losers = (
-        cross.select(
-            F.when(parity("id_a") == 0, F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias(enc)
+    if pairs_impl == "column":
+        losers = _losers_column(
+            assigned_new, assigned_ref, df_new.schema[id_col].dataType,
+            threshold, id_col, vec_col, max_block,
         )
-        .select(F.shiftright(F.col(enc), 1).cast(id_type).alias(id_col))
-        .distinct()
-    )
+    else:
+        from .similarity import bipartite_matches_blocked
+
+        losers = bipartite_matches_blocked(
+            assigned_new,
+            assigned_ref,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            block_col="cell",
+            max_block=max_block,
+        )
     # same lean pattern as semantic_dedup: localize the loser ids and
     # the driver-sized (id, cell) map, release the assignment cache,
     # return a lazy broadcast-map join + anti-join

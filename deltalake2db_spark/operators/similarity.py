@@ -297,6 +297,98 @@ def neardup_pairs_blocked(
     )
 
 
+def bipartite_matches_blocked(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "cell",
+    max_block: int = 20_000,
+) -> DataFrame:
+    """Distinct ``id_col`` values of ``df_a`` rows whose cosine to ANY
+    same-block ``df_b`` row is >= ``threshold`` — the cross-corpus
+    screen (decontamination) primitive.
+
+    A dedicated bipartite kernel, not the union trick: running both
+    sides through ``neardup_pairs_blocked`` computes the full
+    (A∪B)² within-block GEMM and then filters cross-side pairs — 2×
+    the FLOPs at equal halves, plus a pair-materialization +
+    parity-decode + distinct pass this kernel never pays (it reduces
+    ``any(S >= t, axis=1)`` inside the numpy batch and emits bare A
+    ids).  Sims are rounded to 4 decimals before the compare, matching
+    ``neardup_pairs_blocked`` bit-for-bit on the decision boundary.
+
+    Scale shape: one shuffle of each side keyed by (block, sub-pair);
+    blocks larger than ``max_block`` on either side sub-split
+    independently (ma × mb groups, each row replicated the OTHER
+    side's factor), so no task holds more than ~2·max_block vectors
+    and every (a, b) cross pair lands in exactly one group.  Output is
+    the matched-A id set — small by construction — deduped across
+    groups by a final distinct.
+    """
+    import numpy as np
+
+    # m factors must be visible to BOTH sides: a-rows replicate over
+    # b's sub count and vice versa.  Broadcast-join each side's block
+    # m onto the other.
+    ma = df_a.groupBy(block_col).agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / F.lit(max_block)).cast("int")
+        ).alias("__ma")
+    )
+    mb = df_b.groupBy(block_col).agg(
+        F.greatest(
+            F.lit(1), F.ceil(F.count(F.lit(1)) / F.lit(max_block)).cast("int")
+        ).alias("__mb")
+    )
+    a = (
+        df_a.select(id_col, vec_col, block_col)
+        .join(F.broadcast(ma), block_col)
+        .join(F.broadcast(mb), block_col, "left")  # blocks absent from b
+        .withColumn("__mb", F.coalesce("__mb", F.lit(0)))
+        .withColumn("__sa", F.pmod(F.xxhash64(F.col(id_col)), F.col("__ma")).cast("int"))
+        .withColumn("__sb", F.explode(F.sequence(F.lit(0), F.col("__mb") - 1)))
+        .withColumn("__side", F.lit(0))
+    )
+    b = (
+        df_b.select(id_col, vec_col, block_col)
+        .join(F.broadcast(mb.withColumnRenamed("__mb", "__mb2")), block_col)
+        .join(F.broadcast(ma), block_col, "left")
+        .withColumn("__ma", F.coalesce("__ma", F.lit(0)))
+        .withColumn("__sb", F.pmod(F.xxhash64(F.col(id_col)), F.col("__mb2")).cast("int"))
+        .withColumn("__sa", F.explode(F.sequence(F.lit(0), F.col("__ma") - 1)))
+        .withColumn("__side", F.lit(1))
+    )
+    cols = [block_col, "__sa", "__sb", "__side", id_col, vec_col]
+    both = a.select(*cols).unionByName(b.select(*cols))
+
+    out_field = df_a.schema[id_col]
+
+    def group_matches(key, pdf):
+        import pandas as pd
+
+        A = pdf[pdf["__side"] == 0]
+        B = pdf[pdf["__side"] == 1]
+        if A.empty or B.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype=object)})
+        EA = np.array([np.asarray(v, dtype=np.float64) for v in A[vec_col]])
+        EB = np.array([np.asarray(v, dtype=np.float64) for v in B[vec_col]])
+        EA = EA / np.linalg.norm(EA, axis=1, keepdims=True)
+        EB = EB / np.linalg.norm(EB, axis=1, keepdims=True)
+        S = np.round(EA @ EB.T, 4)
+        hit = (S >= threshold).any(axis=1)
+        return pd.DataFrame({id_col: A[id_col].to_numpy()[hit]})
+
+    from pyspark.sql.types import StructType
+
+    return (
+        both.groupBy(block_col, "__sa", "__sb")
+        .applyInPandas(group_matches, schema=StructType([out_field]))
+        .distinct()
+    )
+
+
 def _plane_matrix(planes: int, dim: int, seed: int):
     """Deterministic (dim, planes) hyperplane matrix + 2^i bit weights —
     shared by every impl so bucket ids agree bit-for-bit."""

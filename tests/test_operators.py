@@ -788,6 +788,34 @@ def test_shingled_matches_fold_on_edges(spark):
     assert sorted(map(tuple, dis)) == sorted(map(tuple, ref))
 
 
+def test_shingled_duplicate_ids_row_local(spark):
+    """Rows sharing one id fold their word streams ROW-LOCALLY: the
+    per-id shingle multiset is the union of each row's
+    shingle_hash_array, never a cross-row interleave (ADVICE r7: the
+    lead-window previously merged duplicate-id streams)."""
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (1, "epsilon zeta eta"),
+        (1, "al be"),  # shorter than n=3: contributes nothing at n=3
+        (2, "alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        fold = df.select(
+            "doc_id",
+            F.explode(D.shingle_hash_array(F.col("text"), n)).alias("sh"),
+        ).collect()
+        win = D.shingled(df, "doc_id", "text", n).collect()
+        assert sorted(map(tuple, fold)) == sorted(map(tuple, win)), f"n={n}"
+    # and the same through a repartitioned, multi-partition input
+    win3 = D.shingled(df.repartition(4), "doc_id", "text", 3).collect()
+    fold3 = df.select(
+        "doc_id",
+        F.explode(D.shingle_hash_array(F.col("text"), 3)).alias("sh"),
+    ).collect()
+    assert sorted(map(tuple, fold3)) == sorted(map(tuple, win3))
+
+
 def test_shingled_group_cols(spark):
     """group_cols ride through and scope the window partitioning."""
     rows = [(0, 1, "x y z"), (1, 1, "x y z")]

@@ -1160,12 +1160,26 @@ def q_domain_mix(spark, sf_dir):
 
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination report: every doc vs the doc_id%20==0
-    subset as the 'benchmark'; 8-gram distinct overlap counts."""
+    subset as the 'benchmark'; 8-gram distinct overlap counts.
+
+    The benchmark side is assembled DRIVER-side (pyarrow read of the
+    small eval slice — the natural shape of an eval suite, which is a
+    driver-local artifact by contract) and handed to the operator as a
+    list: the corpus-side screen is then ONE zero-shuffle mapInArrow
+    stage (contamination_check impl='arrow')."""
+    import os
+
+    import pyarrow.parquet as pq
+
     from deltalake2db_spark.operators.contamination import contamination_check
 
     d = _t(spark, sf_dir, "documents")
-    bench = d.filter(F.col("doc_id") % 20 == 0)
-    return contamination_check(d, bench, n=8)
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    mask = (t.column("doc_id").to_numpy() % 20) == 0
+    bench_texts = t.column("text").to_numpy(zero_copy_only=False)[mask].tolist()
+    return contamination_check(d, bench_texts, n=8)
 
 
 def q_quality_rules(spark, sf_dir):

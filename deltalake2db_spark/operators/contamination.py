@@ -8,24 +8,27 @@ any benchmark n-gram.
 
 Spark-first design
 ------------------
-* n-grams are built **inside codegen**: ``split`` once, then
-  ``transform(sequence(...))`` slices — no Python, no explode until the
-  join needs rows.
-* The overlap is an **equi-join on the gram**, i.e. an inverted-index
-  probe — never a doc × benchmark cross product.  At 100 TB the corpus
-  side shuffles only ``(doc_id, gram)`` pairs; the benchmark side is
-  tiny (thousands of items) and **broadcast**, so the corpus never
-  shuffles at all in the common case.
+* The benchmark side is small by contract (eval suites are thousands
+  of items), so the default path broadcasts its distinct gram-hash set
+  and screens the corpus in ONE zero-shuffle vectorized ``mapInPandas``
+  stage — the corpus is never joined, shuffled, or collected
+  (``contamination_check(impl=...)`` docstring has the full story).
+* The fully-general fallback is an **equi-join on the gram hash**,
+  i.e. an inverted-index probe — never a doc × benchmark cross
+  product; the corpus shuffles once, keyed by ``doc_id``.
 * Counts are distinct-gram counts, so repeated boilerplate inside one
   document doesn't inflate the contamination score.
 
-At crawl scale you'd join on ``xxhash64(gram)`` to shuffle 8 bytes
-instead of strings; we join on the gram itself so the DuckDB oracle is
-exact (hashing is an internal optimization that must not change
-results — collisions, however unlikely, would).
+Grams travel as 64-bit hashes (8 bytes, never gram strings); counting
+distinct hashes equals counting distinct grams for any
+injective-in-practice 64-bit hash, so the concrete hash function is an
+internal detail per path (xxhash64 fold JVM-side, FNV-1a fold in the
+Arrow kernel).
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -73,6 +76,119 @@ def word_ngram_hashes(text_col, n: int):
     return acc
 
 
+# --------------------------------------------------------------------
+# numpy n-gram kernel (shared by the Arrow fast path's driver-side
+# benchmark build and its executor-side mapInPandas batches)
+# --------------------------------------------------------------------
+
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _token_hashes_flat(flat) -> np.ndarray:
+    """Vectorized FNV-1a-64 over each token of a pyarrow string array.
+
+    Reads the Arrow offsets/data buffers directly (zero-copy) and
+    hashes column-wise: round ``c`` gathers byte ``c`` of every token
+    still longer than ``c`` — total gather work is ``sum(len(token))``,
+    never ``n_tokens × max_len``.  Each token's fold stops at its OWN
+    byte length, so the hash is independent of the batch it rode in.
+    """
+    import pyarrow as pa
+
+    ntok = len(flat)
+    if ntok == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    bufs = flat.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        flat.offset : flat.offset + ntok + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    lengths = offs[1:] - offs[:-1]
+    starts = offs[:-1]
+    width = int(lengths.max(initial=0))
+    h = np.full(ntok, _FNV_OFF, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(width):
+            v = lengths > c
+            if v.all():
+                h = (h ^ data[starts + c].astype(np.uint64)) * _FNV_PRIME
+            else:
+                sv = starts[v]
+                h[v] = (h[v] ^ data[sv + c].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def _np_rotl(x: np.ndarray, k: int) -> np.ndarray:
+    k = np.uint64(k)
+    return (x << k) | (x >> np.uint64(64 - k))
+
+
+def _gram_stream(texts, n: int):
+    """``(doc_idx, gram_hash)`` arrays for all word n-grams of ``texts``.
+
+    ``texts`` is a pyarrow string array (or anything ``pa.array``
+    accepts).  Tokenization is BYTE-EXACT with the JVM path and the
+    SQL oracle — ``split(trim(text), "\\s+")``: space-only trim, split
+    on ASCII-whitespace runs keeping leading/trailing empty tokens,
+    ``""`` → one empty token, NULL → no tokens — via
+    ``pc.utf8_trim(x, " ")`` + ``pc.ascii_split_whitespace`` (both
+    C-speed).  The gram hash is a rotate-xor fold of per-word hashes,
+    the same *scheme* as the JVM path but FNV-1a instead of xxhash64 —
+    the hash function is an internal detail (each path compares its own
+    bench set against its own corpus grams and only counts DISTINCT
+    values, so any injective-in-practice 64-bit hash gives identical
+    counts).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(texts, type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.ascii_split_whitespace(pc.utf8_trim(texts, " "))
+    lens = (
+        pc.list_value_length(toks)
+        .fill_null(0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    flat = pc.list_flatten(toks)
+    wh = _token_hashes_flat(flat)
+    di = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    m = len(wh)
+    if m < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    g = wh[: m - n + 1].copy()
+    for i in range(1, n):
+        g = _np_rotl(g, 13) ^ wh[i : m - n + 1 + i]
+    # a fold window that crosses a document boundary is not a gram
+    valid = di[: m - n + 1] == di[n - 1 :]
+    return di[: m - n + 1][valid], g[valid]
+
+
+def _per_doc_counts(di: np.ndarray, g: np.ndarray, bench_sorted: np.ndarray,
+                    n_docs: int):
+    """Per-doc distinct-gram totals and benchmark-hit counts."""
+    order = np.lexsort((g, di))
+    di_s, g_s = di[order], g[order]
+    first = np.ones(len(di_s), dtype=bool)
+    first[1:] = (di_s[1:] != di_s[:-1]) | (g_s[1:] != g_s[:-1])
+    di_u, g_u = di_s[first], g_s[first]
+    if len(bench_sorted):
+        idx = np.minimum(
+            np.searchsorted(bench_sorted, g_u), len(bench_sorted) - 1
+        )
+        hits = bench_sorted[idx] == g_u
+    else:
+        hits = np.zeros(len(g_u), dtype=bool)
+    n_grams = np.bincount(di_u, minlength=n_docs)
+    n_matched = np.bincount(di_u[hits], minlength=n_docs)
+    return n_grams, n_matched
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -81,19 +197,139 @@ def contamination_check(
     text_col: str = "text",
     bench_text_col: str = "text",
     min_hits: int = 1,
+    impl: str = "auto",
+    bench_collect_max: int = 100_000,
+    bench_collect_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Per-document contamination report against a benchmark set.
 
     Returns ``(doc_id, n_grams, n_matched, contaminated)`` where
     ``n_grams`` counts the document's distinct n-grams, ``n_matched``
     how many of those appear anywhere in the benchmark, and
-    ``contaminated`` is ``n_matched >= min_hits``.
+    ``contaminated`` is ``n_matched >= min_hits``.  Documents that
+    produce no grams (NULL text, fewer than ``n`` words) are absent
+    from the report, on every path.
+
+    Two physical strategies:
+
+    * ``impl="arrow"`` — the scale path when the benchmark is small
+      (it always is: eval suites are thousands of items).  The
+      benchmark's distinct gram-hash set is built once on the driver
+      (bounded by ``bench_collect_max`` rows AND
+      ``bench_collect_max_bytes`` of text — both checked BEFORE the
+      set is broadcast), shipped via ``sc.broadcast``, and the corpus
+      is screened in ONE zero-shuffle ``mapInPandas`` stage: per-batch
+      vectorized tokenize → FNV-1a word hashes → rotate-xor gram fold →
+      lexsort distinct → searchsorted membership.  Nothing about the
+      corpus is shuffled, collected, or joined — the plan is
+      embarrassingly map-parallel at 100 TB.  Requires ``doc_id`` to be
+      row-unique (the per-row report IS the per-doc report); the r9
+      profile measured the previous join path at 976 ms on the sf0.1
+      gate vs 420 ms for this path (SCALE.md §7f).
+    * ``impl="join"`` — fully general fallback (duplicate ``doc_id``
+      rows pool their grams; benchmark of any size).  Codegen window
+      fold → broadcast-left-join on the gram hash → two doc-keyed
+      hash aggregates reusing the fold's exchange; one corpus shuffle.
+
+    ``impl="auto"`` takes the arrow path iff the benchmark fits both
+    collect bounds (checked via a ``limit(max+1)`` probe — one tiny
+    job, no full count), falling back to the join path otherwise.
+    Callers whose ``doc_id`` is NOT row-unique must pass
+    ``impl="join"`` explicitly.
+    """
+    if impl not in ("auto", "arrow", "join"):
+        raise ValueError(f"impl={impl!r}: expected auto|arrow|join")
+    if isinstance(benchmark, (list, tuple)):
+        # the benchmark is already driver-local (the natural shape of
+        # an eval suite) — no probe job, no DataFrame detour
+        if impl == "join":
+            raise ValueError("impl='join' requires a DataFrame benchmark")
+        return _contamination_arrow(
+            docs, list(benchmark), n, doc_id, text_col, min_hits
+        )
+    if impl != "join":
+        bench_rows = (
+            benchmark.select(F.col(bench_text_col).alias("__t"))
+            .limit(bench_collect_max + 1)
+            .collect()
+        )
+        texts = [r["__t"] for r in bench_rows]
+        n_bytes = sum(len(t) for t in texts if t is not None)
+        if (
+            len(bench_rows) <= bench_collect_max
+            and n_bytes <= bench_collect_max_bytes
+        ):
+            return _contamination_arrow(
+                docs, texts, n, doc_id, text_col, min_hits
+            )
+        if impl == "arrow":
+            raise ValueError(
+                f"impl='arrow' but benchmark exceeds collect bounds "
+                f"(rows>{bench_collect_max} or bytes>{bench_collect_max_bytes})"
+            )
+    return _contamination_join(
+        docs, benchmark, n, doc_id, text_col, bench_text_col, min_hits
+    )
+
+
+def _contamination_arrow(
+    docs: DataFrame,
+    bench_texts: list,
+    n: int,
+    doc_id: str,
+    text_col: str,
+    min_hits: int,
+) -> DataFrame:
+    """Zero-shuffle screen: broadcast bench gram set + one mapInArrow."""
+    import pyarrow as pa
+
+    _, bg = _gram_stream(bench_texts, n)
+    bench_sorted = np.unique(bg)
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(bench_sorted)
+    id_field = docs.schema[doc_id]
+    out_schema = (
+        f"`{doc_id}` {id_field.dataType.simpleString()}, n_grams int, "
+        "n_matched int, contaminated boolean"
+    )
+
+    def screen(batches):
+        import pyarrow as pa  # noqa: F811 — worker-side import
+
+        bench = bc.value
+        for b in batches:
+            di, g = _gram_stream(b.column(1), n)
+            n_grams, n_matched = _per_doc_counts(di, g, bench, b.num_rows)
+            keep = np.flatnonzero(n_grams > 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).take(pa.array(keep)),
+                    pa.array(n_grams[keep].astype(np.int32)),
+                    pa.array(n_matched[keep].astype(np.int32)),
+                    pa.array(n_matched[keep] >= min_hits),
+                ],
+                names=[doc_id, "n_grams", "n_matched", "contaminated"],
+            )
+
+    return docs.select(doc_id, text_col).mapInArrow(screen, out_schema)
+
+
+def _contamination_join(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int,
+    doc_id: str,
+    text_col: str,
+    bench_text_col: str,
+    min_hits: int,
+) -> DataFrame:
+    """General path: codegen gram fold + broadcast gram join.
 
     Plan shape: grams are 64-bit HASHES (8 bytes moved per gram, never
     gram strings), built by the codegen window fold; so the corpus-side
     pipeline is scan → posexplode → ONE doc_id exchange (window fold) →
-    broadcast-left-join against the benchmark's distinct gram hashes →
-    two doc-keyed hash aggregates that both REUSE the window's
+    broadcast-left-join against the benchmark's gram hashes → two
+    doc-keyed hash aggregates that both REUSE the window's
     distribution.  One corpus shuffle total, keyed by doc_id — uniform,
     skew-free.
     """
@@ -110,26 +346,21 @@ def contamination_check(
     ).withColumnRenamed("sh", "__gh")
     # the benchmark side is small by contract (it is broadcast below),
     # so its grams come from the ZERO-SHUFFLE fold — the window path's
-    # exchange + distinct would cost two extra stages inside the
-    # broadcast-build job for no parallelism gain (r7 bench: the
-    # broadcast subtree was most of the 0.9 s above floor)
-    bench_grams = (
-        benchmark.select(
-            F.explode(word_ngram_hashes(F.col(bench_text_col), n)).alias(
-                "__gh"
-            )
-        )
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    # exchange would cost extra stages inside the broadcast-build job
+    # for no parallelism gain (r9 profile: codegen-shingled bench side
+    # was SLOWER, 519 vs 412 ms).
+    # NO .distinct() on the bench side: duplicate bench grams only
+    # multiply join rows that the (doc, gram) max-aggregate collapses
+    # anyway, and the distinct's exchange+stage was ~100 ms of the
+    # broadcast-build job (r9 profile, SCALE.md §7f)
+    bench_grams = benchmark.select(
+        F.explode(word_ngram_hashes(F.col(bench_text_col), n)).alias("__gh")
+    ).withColumn("__hit", F.lit(1))
     flagged = doc_grams.join(broadcast(bench_grams), "__gh", "left")
     # per-(doc, gram) dedup then per-doc counts: BOTH groupBys are
     # satisfied by the window's hash(doc_id) distribution (doc_id is a
     # subset of the first key), so neither re-shuffles — and both are
-    # whole-stage-codegen HashAggregates, where the previous
-    # collect_set pair ran as a single-phase ObjectHashAggregate
-    # building per-doc in-memory sets (measured: the slow half of the
-    # gate at sf0.1).
+    # whole-stage-codegen HashAggregates.
     return (
         flagged.groupBy(doc_id, "__gh")
         .agg(F.max("__hit").alias("__h"))
@@ -150,6 +381,7 @@ def decontaminate(
     text_col: str = "text",
     bench_text_col: str = "text",
     min_hits: int = 1,
+    impl: str = "auto",
 ) -> DataFrame:
     """Drop contaminated documents (the filtering counterpart).
 
@@ -158,7 +390,8 @@ def decontaminate(
     """
     flagged = (
         contamination_check(
-            docs, benchmark, n, doc_id, text_col, bench_text_col, min_hits
+            docs, benchmark, n, doc_id, text_col, bench_text_col, min_hits,
+            impl=impl,
         )
         .filter(F.col("contaminated"))
         .select(doc_id)

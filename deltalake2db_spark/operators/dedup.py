@@ -193,6 +193,7 @@ def ngram_jaccard_pairs(
     impl: str = "auto",
     dense_max_vocab: int = 8192,
     max_block: int = 1024,
+    packed_ids: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs.
 
@@ -261,22 +262,51 @@ def ngram_jaccard_pairs(
     # inverted-index self-join: AQE's skew-join splitting spreads hot
     # shingles across tasks (a collect_list/explode formulation funnels
     # each hot shingle's d^2 pairs into ONE task — measurably worse).
-    # The pair is packed into a single long so the count aggregation
-    # hashes one word instead of two columns.
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pair = F.shiftleft(F.col(f"a.{id_col}"), 32).bitwiseOR(F.col(f"b.{id_col}"))
-    shared = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(pair.alias("pair"))
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .select(
-            F.shiftrightunsigned("pair", 32).alias("id_a"),
-            F.col("pair").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
-            "shared",
+    # With packed_ids (default) the pair is packed into a single long
+    # so the count aggregation hashes one word instead of two columns —
+    # valid only for ids in [0, 2^32).  That bound is ENFORCED in the
+    # plan: an assert_true filter on the shingle stream (two codegen
+    # comparisons per row) fails the job loudly instead of silently
+    # corrupting pairs.  Corpora with wider/negative ids (billion-doc
+    # crawls with 64-bit fingerprint ids) pass packed_ids=False: the
+    # aggregate keys on the two id columns directly.
+    if packed_ids:
+        in_range = (F.col(id_col) >= 0) & (F.col(id_col) < F.lit(1 << 32))
+        guarded = sh.where(
+            F.assert_true(
+                in_range,
+                f"ngram_jaccard_pairs(packed_ids=True) requires 0 <= "
+                f"{id_col} < 2^32; use packed_ids=False for wider ids",
+            ).isNull()
         )
-    )
+        a = guarded.alias("a")
+        b = guarded.alias("b")
+        pair = F.shiftleft(F.col(f"a.{id_col}"), 32).bitwiseOR(
+            F.col(f"b.{id_col}")
+        )
+        shared = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(pair.alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .select(
+                F.shiftrightunsigned("pair", 32).alias("id_a"),
+                F.col("pair").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+                "shared",
+            )
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        shared = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     return _jaccard_from_shared(shared, sizes, id_col, threshold)
 
 

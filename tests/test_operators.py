@@ -43,6 +43,41 @@ def test_ngram_jaccard(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_wide_ids(spark):
+    """ids >= 2^32 must fail LOUDLY on the packed path (never silently
+    corrupt pairs — the pre-r9 hazard) and work on packed_ids=False."""
+    import pytest
+
+    base = 1 << 33
+    rows = [
+        (base + 1, "alpha beta gamma delta"),
+        (base + 2, "alpha beta gamma delta"),
+        (base + 3, "unrelated words entirely different"),
+        # a COLLIDING pair under 32-bit truncation: base+1 vs 1
+        (1, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(Exception, match="packed_ids"):
+        D.ngram_jaccard_pairs(docs, n=2, threshold=0.5, impl="index").collect()
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.ngram_jaccard_pairs(
+            docs, n=2, threshold=0.5, impl="index", packed_ids=False
+        ).collect()
+    )
+    assert got == [
+        (1, base + 1, 1.0),
+        (1, base + 2, 1.0),
+        (base + 1, base + 2, 1.0),
+    ]
+    # negative ids trip the guard too
+    neg = spark.createDataFrame(
+        [(-5, "a b c d"), (7, "a b c d")], ["doc_id", "text"]
+    )
+    with pytest.raises(Exception, match="packed_ids"):
+        D.ngram_jaccard_pairs(neg, n=2, threshold=0.5, impl="index").collect()
+
+
 def test_ngram_jaccard_dense_matches_index(spark):
     import os
 

@@ -727,10 +727,12 @@ _STREAM_SEQ = [0]
 def q_delta_stream(spark, sf_dir):
     """Structured Streaming Delta CDF source end-to-end: 3 commits
     (create / append / DV delete) drained with availableNow into a
-    memory sink, aggregated per commit+change type.  Rows-only by
-    design — a streaming query has no DuckDB equivalent (the spec's
-    sanctioned case); the exact values are pinned by
-    tests/test_stream_source.py."""
+    memory sink, aggregated per commit+change type.  Oracle-certified
+    since r9: the table is built in-gate from spark.range, so the
+    change feed has a CLOSED FORM the oracle replays with DuckDB
+    range() — a full hash match, not rows-only.  The same values are
+    pinned by tests/test_stream_source.py, and the batch twin
+    (table_changes) is certified by q_delta_changes/q_delta_cdf."""
     from deltalake2db_spark.sources.delta_sink import (
         delete_where,
         write_delta,
@@ -2114,6 +2116,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total
             FROM orders
             WHERE o_orderkey % 10 = 3
+        """,
+        # the stream gate's table is built in-gate from spark.range, so
+        # its change feed has a closed form: DuckDB's range() replays
+        # the three commits (create / append / DV delete) exactly
+        "q_delta_stream": """
+            SELECT CAST(0 AS BIGINT) AS _commit_version,
+                   'insert' AS _change_type,
+                   count(*) AS n_rows, CAST(sum(2 * x) AS BIGINT) AS sum_v
+            FROM range(0, 3000) t(x)
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), 'insert',
+                   count(*), CAST(sum(2 * x) AS BIGINT)
+            FROM range(3000, 4000) t(x)
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'delete',
+                   count(*), CAST(sum(2 * x) AS BIGINT)
+            FROM range(0, 4000) t(x) WHERE x % 100 = 7
         """,
         "q_delta_cdf": """
             SELECT CAST(1 AS BIGINT) AS _commit_version,

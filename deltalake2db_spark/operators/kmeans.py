@@ -246,12 +246,16 @@ def _decontam_broadcast_ref(
     """Fused assign + bipartite-match + filter over one ``mapInPandas``.
 
     ``ref_vecs`` is a driver-local pandas Series of ref embeddings
-    (bounded by the caller).  Ref assignment runs on the driver with
-    the SAME numpy formula as ``kmeans_assign(impl='arrow')``; per-cell
-    normalized ref matrices ride to executors in the task closure
-    (bounded: ``broadcast_ref_max`` × dim float64).  The returned plan
-    is fully lazy and deterministic — repeated actions recompute from
-    the parquet source.
+    (bounded by the caller in ROWS and BYTES — see
+    ``semantic_dedup_against``).  Ref assignment runs on the driver
+    with the SAME numpy formula as ``kmeans_assign(impl='arrow')``;
+    per-cell normalized ref matrices ship in the task closure only
+    while tiny (≤4 MB — measured ~140 ms cheaper than a broadcast
+    round at sf0.1); anything larger goes via ``sc.broadcast``, since
+    per-task function bytes hit RPC / task-binary limits long before a
+    broadcast would (r8 verdict).  The returned plan is fully lazy and
+    deterministic — repeated actions recompute from the parquet
+    source.
     """
     import numpy as np
 
@@ -266,6 +270,12 @@ def _decontam_broadcast_ref(
         by_cell = {int(c): Rn[rcell == c] for c in np.unique(rcell)}
     else:
         by_cell = {}
+    ref_bytes = sum(m.nbytes for m in by_cell.values())
+    if ref_bytes > (4 << 20):
+        bc_ref = df_new.sparkSession.sparkContext.broadcast(by_cell)
+        get_ref = lambda: bc_ref.value  # noqa: E731
+    else:
+        get_ref = lambda: by_cell  # noqa: E731
     schema = StructType(
         list(df_new.schema.fields) + [StructField(out, IntegerType())]
     )
@@ -273,6 +283,7 @@ def _decontam_broadcast_ref(
     def survivors(batches):
         import pandas as pd
 
+        by_cell = get_ref()
         for pdf in batches:
             X = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
@@ -369,6 +380,7 @@ def semantic_dedup_against(
     pairs_impl: str = "arrow",
     max_block: int = 20_000,
     broadcast_ref_max: int = 100_000,
+    broadcast_ref_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Embedding-space decontamination: rows of ``df_new`` whose cosine
     to ANY ``df_ref`` vector in the same k-means cell is >= ``threshold``
@@ -376,16 +388,21 @@ def semantic_dedup_against(
 
     The common 100 TB shape is asymmetric: ``df_new`` is the corpus,
     ``df_ref`` is a benchmark — thousands of vectors.  When the ref
-    side fits in ``broadcast_ref_max`` rows (and ``pairs_impl`` is not
-    'column'), the whole operator is ONE zero-shuffle ``mapInPandas``
-    pass over the corpus: ref vectors are assigned + normalized +
-    grouped per cell ON THE DRIVER, shipped in the task closure, and
-    each Arrow batch assigns its cells, GEMMs against the matching ref
-    groups, and emits survivors directly — no persist, no loser
-    collect, no anti-join (r8: at sf0.1 those four jobs were ~4× the
-    actual compute).  Arithmetic is identical to the distributed path:
-    the ``kmeans_assign`` arrow formula (−2·X·Cᵀ + |C|², argmin) and
-    the blocked kernel's ``round(normalized GEMM, 4) >= threshold``.
+    side fits in ``broadcast_ref_max`` ROWS and
+    ``broadcast_ref_max_bytes`` BYTES (rows × dim × 8 — a row bound
+    alone is a hazard at real embedding dims: 100k × 1536-d float64 is
+    ~1.2 GB) and neither impl is 'column' (both 'column' paths are
+    documented bit-reproducible SQL-oracle replays that must not be
+    silently swapped for the fused kernel), the whole operator is ONE
+    zero-shuffle ``mapInPandas`` pass over the corpus: ref vectors are
+    assigned + normalized + grouped per cell ON THE DRIVER, shipped
+    via ``sc.broadcast``, and each Arrow batch assigns its cells,
+    GEMMs against the matching ref groups, and emits survivors
+    directly — no persist, no loser collect, no anti-join (r8: at
+    sf0.1 those four jobs were ~4× the actual compute).  Arithmetic is
+    identical to the distributed path: the ``kmeans_assign`` arrow
+    formula (−2·X·Cᵀ + |C|², argmin) and the blocked kernel's
+    ``round(normalized GEMM, 4) >= threshold``.
 
     Above the bound: both sides are assigned map-side and the match
     search is a TRUE bipartite blocked GEMM
@@ -404,14 +421,25 @@ def semantic_dedup_against(
     """
     if centroids is None:
         centroids = kmeans_fit(df_ref, k, iters, id_col, vec_col)
-    if pairs_impl != "column" and broadcast_ref_max > 0:
-        # probe with limit(bound+1): one driver-sized Arrow transfer
+    if (
+        pairs_impl != "column"
+        and assign_impl != "column"
+        and broadcast_ref_max > 0
+    ):
+        # probe with limit(cap+1): one driver-sized Arrow transfer
         # decides AND supplies the ref side — never an unbounded
-        # collect (an oversized ref falls through to the blocked path)
-        ref_pd = (
-            df_ref.select(vec_col).limit(broadcast_ref_max + 1).toPandas()
-        )
-        if len(ref_pd) <= broadcast_ref_max:
+        # collect (an oversized ref falls through to the blocked path).
+        # The byte bound is enforced on the PROBE itself by shrinking
+        # the row cap to bytes/(dim*8) BEFORE collecting — dim comes
+        # free from the driver-local centroids (ref vectors share it),
+        # so a 1536-d ref can never materialize 100k × 12 KB on the
+        # driver the way the old row-only bound allowed.
+        dim = len(centroids[0]) if len(centroids) else 0
+        row_cap = broadcast_ref_max
+        if dim > 0:
+            row_cap = min(row_cap, max(1, broadcast_ref_max_bytes // (dim * 8)))
+        ref_pd = df_ref.select(vec_col).limit(row_cap + 1).toPandas()
+        if len(ref_pd) <= row_cap:
             return _decontam_broadcast_ref(
                 df_new, ref_pd[vec_col], centroids, threshold, vec_col
             )

@@ -342,11 +342,16 @@ def bipartite_matches_blocked(
             F.lit(1), F.ceil(F.count(F.lit(1)) / F.lit(max_block)).cast("int")
         ).alias("__mb")
     )
+    # INNER joins on the other side's m map: a row whose block has no
+    # rows on the other side can never match — it is dropped here, not
+    # shuffled.  (A left join + coalesce(m, 0) replicated such rows
+    # into sequence(0, -1) = [0, -1] phantom sub-groups — Spark
+    # sequence steps -1 when start > stop — doubling shuffle volume
+    # for non-matchable rows; r8 advice.)
     a = (
         df_a.select(id_col, vec_col, block_col)
         .join(F.broadcast(ma), block_col)
-        .join(F.broadcast(mb), block_col, "left")  # blocks absent from b
-        .withColumn("__mb", F.coalesce("__mb", F.lit(0)))
+        .join(F.broadcast(mb), block_col)
         .withColumn("__sa", F.pmod(F.xxhash64(F.col(id_col)), F.col("__ma")).cast("int"))
         .withColumn("__sb", F.explode(F.sequence(F.lit(0), F.col("__mb") - 1)))
         .withColumn("__side", F.lit(0))
@@ -354,8 +359,7 @@ def bipartite_matches_blocked(
     b = (
         df_b.select(id_col, vec_col, block_col)
         .join(F.broadcast(mb.withColumnRenamed("__mb", "__mb2")), block_col)
-        .join(F.broadcast(ma), block_col, "left")
-        .withColumn("__ma", F.coalesce("__ma", F.lit(0)))
+        .join(F.broadcast(ma), block_col)
         .withColumn("__sb", F.pmod(F.xxhash64(F.col(id_col)), F.col("__mb2")).cast("int"))
         .withColumn("__sa", F.explode(F.sequence(F.lit(0), F.col("__ma") - 1)))
         .withColumn("__side", F.lit(1))

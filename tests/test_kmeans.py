@@ -85,10 +85,25 @@ def test_semantic_dedup_keeps_min_id_representative(emb):
     assert min(all_ids) in ids
 
 
-def test_semantic_dedup_against_bipartite(spark):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "variant",
+    [
+        # (kwargs, exercised path)
+        {},  # default: _decontam_broadcast_ref fused mapInPandas
+        {"broadcast_ref_max": 0},  # blocked bipartite GEMM kernel
+        {"pairs_impl": "column"},  # parity-encoded Catalyst replay
+    ],
+    ids=["broadcast", "bipartite", "column"],
+)
+def test_semantic_dedup_against_bipartite(spark, variant):
     """Cross-corpus SemDeDup: a new vector near-identical to a REF
     vector drops; an intra-NEW duplicate pair does not disqualify
-    either copy; overlapping ids are safe under the parity encoding."""
+    either copy; overlapping ids are safe on every path (the column
+    variant exercises the parity encoding specifically).  All three
+    physical paths must produce the identical survivor set."""
     from deltalake2db_spark.operators.kmeans import semantic_dedup_against
 
     ref = spark.createDataFrame(
@@ -107,6 +122,36 @@ def test_semantic_dedup_against_bipartite(spark):
     cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
              [0.0, 0.0, 1.0, 0.0]]
     out = semantic_dedup_against(
-        new, ref, centroids=cents, threshold=0.9
+        new, ref, centroids=cents, threshold=0.9, **variant
     )
     assert {r["vec_id"] for r in out.collect()} == {2, 3}
+
+
+def test_semantic_dedup_against_byte_bound(spark):
+    """A ref side whose rows x dim x 8 exceeds broadcast_ref_max_bytes
+    must take the blocked path (row bound alone was the r8 hazard) —
+    and still produce the right survivors."""
+    from deltalake2db_spark.operators.kmeans import semantic_dedup_against
+
+    ref = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    new = spark.createDataFrame(
+        [(7, [0.99, 0.05, 0.0, 0.0]), (8, [0.0, 0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+    # 2 rows x 4 dim x 8 B = 64 B > 32 B cap -> blocked path
+    out = semantic_dedup_against(
+        new, ref, centroids=cents, threshold=0.9,
+        broadcast_ref_max_bytes=32,
+    )
+    assert {r["vec_id"] for r in out.collect()} == {8}
+    # assign_impl='column' (bit-reproducible oracle path) must not be
+    # silently replaced by the fused kernel's arrow argmin
+    out2 = semantic_dedup_against(
+        new, ref, centroids=cents, threshold=0.9, assign_impl="column"
+    )
+    assert {r["vec_id"] for r in out2.collect()} == {8}

@@ -1355,71 +1355,18 @@ def q_quantized_topk(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
-    # registry entries each round.  Round 7 rotation (VERDICT r6 item 2):
-    # the 22 entries that had never been driver-certified (TPC-H core
-    # q1/q3/q5/q6, windows, semi/anti, set ops, rollup/cube/grouping sets,
-    # quantiles, distinct counts, string/date/JSON, the three scan/sql/sink
-    # roundtrips, q_dup_clusters, q_neardup_dedup, q_ivf_topk) now occupy
-    # positions 1-22.  Positions 23-50 hold the 28 veterans this round's
-    # code touches (semantic dedup assignment cache, profile HLL default,
-    # floor triage, quantize NaN fix) so the driver re-certifies exactly
-    # what changed.  The 22 parked at 51+ are multi-round-green delta/event
-    # gates whose code is untouched this round; all 72 stay covered by
-    # tools/check_correctness.py locally each round.
+    # registry entries each round.  Round 9 rotation (VERDICT r8 item 5):
+    # positions 1-22 are the r6-era gates parked two rounds ago (delta
+    # lifecycle, events/sessions/joins, pii, cosine_neardup — the last of
+    # which shares similarity.py with round-9 edits, and q_delta_stream
+    # which gained its value oracle this round).  Positions 23-50 hold the
+    # dedup/kmeans/contamination families round 9 touched plus fillers
+    # certified in both r7+r8.  Parked at 51+ are TPC-H core / window /
+    # set-op / string-date-json gates and the three roundtrips — each
+    # certified green in BOTH r7 and r8 with untouched code; all 72 stay
+    # covered by tools/check_correctness.py locally each round.
     return {
-        # -- positions 1-22: first driver certification (rotated in r7) --
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q6_revenue_filter": q6_revenue_filter,
-        "q_window_top_customers": q_window_top_customers,
-        "q_semi_high_quantity": q_semi_high_quantity,
-        "q_anti_low_spenders": q_anti_low_spenders,
-        "q_setop_returning_customers": q_setop_returning_customers,
-        "q_rollup_orders": q_rollup_orders,
-        "q_cube_orders": q_cube_orders,
-        "q_string_funcs": q_string_funcs,
-        "q_date_parts": q_date_parts,
-        "q_quantiles": q_quantiles,
-        "q_distinct_counts": q_distinct_counts,
-        "q_grouping_sets": q_grouping_sets,
-        "q_json_props": q_json_props,
-        "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
-        "q_delta_sql_emission": q_delta_sql_emission,
-        "q_delta_sink_roundtrip": q_delta_sink_roundtrip,
-        "q_dup_clusters": q_dup_clusters,
-        "q_neardup_dedup": q_neardup_dedup,
-        "q_ivf_topk": q_ivf_topk,
-        # -- positions 23-50: veterans touched by round-7 changes --
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_semantic_decontam": q_semantic_decontam,
-        "q_profile_orders": q_profile_orders,
-        "q_kmeans_assign": q_kmeans_assign,
-        "q_quantize_int8": q_quantize_int8,
-        "q_quantized_topk": q_quantized_topk,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_lang_id": q_lang_id,
-        "q_quality_rules": q_quality_rules,
-        "q_contamination": q_contamination,
-        "q_perplexity": q_perplexity,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_lsh_topk": q_lsh_topk,
-        "q_text_stats": q_text_stats,
-        "q_dedup_exact": q_dedup_exact,
-        "q_salted_agg": q_salted_agg,
-        "q_hash_sample": q_hash_sample,
-        "q_stratified_sample": q_stratified_sample,
-        "q_domain_mix": q_domain_mix,
-        "q_delta_convert": q_delta_convert,
-        "q_shard_stats": q_shard_stats,
-        "q_pack_sequences": q_pack_sequences,
-        "q_media_decode": q_media_decode,
-        "q_jaccard_pairs": q_jaccard_pairs,
-        "q_cosine_topk": q_cosine_topk,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_cross_dedup": q_cross_dedup,
-        "q_simhash_pairs": q_simhash_pairs,
-        # -- positions 51+: multi-round-green gates untouched this round --
+        # -- positions 1-22: r6-era gates, re-certification overdue --
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
         "q_delta_clone": q_delta_clone,
@@ -1442,6 +1389,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redaction": q_pii_redaction,
         "q_cosine_neardup": q_cosine_neardup,
         "q_media_features": q_media_features,
+        # -- positions 23-50: round-9-touched families + r7/r8 fillers --
+        "q_contamination": q_contamination,
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_cross_dedup": q_cross_dedup,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_dup_clusters": q_dup_clusters,
+        "q_neardup_dedup": q_neardup_dedup,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_semantic_decontam": q_semantic_decontam,
+        "q_kmeans_assign": q_kmeans_assign,
+        "q_ivf_topk": q_ivf_topk,
+        "q_lsh_topk": q_lsh_topk,
+        "q_cosine_topk": q_cosine_topk,
+        "q_quantize_int8": q_quantize_int8,
+        "q_quantized_topk": q_quantized_topk,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_lang_id": q_lang_id,
+        "q_quality_rules": q_quality_rules,
+        "q_perplexity": q_perplexity,
+        "q_text_stats": q_text_stats,
+        "q_profile_orders": q_profile_orders,
+        "q_domain_mix": q_domain_mix,
+        "q_delta_convert": q_delta_convert,
+        "q_shard_stats": q_shard_stats,
+        "q_pack_sequences": q_pack_sequences,
+        "q_media_decode": q_media_decode,
+        # -- positions 51+: r7+r8 double-certified, code untouched in r9 --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_revenue_filter": q6_revenue_filter,
+        "q_window_top_customers": q_window_top_customers,
+        "q_semi_high_quantity": q_semi_high_quantity,
+        "q_anti_low_spenders": q_anti_low_spenders,
+        "q_setop_returning_customers": q_setop_returning_customers,
+        "q_rollup_orders": q_rollup_orders,
+        "q_cube_orders": q_cube_orders,
+        "q_string_funcs": q_string_funcs,
+        "q_date_parts": q_date_parts,
+        "q_quantiles": q_quantiles,
+        "q_distinct_counts": q_distinct_counts,
+        "q_grouping_sets": q_grouping_sets,
+        "q_json_props": q_json_props,
+        "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
+        "q_delta_sql_emission": q_delta_sql_emission,
+        "q_delta_sink_roundtrip": q_delta_sink_roundtrip,
+        "q_salted_agg": q_salted_agg,
+        "q_hash_sample": q_hash_sample,
+        "q_stratified_sample": q_stratified_sample,
     }
 
 

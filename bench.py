@@ -250,6 +250,43 @@ def emit(sf_dir: str, draws: list[dict]) -> None:
         out["ratio_min"] = min(ratios)
         out["ratio_median"] = med
         out["ratio_max"] = max(ratios)
+    # Honesty guard (r8 verdict item 9): a slower machine inflates BOTH
+    # engines, so a ratio move alone can masquerade as a code win.
+    # Record the per-query drift vs the PREVIOUS run's sidecar —
+    # median(now/prev) over every query timed >= 50 ms in both runs.
+    # The median is robust to the handful of gates a round deliberately
+    # changes (they're outvoted by the ~50 untouched ones), so it
+    # estimates MACHINE drift; read any per-gate claim against it.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prev_q: dict[str, float] = {}
+    prev_oracle = None
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        prev_oracle = prev.get("duckdb_oracle_total_sec")
+        prev_q = prev.get("headline_spark_queries") or {}
+        if not prev_q and prev.get("draws"):
+            pmed = prev.get("ratio_median")
+            pd_ = next(
+                (d for d in prev["draws"] if d.get("ratio") == pmed),
+                prev["draws"][0],
+            )
+            prev_q = pd_.get("spark_queries", {})
+    except Exception:
+        pass
+    common = sorted(
+        times[n] / prev_q[n]
+        for n in times
+        if times[n] >= 0.05 and prev_q.get(n, -1.0) >= 0.05
+    )
+    if len(common) >= 5:
+        out["drift_median"] = round(common[len(common) // 2], 3)
+    if prev_oracle and out.get("duckdb_oracle_total_sec"):
+        out["oracle_drift"] = round(
+            out["duckdb_oracle_total_sec"] / prev_oracle, 3
+        )
     # The final metric line must stay SHORT: the driver keeps only the
     # LAST 2000 chars of stdout, so an oversized line loses its opening
     # brace and parses as null (round 5's BENCH record). Per-engine
@@ -258,6 +295,7 @@ def emit(sf_dir: str, draws: list[dict]) -> None:
     # to only the slowest queries if the full dict would overflow.
     detail: dict[str, object] = {
         "draws": draws,
+        "headline_spark_queries": times,
         **{k: v for k, v in out.items() if k != "queries"},
     }
     print("# bench-detail " + json.dumps(detail), file=sys.stderr)

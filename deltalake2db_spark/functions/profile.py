@@ -36,10 +36,14 @@ def profile(
     min_value, max_value) — min/max stringified (rounded to 4 for
     floats) so one schema fits every column type.
 
-    Three physical strategies, chosen by the optimizer's input-size
-    estimate when ``strategy='auto'``:
+    Three physical strategies.  ``strategy='auto'`` picks between
+    ``'exact'`` (optimizer's input-size estimate at or under
+    ``gather_threshold_bytes``) and ``'approx'`` (above it);
+    ``'gather'`` is OPT-IN only — auto never selects it (re-measured
+    under the tuned local profile it lost to the concurrent per-column
+    jobs, see the auto branch comment):
 
-    - ``'gather'`` (input under ``gather_threshold_bytes``): EXACT.  k
+    - ``'gather'`` (opt-in): EXACT.  k
       ``size(collect_set(c))`` in ONE ordinary aggregate — a single
       job, no Expand (k ``countDistinct`` plans as Expand, ×(k+1)
       input rows through the exchange, and measures 3× slower than
@@ -63,8 +67,9 @@ def profile(
       and they run concurrently on the scheduler — wall-clock is the
       widest column, not the sum; but it is still N_cols scans of I/O.
 
-    The correctness gate pins the exact path ('gather' at its input
-    size); 'approx' values are estimates by contract.
+    The correctness gate pins the exact path (auto resolves to
+    'exact' at its input size); 'approx' values are estimates by
+    contract.
     """
     from concurrent.futures import ThreadPoolExecutor
 

@@ -778,10 +778,29 @@ def test_ivf_index_arrow_matches_column(spark):
     c_assigned, c_cents = S.ivf_index(emb, n_centroids=4, iters=2,
                                       assign_impl="column")
     a = {r["vec_id"]: r["cell"] for r in a_assigned.collect()}
-    # same seed => same init; centroids may drift by reduction order,
-    # so compare behaviorally: every cell used, assignment total right
-    assert len(a) == 80 and set(a.values()).issubset(set(range(4)))
+    c = {r["vec_id"]: r["cell"] for r in c_assigned.collect()}
+    # same seed => same init; fitted centroids may drift by float
+    # reduction order, so the per-vector comparison runs BOTH impls
+    # against one fixed centroid set (the assignment step is the
+    # arrow-vs-column claim); the fitted assignments are compared
+    # behaviorally.
+    assert len(a) == len(c) == 80
+    assert set(a.values()).issubset(set(range(4)))
+    assert set(c.values()).issubset(set(range(4)))
     assert len(a_cents) == len(c_cents) == 4
+    from deltalake2db_spark.operators.kmeans import kmeans_assign
+
+    fixed_a = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(emb, a_cents, "vec_id", "embedding",
+                               impl="arrow").collect()
+    }
+    fixed_c = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(emb, a_cents, "vec_id", "embedding",
+                               impl="column").collect()
+    }
+    assert fixed_a == fixed_c
 
 
 def test_shingled_matches_fold_on_edges(spark):

@@ -64,6 +64,23 @@ class MetadataIO:
         fs = self.storage_options.get("filesystem")
         if fs is not None:
             return fs, path.split("://", 1)[1]
+        scheme = path.split("://", 1)[0]
+        if scheme in ("az", "abfs", "abfss", "wasb", "wasbs"):
+            # reference-dialect Azure options -> pyarrow AzureFileSystem
+            # (account root), incl. the Azurite-emulator surface; see
+            # sources/storage.py
+            from ..sources.storage import (
+                account_name_from_path,
+                azure_container_path,
+                pyarrow_azure_fs,
+            )
+
+            return (
+                pyarrow_azure_fs(
+                    self.storage_options, account_name_from_path(path)
+                ),
+                azure_container_path(path),
+            )
         return pafs.FileSystem.from_uri(path)
 
     def _open(self, path: str):

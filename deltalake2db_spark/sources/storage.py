@@ -138,6 +138,73 @@ def _token_from_chain(chain: str) -> str:
     return cred.get_token("https://storage.azure.com/.default").token
 
 
+# the documented Azurite/devstore well-known key (public constant, same
+# one the reference's test server uses)
+AZURITE_WELL_KNOWN_KEY = (
+    "Eby8vdM02xNOcqFlqUwJPLlmEtlCDXJ1OUzFT50uSRZ6IFsuFq2UVErCz4I6tq"
+    "/K1SZFPTOtr/KBHBeksoGMGw=="
+)
+
+
+def azure_container_path(path: str) -> str:
+    """Container-relative path (``container/rest``) for any Azure URI
+    form — the shape ``pyarrow.fs.AzureFileSystem`` addresses (the
+    account is its filesystem root)."""
+    up = urlparse(path)
+    if up.scheme in ("abfss", "abfs", "wasbs", "wasb"):
+        container = up.netloc.split("@", 1)[0]
+        return f"{container}/{up.path.lstrip('/')}".rstrip("/")
+    if up.scheme == "az":
+        if any(s in up.netloc for s in AZURE_SUFFIXES):
+            # az://acct.blob.core.windows.net/container/rest
+            return up.path.lstrip("/").rstrip("/")
+        # az://container/rest
+        return f"{up.netloc}/{up.path.lstrip('/')}".rstrip("/")
+    raise ValueError(f"not an Azure URI: {path}")
+
+
+def pyarrow_azure_fs(
+    storage_options: Optional[Mapping[str, Any]] = None,
+    account_name: Optional[str] = None,
+):
+    """``pyarrow.fs.AzureFileSystem`` from reference-dialect
+    ``storage_options`` — the driver-side (metadata + deletion-vector)
+    counterpart of ``azure_confs``'s executor-side Hadoop confs.
+
+    Supported: ``account_name``/``account_key``; ``use_emulator``
+    (devstore account + well-known key + ``blob_storage_authority`` /
+    ``dfs_storage_authority`` endpoint overrides, defaulting to
+    Azurite's 127.0.0.1:10000/10001, plain http — the exact surface
+    the reference exercises against Azurite in tests/test_duckdb_az.py);
+    anything else falls to the SDK's DefaultAzureCredential.  SAS and
+    service-principal secrets are not representable in pyarrow's
+    binding — pass ``storage_options={"filesystem": ...}`` for those.
+    """
+    import pyarrow.fs as pafs
+
+    so = dict(storage_options or {})
+    acct = so.get("account_name", account_name)
+    if str(so.get("use_emulator", "0")).lower() in ("1", "true"):
+        blob_auth = so.get("blob_storage_authority", "127.0.0.1:10000")
+        return pafs.AzureFileSystem(
+            account_name=acct or "devstoreaccount1",
+            account_key=so.get("account_key", AZURITE_WELL_KNOWN_KEY),
+            blob_storage_authority=blob_auth,
+            dfs_storage_authority=so.get("dfs_storage_authority", blob_auth),
+            blob_storage_scheme="http",
+            dfs_storage_scheme="http",
+        )
+    if not acct:
+        raise ValueError(
+            "account_name required (directly, via URL, or storage_options)"
+        )
+    if "account_key" in so:
+        return pafs.AzureFileSystem(
+            account_name=acct, account_key=so["account_key"]
+        )
+    return pafs.AzureFileSystem(account_name=acct)
+
+
 def s3_confs(storage_options: Mapping[str, Any]) -> dict[str, str]:
     """AWS storage_options -> fs.s3a.* (delta-rs key dialect)."""
     so = dict(storage_options)

@@ -196,6 +196,50 @@ def test_contamination_hash_grams_match_strings(spark):
     assert rep[1]["n_matched"] == 0  # "Alpha" != "alpha"
 
 
+def test_contamination_arrow_matches_join_on_edges(spark):
+    """The r9 Arrow screen and the JVM join path must agree doc-by-doc
+    on an edge-heavy corpus: NULL text, empty, whitespace-only, tab/
+    newline separators with LEADING separators (the Java split keeps a
+    leading empty token — the tokenizer parity trap), unicode text,
+    NBSP (NOT ASCII whitespace: one token), duplicated grams, and a
+    doc shorter than n.  Runs at n=2 and n=1 (the ''-token quirk)."""
+    import random
+
+    from deltalake2db_spark.operators.contamination import (
+        contamination_check,
+    )
+
+    rnd = random.Random(11)
+    vocab = ["alpha", "Beta", "gämma", "delta7", "x"]
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "\talpha beta"),        # leading tab -> leading empty token
+        (5, "alpha\tbeta\ngamma"),
+        (6, "alpha beta"),     # NBSP is NOT ASCII ws: one token
+        (7, "alpha alpha alpha alpha"),
+        (8, "single"),
+    ] + [
+        (100 + i, " ".join(rnd.choices(vocab, k=rnd.randint(0, 9))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    for n in (2, 1):
+        a = {
+            r["doc_id"]: (r["n_grams"], r["n_matched"], r["contaminated"])
+            for r in contamination_check(docs, bench, n=n).collect()
+        }
+        j = {
+            r["doc_id"]: (r["n_grams"], r["n_matched"], r["contaminated"])
+            for r in contamination_check(
+                docs, bench, n=n, impl="join"
+            ).collect()
+        }
+        assert a == j, f"n={n}: arrow != join"
+
+
 # ----------------------------------------------------------------- packing
 
 def test_pack_offsets(spark):

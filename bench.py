@@ -208,7 +208,21 @@ def one_draw(sf_dir: str) -> dict:
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") == "1":
         draw["duckdb_oracle_queries"] = duck = duckdb_oracle_times(sf_dir)
         draw["ratio"] = _matched_ratio(times, duck)
-        print(f"# draw ratio: {draw['ratio']}", file=sys.stderr)
+        # transparency split, NOT a substitute headline: q_delta_stream
+        # measures a real availableNow micro-batch drain whose wall
+        # clock is ~90% Structured-Streaming machinery (python source
+        # runner spawn + WAL + trigger lifecycle) against a 2 ms
+        # closed-form oracle — one gate worth ~+0.15 on the ratio.
+        # The headline ratio INCLUDES it; this field shows the
+        # batch-only comparison alongside.
+        draw["ratio_excl_streaming"] = _matched_ratio(
+            {n: t for n, t in times.items() if n != "q_delta_stream"}, duck
+        )
+        print(
+            f"# draw ratio: {draw['ratio']} "
+            f"(excl streaming machinery: {draw['ratio_excl_streaming']})",
+            file=sys.stderr,
+        )
     return draw
 
 
@@ -250,6 +264,8 @@ def emit(sf_dir: str, draws: list[dict]) -> None:
         out["ratio_min"] = min(ratios)
         out["ratio_median"] = med
         out["ratio_max"] = max(ratios)
+        if head.get("ratio_excl_streaming") is not None:
+            out["ratio_excl_streaming"] = head["ratio_excl_streaming"]
     # Honesty guard (r8 verdict item 9): a slower machine inflates BOTH
     # engines, so a ratio move alone can masquerade as a code win.
     # Record the per-query drift vs the PREVIOUS run's sidecar —

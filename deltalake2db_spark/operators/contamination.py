@@ -125,22 +125,11 @@ def _np_rotl(x: np.ndarray, k: int) -> np.ndarray:
     return (x << k) | (x >> np.uint64(64 - k))
 
 
-def _gram_stream(texts, n: int):
-    """``(doc_idx, gram_hash)`` arrays for all word n-grams of ``texts``.
-
-    ``texts`` is a pyarrow string array (or anything ``pa.array``
-    accepts).  Tokenization is BYTE-EXACT with the JVM path and the
-    SQL oracle — ``split(trim(text), "\\s+")``: space-only trim, split
-    on ASCII-whitespace runs keeping leading/trailing empty tokens,
-    ``""`` → one empty token, NULL → no tokens — via
-    ``pc.utf8_trim(x, " ")`` + ``pc.ascii_split_whitespace`` (both
-    C-speed).  The gram hash is a rotate-xor fold of per-word hashes,
-    the same *scheme* as the JVM path but FNV-1a instead of xxhash64 —
-    the hash function is an internal detail (each path compares its own
-    bench set against its own corpus grams and only counts DISTINCT
-    values, so any injective-in-practice 64-bit hash gives identical
-    counts).
-    """
+def _word_hash_stream(texts):
+    """``(doc_idx, word_hash)`` arrays for the tokenized ``texts`` —
+    the tokenize+hash half of ``_gram_stream``, reusable across several
+    gram orders over one batch (quality.repetition_metrics folds n=1/2/3
+    from ONE tokenization)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -158,6 +147,12 @@ def _gram_stream(texts, n: int):
     flat = pc.list_flatten(toks)
     wh = _token_hashes_flat(flat)
     di = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    return di, wh
+
+
+def _fold_grams(di: np.ndarray, wh: np.ndarray, n: int):
+    """Rotate-xor fold of ``n`` consecutive word hashes, masked at
+    document boundaries — the gram half of ``_gram_stream``."""
     m = len(wh)
     if m < n:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
@@ -167,6 +162,26 @@ def _gram_stream(texts, n: int):
     # a fold window that crosses a document boundary is not a gram
     valid = di[: m - n + 1] == di[n - 1 :]
     return di[: m - n + 1][valid], g[valid]
+
+
+def _gram_stream(texts, n: int):
+    """``(doc_idx, gram_hash)`` arrays for all word n-grams of ``texts``.
+
+    ``texts`` is a pyarrow string array (or anything ``pa.array``
+    accepts).  Tokenization is BYTE-EXACT with the JVM path and the
+    SQL oracle — ``split(trim(text), "\\s+")``: space-only trim, split
+    on ASCII-whitespace runs keeping leading/trailing empty tokens,
+    ``""`` → one empty token, NULL → no tokens — via
+    ``pc.utf8_trim(x, " ")`` + ``pc.ascii_split_whitespace`` (both
+    C-speed).  The gram hash is a rotate-xor fold of per-word hashes,
+    the same *scheme* as the JVM path but FNV-1a instead of xxhash64 —
+    the hash function is an internal detail (each path compares its own
+    bench set against its own corpus grams and only counts DISTINCT
+    values, so any injective-in-practice 64-bit hash gives identical
+    counts).
+    """
+    di, wh = _word_hash_stream(texts)
+    return _fold_grams(di, wh, n)
 
 
 def _per_doc_counts(di: np.ndarray, g: np.ndarray, bench_sorted: np.ndarray,

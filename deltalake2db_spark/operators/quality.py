@@ -121,12 +121,24 @@ def repetition_metrics(
 def _repetition_metrics_arrow(
     df: DataFrame, text_col: str, id_col: str, ns: tuple
 ) -> DataFrame:
-    """Zero-shuffle fast path: Counter-per-document in Arrow batches.
+    """Zero-shuffle fast path: vectorized per-doc gram counting in
+    Arrow batches.
 
-    Splitting mirrors Spark's ``split(trim(x), '\\s+')`` exactly
-    (``re.split`` on the stripped string, so an empty string yields
-    the single empty gram ``''`` in both engines).
+    Tokenization is the shared pyarrow kernel (space-only trim +
+    ASCII-whitespace split — byte-exact with ``split(trim(x),'\\s+')``
+    and the RE2 ``\\s`` the oracle uses, unlike Python's ``str.strip``
+    / ``re \\s`` which also eat unicode whitespace; r9 replaced the
+    previous per-doc Counter loop, ~2x the batch wall-clock).  Grams
+    are the same rotate-xor word-hash folds as contamination/dedup —
+    counting runs of equal 64-bit hashes equals counting equal gram
+    strings for any injective-in-practice hash.  Per (doc, n):
+    lexsort → run lengths → segment reduce — all numpy, no Python per
+    document.
     """
+    import numpy as np
+
+    from .contamination import _fold_grams, _word_hash_stream
+
     id_field = df.schema[id_col]
     fields = [f"`{id_field.name}` {id_field.dataType.simpleString()}"]
     for n in ns:
@@ -135,41 +147,49 @@ def _repetition_metrics_arrow(
     ns_local = tuple(ns)
 
     def gen(batches):
-        import re
-        from collections import Counter
+        import pyarrow as pa
 
-        import pandas as pd
-
-        ws = re.compile(r"\s+")
-        for pdf in batches:
-            cols: dict[str, list] = {id_col: pdf[id_col]}
-            per_n: dict[int, tuple[list, list, list]] = {
-                n: ([], [], []) for n in ns_local
-            }
-            for txt in pdf[text_col]:
-                for n in ns_local:
-                    tot, top, dup = per_n[n]
-                    if txt is None:
-                        tot.append(0); top.append(0); dup.append(0)
-                        continue
-                    words = ws.split(txt.strip())
-                    if n == 1:
-                        grams = words
-                    else:
-                        grams = [
-                            " ".join(words[i : i + n])
-                            for i in range(len(words) - n + 1)
-                        ]
-                    c = Counter(grams)
-                    tot.append(len(grams))
-                    top.append(max(c.values()) if c else 0)
-                    dup.append(sum(v for v in c.values() if v >= 2))
+        for b in batches:
+            texts = b.column(1)
+            nd = b.num_rows
+            null_mask = np.asarray(texts.is_null())
+            arrays = [b.column(0)]
+            di_w, wh = _word_hash_stream(texts)  # tokenize+hash ONCE
             for n in ns_local:
-                tot, top, dup = per_n[n]
-                cols[f"__t{n}"], cols[f"__m{n}"], cols[f"__d{n}"] = tot, top, dup
-            yield pd.DataFrame(cols)
+                di, g = _fold_grams(di_w, wh, n)
+                tot = np.bincount(di, minlength=nd)
+                top = np.zeros(nd, dtype=np.int64)
+                dup = np.zeros(nd, dtype=np.int64)
+                if len(g):
+                    order = np.lexsort((g, di))
+                    ds, gs = di[order], g[order]
+                    starts = np.flatnonzero(
+                        np.concatenate(
+                            ([True], (ds[1:] != ds[:-1]) | (gs[1:] != gs[:-1]))
+                        )
+                    )
+                    run_len = np.diff(np.append(starts, len(ds)))
+                    run_doc = ds[starts]
+                    doc_starts = np.flatnonzero(
+                        np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
+                    )
+                    docs_present = run_doc[doc_starts]
+                    top[docs_present] = np.maximum.reduceat(
+                        run_len, doc_starts
+                    )
+                    dup[docs_present] = np.add.reduceat(
+                        np.where(run_len >= 2, run_len, 0), doc_starts
+                    )
+                # NULL text: no tokens, all-zero counts (NULL metrics)
+                tot[null_mask] = 0
+                arrays += [pa.array(tot), pa.array(top), pa.array(dup)]
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=[id_col]
+                + [f"__{k}{n}" for n in ns_local for k in ("t", "m", "d")],
+            )
 
-    counts = df.select(id_col, text_col).mapInPandas(gen, out_schema)
+    counts = df.select(id_col, text_col).mapInArrow(gen, out_schema)
     sel = [F.col(id_col)]
     for n in ns_local:
         t, m, d = F.col(f"__t{n}"), F.col(f"__m{n}"), F.col(f"__d{n}")

@@ -78,7 +78,8 @@ def word_ngram_hashes(text_col, n: int):
 
 # --------------------------------------------------------------------
 # numpy n-gram kernel (shared by the Arrow fast path's driver-side
-# benchmark build and its executor-side mapInPandas batches)
+# benchmark build, its executor-side mapInArrow batches, and
+# quality.repetition_metrics)
 # --------------------------------------------------------------------
 
 _FNV_OFF = np.uint64(0xCBF29CE484222325)

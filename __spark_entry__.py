@@ -1278,6 +1278,20 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(codes, queries, cb, k=5)
 
 
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ search: queries probe their 2 L2-closest cells of the
+    8-cell index and rank candidates by ADC over the PQ codes — the
+    full billion-vector primitive, fused into one Arrow corpus pass.
+    Oracle replays routing, cell assignment, encoding, and ADC."""
+    from deltalake2db_spark.operators.pq import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir, k=8)
+    cb = _fixed_codebooks(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(emb, queries, cents, cb, k=5, nprobe=2)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cells as blocking, drop within-cell cosine
     near-duplicates keeping the min-id representative.  Fixed centroid
@@ -1440,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_assign": q_kmeans_assign,
         "q_pq_encode": q_pq_encode,
         "q_pq_topk": q_pq_topk,
+        "q_ivf_pq_topk": q_ivf_pq_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_cosine_topk": q_cosine_topk,
@@ -1453,8 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_orders": q_profile_orders,
         "q_domain_mix": q_domain_mix,
         "q_pack_sequences": q_pack_sequences,
-        "q_media_decode": q_media_decode,
         # -- positions 51+: r7+r8 double-certified, code untouched in r9 --
+        "q_media_decode": q_media_decode,
         "q_delta_convert": q_delta_convert,
         "q_shard_stats": q_shard_stats,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1588,6 +1603,55 @@ _PQ_ENCODE_SQL = f"""
 WITH {_PQ_CTE}
 SELECT vec_id, list(code ORDER BY s) AS pq_code
 FROM best GROUP BY vec_id
+"""
+
+_IVF_PQ_TOPK_SQL = f"""
+WITH {_PQ_CTE},
+cc AS (
+  SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 8
+), acell AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell, row_number() OVER (
+      PARTITION BY e.vec_id ORDER BY
+        sum((e.embedding[i.i+1]::DOUBLE - c.ce[i.i+1]::DOUBLE)
+            * (e.embedding[i.i+1]::DOUBLE - c.ce[i.i+1]::DOUBLE)) ASC,
+        c.cell ASC) AS r
+    FROM embeddings e, cc c, range(0, 64) i(i)
+    GROUP BY e.vec_id, c.cell
+  ) WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < 10
+), qcell AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY
+        round(sum((q.qe[i.i+1]::DOUBLE - c.ce[i.i+1]::DOUBLE)
+                  * (q.qe[i.i+1]::DOUBLE - c.ce[i.i+1]::DOUBLE)), 4) ASC,
+        c.cell ASC) AS r
+    FROM q, cc c, range(0, 64) i(i)
+    GROUP BY q.query_id, c.cell
+  ) WHERE r <= 2
+), lut AS (
+  SELECT q.query_id, v.s, v.code,
+         sum((q.qe[v.s * 8 + v.i + 1]::DOUBLE - v.val)
+             * (q.qe[v.s * 8 + v.i + 1]::DOUBLE - v.val)) AS d
+  FROM q, cbv v
+  GROUP BY 1, 2, 3
+), adc AS (
+  SELECT l.query_id, b.vec_id, round(sum(l.d), 4) AS dist
+  FROM best b
+  JOIN lut l ON l.s = b.s AND l.code = b.code
+  JOIN acell a ON a.vec_id = b.vec_id
+  JOIN qcell qc ON qc.query_id = l.query_id AND qc.cell = a.cell
+  WHERE b.vec_id != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, dist, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id, dist, row_number() OVER (
+    PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 5
 """
 
 _PQ_TOPK_SQL = f"""
@@ -2609,6 +2673,7 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_kmeans_assign": _KMEANS_ASSIGN_SQL,
         "q_pq_encode": _PQ_ENCODE_SQL,
         "q_pq_topk": _PQ_TOPK_SQL,
+        "q_ivf_pq_topk": _IVF_PQ_TOPK_SQL,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "q_semantic_decontam": _SEMANTIC_DECONTAM_SQL,
         "q_perplexity": r"""

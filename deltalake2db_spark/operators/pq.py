@@ -224,3 +224,127 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "dist", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The complete billion-vector search primitive: IVF routing
+    (each query probes only the ``nprobe`` squared-L2-closest cells)
+    over a PQ-coded corpus (ADC distances, never full precision).
+
+    Fused ONE Arrow pass over the raw corpus, same shape as
+    ``similarity.ivf_topk``: each batch assigns its vectors to cells
+    (one GEMM argmin against the broadcast centroids, ties to the
+    lowest cell), PQ-encodes them (``m`` sub-GEMMs), masks each
+    query's candidates to its probed cells, sums ADC lookup tables
+    over the candidate codes, and emits a batch-local top-k; a final
+    k-row window merges partials.  The corpus never shuffles.  In a
+    real deployment the coded index is written ``partitionBy('cell')``
+    so probes prune FILES; the in-pass mask is the honest single-pass
+    equivalent (same note as ``ivf_topk``).
+
+    Determinism contract: routing compares 4-decimal-ROUNDED query-to-
+    centroid distances with lowest-cell ties; ADC ranks the rounded
+    distance with ascending-id ties; the query's own id is excluded.
+    """
+    import numpy as np
+
+    cb = _as_codebooks(codebooks)
+    m, ksub, dsub = cb.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cents * cents).sum(axis=1)
+    c_sq = (cb * cb).sum(axis=2)
+    qrows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            schema=f"{query_id_col} long, {id_col} long, dist double, rank int",
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # routing: nprobe closest cells per query (rounded dist, cell asc —
+    # see ivf_topk's routing note on why rounding makes the argsort
+    # engine-independent)
+    qd = np.round(
+        (Q * Q).sum(axis=1)[:, None] - 2.0 * (Q @ cents.T) + cent_sq[None, :],
+        4,
+    )
+    # stable sort: equal rounded distances keep cell-ascending order
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    lut = np.empty((len(Q), m, ksub), dtype=np.float64)
+    for s in range(m):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        diff = Qs[:, None, :] - cb[s][None, :, :]
+        lut[:, s, :] = (diff * diff).sum(axis=2)
+
+    out_schema = f"{query_id_col} long, {id_col} long, dist double"
+
+    def scan(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = (
+                np.asarray(b.column(1).flatten())
+                .astype(np.float64)
+                .reshape(n, -1)
+            )
+            ids = np.asarray(b.column(0))
+            cell = np.argmin(
+                -2.0 * (X @ cents.T) + cent_sq[None, :], axis=1
+            )
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = np.argmin(
+                    -2.0 * (Xs @ cb[s].T) + c_sq[s][None, :], axis=1
+                )
+            dist = lut[:, 0, :][:, codes[:, 0]]
+            for s in range(1, m):
+                dist = dist + lut[:, s, :][:, codes[:, s]]
+            dist = np.round(dist, 4)
+            qi, ci = [], []
+            for qn in range(len(qids)):
+                cand = np.flatnonzero(
+                    np.isin(cell, probes[qn]) & (ids != qids[qn])
+                )
+                if not len(cand):
+                    continue
+                kk = min(k, len(cand))
+                top = cand[
+                    np.argpartition(dist[qn, cand], kk - 1)[:kk]
+                ]
+                qi.extend([qn] * len(top))
+                ci.extend(top.tolist())
+            qi = np.asarray(qi, dtype=np.int64)
+            ci = np.asarray(ci, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[qi]),
+                    pa.array(ids[ci]),
+                    pa.array(dist[qi, ci]),
+                ],
+                names=[query_id_col, id_col, "dist"],
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInArrow(scan, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )

@@ -106,6 +106,56 @@ def test_pq_train_shapes_and_compression(spark):
     assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
 
 
+def test_ivf_pq_topk_matches_numpy(spark):
+    """Fused IVF routing + ADC equals a driver replay: per query only
+    vectors in the 2 probed cells are ranked, by rounded ADC dist."""
+    import numpy as np
+
+    dim, m, ksub, ncells, k, nprobe = 16, 4, 8, 4, 3, 2
+    rows = _vecs(80, dim, seed=9)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ordered = df.orderBy("vec_id")
+    cb = P.pq_train(ordered, m=m, ksub=ksub, iters=3)
+    cents = [v for _, v in rows[:ncells]]
+    queries = df.filter(F.col("vec_id") < 3)
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["dist"])
+        for r in P.ivf_pq_topk(df, queries, cents, cb, k=k, nprobe=nprobe).collect()
+    )
+
+    X = np.array([v for _, v in rows])
+    C = np.asarray(cents)
+    cbn = np.asarray(cb)
+    dsub = dim // m
+    cell = np.argmin(
+        ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1
+    )
+    codes = np.stack(
+        [
+            np.argmin(
+                ((X[:, s * dsub:(s + 1) * dsub][:, None, :]
+                  - cbn[s][None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    want = []
+    for qid in range(3):
+        q = X[qid]
+        qd = np.round(((q[None, :] - C) ** 2).sum(-1), 4)
+        probed = set(np.argsort(qd, kind="stable")[:nprobe].tolist())
+        d = np.zeros(len(rows))
+        for s in range(m):
+            d += ((q[s * dsub:(s + 1) * dsub] - cbn[s][codes[:, s]]) ** 2).sum(-1)
+        d = np.round(d, 4)
+        cand = [i for i in range(len(rows)) if cell[i] in probed and i != qid]
+        order = sorted(cand, key=lambda i: (d[i], i))[:k]
+        want += [(qid, r + 1, i, float(d[i])) for r, i in enumerate(order)]
+    assert got == sorted(want)
+
+
 def test_pq_train_validates(spark):
     df = spark.createDataFrame(_vecs(5, 10), ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="divisible"):

@@ -907,6 +907,25 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_decode_png(spark, sf_dir):
+    """REAL compressed-image decode end-to-end (r9): the same
+    closed-form pixels as q_media_decode, but PNG-encoded distributed
+    (stdlib zlib deflate) and decoded by the pure-stdlib PNG reader
+    (inflate + scanline unfiltering) inside Arrow-batched mapInPandas.
+    Same closed-form oracle — no codec library on either side."""
+    from deltalake2db_spark.operators import multimodal as M
+
+    media = M.make_real_media(spark, 100, width=16, height=12, fmt="png")
+    feats = M.extract_image_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_px") * F.col("n_px") * 3)
+        .cast("long")
+        .alias("px_sum"),
+        "n_px",
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH at its design point (j >= 0.5): the corpus has no
     natural near-dups, so plant one per doc (doc_id+10^6, first word
@@ -1467,8 +1486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_profile_orders": q_profile_orders,
         "q_domain_mix": q_domain_mix,
-        "q_pack_sequences": q_pack_sequences,
+        "q_media_decode_png": q_media_decode_png,
         # -- positions 51+: r7+r8 double-certified, code untouched in r9 --
+        "q_pack_sequences": q_pack_sequences,
         "q_media_decode": q_media_decode,
         "q_delta_convert": q_delta_convert,
         "q_shard_stats": q_shard_stats,
@@ -2444,6 +2464,15 @@ def oracle_sql() -> dict[str, str]:
         "q_cross_dedup": _CROSS_DEDUP_SQL,
         "q_media_features": _MEDIA_SQL,
         "q_media_decode": """
+            SELECT i.v AS media_id,
+                   CAST(sum((i.v + x.v + y.v + c.v) % 256) AS BIGINT)
+                       AS px_sum,
+                   CAST(192 AS BIGINT) AS n_px
+            FROM range(100) i(v), range(16) x(v), range(12) y(v),
+                 range(3) c(v)
+            GROUP BY 1
+        """,
+        "q_media_decode_png": """
             SELECT i.v AS media_id,
                    CAST(sum((i.v + x.v + y.v + c.v) % 256) AS BIGINT)
                        AS px_sum,

@@ -88,13 +88,151 @@ def _pnm_header(payload: bytes) -> Optional[tuple[int, int, int, int]]:
     return tokens[0], tokens[1], tokens[2], pos + 1  # one ws after maxval
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> Optional[np.ndarray]:
+    """Pure-stdlib PNG decode (zlib inflate + numpy unfiltering) to an
+    ``(H, W, C) uint8`` array.
+
+    Supports the mainstream subset: 8-bit depth, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace.  Filters: None
+    and Up reverse as whole-row vector ops; Sub as a per-stride
+    modular cumsum (the left-dependency closed form); Average/Paeth
+    fall back to the spec's sequential byte recurrence.  Returns None
+    for non-PNG or unsupported variants (palette, 16-bit, Adam7) —
+    callers fall back to the stub tier."""
+    import zlib
+
+    if payload is None or not payload.startswith(_PNG_SIG):
+        return None
+    pos = len(_PNG_SIG)
+    w = h = None
+    ch = 0
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln  # len + type + data + crc (crc not verified)
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if (
+                    depth != 8
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                    or color not in (0, 2, 4, 6)
+                ):
+                    return None
+                ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if not w or not h or not idat:
+            return None
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    except Exception:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            cur += prev
+        elif f == 1:  # Sub: recon(x) = raw(x) + recon(x - ch)
+            for k in range(ch):
+                lane = cur[k::ch].astype(np.uint64)
+                cur[k::ch] = (lane.cumsum() & 0xFF).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (stdlib zlib): 8-bit gray/GA/RGB/RGBA, one
+    filter type for every scanline (0/1/2 supported — enough to
+    exercise the decoder's vector paths and produce valid files)."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    arr = arr.astype(np.uint8)
+    stride = w * ch
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        cur = arr[y].reshape(stride)
+        if filter_type == 0:
+            raw = cur
+        elif filter_type == 2:
+            raw = cur - prev
+        elif filter_type == 1:
+            shifted = np.zeros_like(cur)
+            shifted[ch:] = cur[:-ch]
+            raw = cur - shifted
+        else:
+            raise ValueError("encode_png supports filter types 0/1/2")
+        lines.append(filter_type)
+        lines += raw.tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_array(payload: bytes) -> Optional[np.ndarray]:
-    """Decode BMP (24/32-bit uncompressed), PPM ``P6`` or PGM ``P5``
-    bytes to an ``(H, W, C) uint8`` array (RGB channel order for BMP's
-    stored BGR).  Returns None when the payload is not one of these
-    formats or is malformed — callers fall back to the stub tier."""
+    """Decode PNG (8-bit gray/GA/RGB/RGBA, stdlib zlib inflate), BMP
+    (24/32-bit uncompressed), PPM ``P6`` or PGM ``P5`` bytes to an
+    ``(H, W, C) uint8`` array (RGB channel order for BMP's stored
+    BGR).  Returns None when the payload is not one of these formats
+    or is malformed — callers fall back to the stub tier."""
     if payload is None or len(payload) < 16:
         return None
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         hdr = _pnm_header(payload)
@@ -187,11 +325,12 @@ def decode_wav(payload: bytes) -> Optional[tuple[np.ndarray, int]]:
 def _decode_image(payload: bytes, width: int, height: int):
     """Feature tuple (mean_px, fill_ratio, n_px) for one image payload.
 
-    BMP/PPM/PGM decode for real (see ``decode_image_array``); other
-    formats hit the stub tier — ``NotImplementedError`` in strict mode
-    (swap for a Pillow/libvips kernel in deployments that need
-    PNG/JPEG), or a deterministic fake derived from the payload bytes
-    so tests have stable expectations.
+    PNG (stdlib zlib)/BMP/PPM/PGM decode for real (see
+    ``decode_image_array``); other formats (JPEG/WebP/video frames)
+    hit the stub tier — ``NotImplementedError`` in strict mode (swap
+    for a Pillow/libvips/ffmpeg kernel in deployments that need them),
+    or a deterministic fake derived from the payload bytes so tests
+    have stable expectations.
     """
     if payload is None:
         return None
@@ -329,26 +468,33 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def make_real_media(
-    spark, n: int = 100, width: int = 16, height: int = 12
+    spark, n: int = 100, width: int = 16, height: int = 12,
+    fmt: str = "bmp",
 ) -> DataFrame:
     """Synthetic media table whose image payloads are REAL encoded
-    BMPs, generated distributed (mapInPandas over ``spark.range`` — no
-    driver-side byte building, so the builder itself scales).  Pixel
-    values follow the closed form ``(i + x + y + c) % 256``, which an
-    external oracle can recompute exactly."""
+    BMPs or PNGs (``fmt``), generated distributed (mapInPandas over
+    ``spark.range`` — no driver-side byte building, so the builder
+    itself scales).  Pixel values follow the closed form
+    ``(i + x + y + c) % 256``, which an external oracle can recompute
+    exactly.  ``fmt='png'`` exercises the full compressed path: zlib
+    deflate on encode, inflate + unfilter on decode."""
+    if fmt not in ("bmp", "png"):
+        raise ValueError(f"fmt={fmt!r}: expected 'bmp' or 'png'")
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         y, x, c = np.meshgrid(
             np.arange(height), np.arange(width), np.arange(3), indexing="ij"
         )
         base = (x + y + c).astype(np.int64)
+        enc = encode_bmp if fmt == "bmp" else encode_png
+        mime = f"image/{fmt}"
         for pdf in it:
             rows = []
             for i in pdf["id"]:
                 arr = ((base + int(i)) % 256).astype(np.uint8)
                 rows.append((
-                    int(i), "image", encode_bmp(arr),
-                    {"mime": "image/bmp", "width": width,
+                    int(i), "image", enc(arr),
+                    {"mime": mime, "width": width,
                      "height": height, "duration_ms": None},
                 ))
             yield pd.DataFrame(

@@ -447,6 +447,64 @@ def test_multimodal_features(spark):
     assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
 
 
+def test_png_roundtrip_and_filters():
+    """Stdlib PNG codec: encode->decode round-trips across channel
+    counts and scanline filter types (None/Sub/Up vector paths), plus
+    hand-built Average/Paeth scanlines against the spec recurrence."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, (9, 13, ch), dtype=np.uint8)
+        for ft in (0, 1, 2):
+            got = M.decode_png(M.encode_png(arr, filter_type=ft))
+            assert np.array_equal(got, arr), (ch, ft)
+    # Average (3) and Paeth (4): craft raw scanlines from a known recon
+    recon = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    h, w, ch = recon.shape
+    stride = w * ch
+    flat = recon.reshape(h, stride).astype(int)
+    lines = bytearray()
+    for y in range(h):
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=int)
+        ft = 3 if y % 2 == 0 else 4
+        lines.append(ft)
+        for x in range(stride):
+            a = flat[y][x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            lines.append((flat[y][x] - pred) & 0xFF)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(lines)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(M.decode_png(png), recon)
+    # unsupported variants fall through, not crash
+    assert M.decode_png(b"not a png") is None
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)))
+    assert M.decode_png(pal) is None
+    # decode_image_array dispatches PNG like the other real formats
+    arr = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_image_array(M.encode_png(arr)), arr)
+
+
 def test_multimodal_real_decoders(spark):
     """BMP/PPM/PGM/WAV decode for real (spec-only formats, no codec
     library): byte-exact encode->decode round-trips, and the Spark

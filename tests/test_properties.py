@@ -132,3 +132,24 @@ def test_log_replay_last_writer_wins(ops):
             state.apply_action({"remove": {"path": path}}, version)
             live.discard(path)
     assert set(state.add_actions) == live
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.sampled_from([0, 1, 2]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, ch, ft, seed):
+    """encode_png -> decode_png is the identity for every supported
+    shape, channel count, and encoder filter type."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    got = M.decode_png(M.encode_png(arr, filter_type=ft))
+    assert np.array_equal(got, arr)

@@ -139,6 +139,28 @@ def main() -> int:
         )
     sections.append(("chunk dedup map-side winner aggregate", formatted(df)))
 
+    # 8. fused IVF-PQ search: the raw corpus flows straight into ONE
+    # MapInArrow (assign+encode+ADC fused) with no Exchange below it —
+    # the only shuffle allowed is the final k-row window merge above
+    from deltalake2db_spark.operators.pq import ivf_pq_topk, pq_train
+
+    cents = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    cb = pq_train(emb.orderBy("vec_id"), m=8, ksub=8, iters=2)
+    df = ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 3), cents, cb, k=3)
+    p = plan_of(df)
+    below_map = p.split("MapInArrow")[-1]
+    if "Exchange" in below_map:
+        failures.append("ivf_pq_topk shuffles the corpus before the fused scan")
+    if p.count("MapInArrow") != 1:
+        failures.append(
+            f"ivf_pq_topk plans {p.count('MapInArrow')} python stages; "
+            "assign+encode+ADC must be ONE fused pass"
+        )
+    sections.append(("fused IVF-PQ single-pass scan", formatted(df)))
+
     if "--dump" in sys.argv:
         with open("/root/repo/PLANS.md", "w") as fh:
             fh.write("# Physical plan audit (generated by tools/explain_audit.py)\n")

@@ -665,8 +665,10 @@ def _cut_lineage_pairs(
 
     spark = candidates.sparkSession
     c = candidates.persist(StorageLevel.MEMORY_AND_DISK)
-    if c.count() <= max_driver_rows:
-        pdf = c.toPandas()
+    # limit(N+1) probe: ONE job both sizes the set and supplies the
+    # rows when it fits (r9 — previously a count job + a toPandas job)
+    pdf = c.limit(max_driver_rows + 1).toPandas()
+    if len(pdf) <= max_driver_rows:
         schema = c.schema
         c.unpersist()
         if dedup:

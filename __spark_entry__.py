@@ -1348,6 +1348,20 @@ def q_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(emb, queries, cents, cb, k=5, nprobe=2)
 
 
+def q_prototype_prune(spark, sf_dir):
+    """SSL-prototypes pruning: keep the hardest (farthest-from-centroid)
+    half of every k-means cell.  Ranks on the 6-decimal-ROUNDED
+    squared-L2 with id tie-break, so both engines rank identically;
+    assignment uses the bit-reproducible column fold."""
+    from deltalake2db_spark.operators.kmeans import prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    return prototype_prune(
+        emb, cents, keep_frac=0.5, assign_impl="column"
+    ).select("vec_id", "cell", "rnk")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cells as blocking, drop within-cell cosine
     near-duplicates keeping the min-id representative.  Fixed centroid
@@ -1510,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_semantic_decontam": q_semantic_decontam,
         "q_kmeans_assign": q_kmeans_assign,
+        "q_prototype_prune": q_prototype_prune,
         "q_pq_encode": q_pq_encode,
         "q_pq_topk": q_pq_topk,
         "q_ivf_pq_topk": q_ivf_pq_topk,
@@ -1519,7 +1534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_int8": q_quantize_int8,
         "q_quantized_topk": q_quantized_topk,
         "q_tfidf_terms": q_tfidf_terms,
-        "q_lang_id": q_lang_id,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
         "q_profile_orders": q_profile_orders,
@@ -1527,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positions 51+: r7+r8 double-certified, code untouched in r9 --
         "q_domain_mix": q_domain_mix,
         "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
         "q_pack_sequences": q_pack_sequences,
         "q_media_decode": q_media_decode,
         "q_delta_convert": q_delta_convert,
@@ -2797,6 +2812,34 @@ SELECT query_id, vec_id, sim, rank FROM (
             FROM t GROUP BY 1
         """,
         "q_kmeans_assign": _KMEANS_ASSIGN_SQL,
+        "q_prototype_prune": """
+            WITH c AS (
+              SELECT vec_id AS cell, embedding AS ce FROM embeddings
+              WHERE vec_id < 8
+            ), dists AS (
+              SELECT e.vec_id, c.cell,
+                     sum((e.embedding[i.i+1]::DOUBLE - c.ce[i.i+1]::DOUBLE)
+                         * (e.embedding[i.i+1]::DOUBLE - c.ce[i.i+1]::DOUBLE))
+                         AS dist
+              FROM embeddings e, c, range(0, 64) i(i)
+              GROUP BY 1, 2
+            ), assign AS (
+              SELECT vec_id, cell, dist FROM (
+                SELECT vec_id, cell, dist, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS r
+                FROM dists
+              ) WHERE r = 1
+            ), ranked AS (
+              SELECT vec_id, cell,
+                     row_number() OVER (
+                         PARTITION BY cell
+                         ORDER BY round(dist, 6) DESC, vec_id ASC) AS rnk,
+                     count(*) OVER (PARTITION BY cell) AS n_cell
+              FROM assign
+            )
+            SELECT vec_id, cell, rnk FROM ranked
+            WHERE rnk <= ceil(0.5 * n_cell)
+        """,
         "q_pq_encode": _PQ_ENCODE_SQL,
         "q_pq_topk": _PQ_TOPK_SQL,
         "q_ivf_pq_topk": _IVF_PQ_TOPK_SQL,

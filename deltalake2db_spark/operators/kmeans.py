@@ -28,7 +28,7 @@ The reference engine (bmsuisse/deltalake2db) has no vector operators
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,6 +49,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     out: str = "cell",
     impl: str = "arrow",
+    out_dist: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment (squared-L2, ties -> lowest cell id).
 
@@ -57,6 +58,11 @@ def kmeans_assign(
     correctness gates.  ``impl='arrow'`` does one ``(batch × k)`` numpy
     distance matrix per Arrow batch — the 100 TB path (k expression
     folds stop scaling once k is large).
+
+    ``out_dist`` additionally emits the squared-L2 distance to the
+    assigned centroid (the column fold's value is the exact sequential
+    IEEE sum; the arrow path adds the row norm back onto its GEMM
+    expansion, same value up to ~1e-12 cancellation noise).
     """
     if impl == "column":
         best_cell = F.lit(-1)
@@ -66,16 +72,25 @@ def kmeans_assign(
             improved = d < best_d
             best_cell = F.when(improved, F.lit(ci)).otherwise(best_cell)
             best_d = F.when(improved, d).otherwise(best_d)
-        return df.withColumn(out, best_cell)
+        res = df.withColumn(out, best_cell)
+        if out_dist is not None:
+            res = res.withColumn(out_dist, best_d)
+        return res
 
     import numpy as np
 
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
     cents = np.asarray(centroids, dtype=np.float64)
-    schema = StructType(
-        list(df.schema.fields) + [StructField(out, IntegerType())]
-    )
+    extra = [StructField(out, IntegerType())]
+    if out_dist is not None:
+        extra.append(StructField(out_dist, DoubleType()))
+    schema = StructType(list(df.schema.fields) + extra)
 
     def assign_batches(batches):
         import pandas as pd
@@ -86,14 +101,78 @@ def kmeans_assign(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
             if len(X) == 0:
-                yield pdf.assign(**{out: pd.Series([], dtype="int32")})
+                cols = {out: pd.Series([], dtype="int32")}
+                if out_dist is not None:
+                    cols[out_dist] = pd.Series([], dtype="float64")
+                yield pdf.assign(**cols)
                 continue
             # dist² = |x|² - 2x·c + |c|²; |x|² is constant per row, so
             # argmin needs only -2x·c + |c|² — one GEMM per batch
             d = -2.0 * (X @ cents.T) + c_sq[None, :]
-            yield pdf.assign(**{out: np.argmin(d, axis=1).astype(np.int32)})
+            best = np.argmin(d, axis=1)
+            cols = {out: best.astype(np.int32)}
+            if out_dist is not None:
+                cols[out_dist] = (
+                    d[np.arange(len(X)), best] + (X * X).sum(axis=1)
+                )
+            yield pdf.assign(**cols)
 
     return df.mapInPandas(assign_batches, schema)
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    keep_frac: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "hard",
+    assign_impl: str = "arrow",
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al., NeurIPS 2022 —
+    public method): rank every vector inside its k-means cell by
+    distance to the cell centroid and keep the ``keep_frac`` fraction.
+
+    ``keep='hard'`` keeps the FARTHEST examples per cell (prune easy,
+    prototypical points — the regime that beats random pruning on
+    large datasets); ``keep='easy'`` keeps the closest (denoising
+    regime for small/noisy data).  Deterministic, engine-reproducible
+    ranking: the squared-L2 distance is rounded to 6 decimals BEFORE
+    ranking and ties break on the id — so near-ulp arithmetic
+    differences between engines cannot flip ranks.  Each cell keeps
+    ``ceil(keep_frac × cell_size)`` rows.
+
+    Plan shape: assignment is map-side (broadcast centroid literals /
+    GEMM batches), then ONE shuffle partitioned by cell for the
+    rank-and-count window.  Cells are k-means-balanced by construction,
+    so the window partition sizes are ~n/k; at extreme scale replace
+    the exact rank with a per-cell distance-quantile threshold
+    (``approx_quantile`` over cell) to avoid materializing full-cell
+    sorts.  Returns the surviving rows plus ``cell`` and ``rnk``.
+    """
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep={keep!r}: expected hard|easy")
+    assigned = kmeans_assign(
+        df, centroids, id_col, vec_col, "cell", impl=assign_impl,
+        out_dist="__dist",
+    ).withColumn("__dr", F.round(F.col("__dist"), 6))
+    order = (
+        F.col("__dr").desc() if keep == "hard" else F.col("__dr").asc()
+    )
+    w = Window.partitionBy("cell")
+    ranked = (
+        assigned.withColumn(
+            "rnk",
+            F.row_number().over(w.orderBy(order, F.col(id_col).asc())),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+    )
+    return (
+        ranked.filter(
+            F.col("rnk") <= F.ceil(F.lit(float(keep_frac)) * F.col("__n"))
+        )
+        .drop("__dist", "__dr", "__n")
+    )
 
 
 def kmeans_fit(

@@ -155,3 +155,78 @@ def test_semantic_dedup_against_byte_bound(spark):
         new, ref, centroids=cents, threshold=0.9, assign_impl="column"
     )
     assert {r["vec_id"] for r in out2.collect()} == {8}
+
+
+# ------------------------------------------------------- prototype pruning
+
+def _proto_fixture(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [2.0, 0.0] if i % 2 == 0 else [0.0, 2.0]
+        rows.append(
+            (i, [base[0] + rng.uniform(-1, 1), base[1] + rng.uniform(-1, 1)])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_prototype_prune_counts_and_hardness(spark):
+    from deltalake2db_spark.operators.kmeans import (
+        kmeans_assign,
+        prototype_prune,
+    )
+
+    emb = _proto_fixture(spark)
+    cents = [[2.0, 0.0], [0.0, 2.0]]
+    kept = prototype_prune(emb, cents, keep_frac=0.5, assign_impl="column")
+    rows = kept.collect()
+    sizes = {r["cell"]: 0 for r in rows}
+    for r in rows:
+        sizes[r["cell"]] += 1
+    full = kmeans_assign(emb, cents, impl="column").groupBy("cell").count()
+    for cr in full.collect():
+        import math
+
+        assert sizes[cr["cell"]] == math.ceil(0.5 * cr["count"])
+    # hard mode keeps the farthest: every kept rnk run is 1..n_kept
+    for cell in sizes:
+        got = sorted(r["rnk"] for r in rows if r["cell"] == cell)
+        assert got == list(range(1, sizes[cell] + 1))
+
+
+def test_prototype_prune_easy_vs_hard_and_full(spark):
+    from deltalake2db_spark.operators.kmeans import prototype_prune
+
+    emb = _proto_fixture(spark)
+    cents = [[2.0, 0.0], [0.0, 2.0]]
+    hard = {r["vec_id"] for r in
+            prototype_prune(emb, cents, 0.3, keep="hard",
+                            assign_impl="column").collect()}
+    easy = {r["vec_id"] for r in
+            prototype_prune(emb, cents, 0.3, keep="easy",
+                            assign_impl="column").collect()}
+    assert hard and easy and hard.isdisjoint(easy)  # opposite tails
+    everything = prototype_prune(emb, cents, 1.0, assign_impl="column")
+    assert everything.count() == emb.count()
+
+
+def test_prototype_prune_arrow_matches_column(spark):
+    """The rounded-distance rank makes the GEMM path (|x|²-2xc+|c|²)
+    agree with the exact column fold despite ~1e-12 cancellation."""
+    from deltalake2db_spark.operators.kmeans import prototype_prune
+
+    emb = _proto_fixture(spark)
+    cents = [[2.0, 0.0], [0.0, 2.0]]
+    a = sorted(
+        (r["vec_id"], r["cell"], r["rnk"])
+        for r in prototype_prune(emb, cents, 0.5,
+                                 assign_impl="arrow").collect()
+    )
+    c = sorted(
+        (r["vec_id"], r["cell"], r["rnk"])
+        for r in prototype_prune(emb, cents, 0.5,
+                                 assign_impl="column").collect()
+    )
+    assert a == c

@@ -85,14 +85,35 @@ def feature_buckets(
     win = Window.partitionBy(id_col).orderBy("__pos")
     exw = ex.withColumn("__w2", F.lead("__w", 1).over(win))
     base = [F.col(id_col)] + [F.col(c) for c in carry_cols]
-    uni = exw.select(*base, md5_bucket(F.col("__w"), n_buckets).alias("b"))
-    bi = exw.filter(F.col("__w2").isNotNull()).select(
-        *base,
-        md5_bucket(
-            F.concat(F.col("__w"), F.lit(" "), F.col("__w2")), n_buckets
-        ).alias("b"),
+    # both features ride out of ONE projection: explode(array(uni, bi))
+    # with a NULL bigram slot on each doc's last token, filtered after.
+    # A union of two branches would erase the window's hash(doc_id)
+    # output partitioning (union output is never "partitioned"), and
+    # every downstream doc-keyed aggregate would re-shuffle; explode is
+    # partitioning-preserving, so the window's exchange is the ONE
+    # corpus shuffle in the whole dsir_logweights plan (verified
+    # against the executed plan: the (doc,b) and doc aggregates show
+    # no further Exchange).
+    return (
+        exw.select(
+            *base,
+            F.explode(
+                F.array(
+                    md5_bucket(F.col("__w"), n_buckets),
+                    F.when(
+                        F.col("__w2").isNotNull(),
+                        md5_bucket(
+                            F.concat(
+                                F.col("__w"), F.lit(" "), F.col("__w2")
+                            ),
+                            n_buckets,
+                        ),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
     )
-    return uni.unionByName(bi)
 
 
 def dsir_logweights(
@@ -115,28 +136,31 @@ def dsir_logweights(
         df.withColumn("__tgt", target), text_col, id_col, n_buckets,
         carry_cols=("__tgt",),
     )
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
-    tgt = (
-        feats.filter(F.col("__tgt"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # EVERYTHING derives from the per-(doc, bucket) aggregate, so the
+    # corpus is tokenized/shuffled exactly once: per_bucket's (id, b)
+    # aggregate rides the window's hash(id) distribution (no exchange),
+    # and both histograms fold the already-tiny per_bucket rows.  Two
+    # separate groupBys over `feats` would instead column-prune
+    # differently (one keeps __tgt, one drops it), making the window
+    # subtrees non-identical — ReuseExchange then fails and the corpus
+    # tokenizes and shuffles twice (observed in the executed plan).
+    per_bucket = feats.groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.when(F.col("__tgt"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("tc_part"),
     )
-    tots = (
-        raw.agg(F.sum("rc").alias("R"))
-        .crossJoin(
-            broadcast(
-                tgt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("T"))
-            )
-        )
+    hist = per_bucket.groupBy("b").agg(
+        F.sum("c").alias("rc"), F.sum("tc_part").alias("tc")
     )
+    tots = hist.agg(F.sum("rc").alias("R"), F.sum("tc").alias("T"))
     lam = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(broadcast(tots))
+        hist.crossJoin(broadcast(tots))
         .select(
             "b",
             (
                 F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                    (F.col("tc") + F.lit(1.0))
                     / (F.col("T") + F.lit(float(n_buckets)))
                 )
                 - F.log(
@@ -146,7 +170,6 @@ def dsir_logweights(
             ).alias("l"),
         )
     )
-    per_bucket = feats.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
     return (
         per_bucket.join(broadcast(lam), "b")
         .groupBy(id_col)
@@ -155,3 +178,4 @@ def dsir_logweights(
             F.round(F.sum(F.col("c") * F.col("l")), 6).alias("log_weight"),
         )
     )
+

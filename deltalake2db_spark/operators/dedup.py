@@ -608,31 +608,31 @@ def _band_hashes(sig: DataFrame, id_col: str, out_id: str,
                  num_hashes: int, bands: int) -> DataFrame:
     """(out_id, band, bh): one 64-bit hash per signature band.
 
-    Band members combine ARITHMETICALLY (rotate-xor fold, same scheme as
-    ``shingle_hash_array``) — the previous string formulation cast every
-    signature element to a string and xxhash64'd the concat, i.e.
-    ``num_hashes`` long→string conversions + ``bands`` string hashes per
-    doc; the fold is pure 64-bit integer ops inside codegen.  Band
-    hashes are internal bucketing keys only (the exact-Jaccard verify
-    filters false candidates), so the hash function is free to change.
+    Each band hashes its signature slice with ONE native ``xxhash64``
+    call (xxhash64 hashes array<bigint> recursively, and the band index
+    rides in as a second argument so identical member-tuples in
+    different bands land in different buckets).  The previous rotate-xor
+    fold spelled the combine as nested shift/or/xor Column arithmetic —
+    but ``_rotl(acc, k)`` references ``acc`` twice, so the expression
+    TREE doubled per fold level (2^rows_per_band nodes), and with the
+    fold duplicated across ``bands`` structs inside one explode the
+    generated Java overflowed janino's 64 KB/constant-pool limits and
+    the whole Generate stage silently fell back to interpreted
+    evaluation.  Band hashes are internal bucketing keys only (the
+    exact-Jaccard verify filters false candidates), so the hash
+    function is free to change.
     """
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for i in range(bands):
-        acc = F.element_at("sig", i * rows_per_band + 1)
-        for j in range(1, rows_per_band):
-            acc = _rotl(acc, 13).bitwiseXOR(
-                F.element_at("sig", i * rows_per_band + j + 1)
-            )
-        # mix the band index in so identical member-tuples in different
-        # bands land in different buckets (the string version got this
-        # from the struct's band field; here bh must carry it)
-        band_cols.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                _rotl(acc, 13).bitwiseXOR(F.lit(i)).alias("bh"),
-            )
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(
+                F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                F.lit(i),
+            ).alias("bh"),
         )
+        for i in range(bands)
+    ]
     return sig.select(
         F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("b")
     ).select(out_id, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))

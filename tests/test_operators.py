@@ -105,6 +105,40 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_band_hash_plan_stays_codegen_sized(spark):
+    """_band_hashes must emit ONE native hash node per band.
+
+    The previous rotate-xor fold referenced its accumulator twice per
+    level, so the expression TREE doubled per fold row — at
+    num_hashes=64/bands=8 (8 rows/band) the banded Generate overflowed
+    janino's 64 KB / constant-pool limits and the stage silently fell
+    back to interpreted evaluation.  The analyzed-plan string is a
+    direct proxy: exponential trees render as megabytes, the xxhash64
+    slice form as a few KB even at wide bands.
+    """
+    from deltalake2db_spark.operators.dedup import _band_hashes
+
+    sig = spark.createDataFrame(
+        [(1, list(range(64))), (2, list(range(64, 128)))],
+        "doc_id long, sig array<long>",
+    )
+    banded = _band_hashes(sig, "doc_id", "doc_id", 64, 8)
+    plan = banded._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 50_000, f"banded plan blew up to {len(plan)} chars"
+    # identical slices hash identically across rows, and the band index
+    # separates identical member-tuples in different bands
+    sig2 = spark.createDataFrame(
+        [(1, list(range(8)) * 8), (2, list(range(8)) * 8)],
+        "doc_id long, sig array<long>",
+    )
+    rows = _band_hashes(sig2, "doc_id", "out_id", 64, 8).collect()
+    by_band = {}
+    for r in rows:
+        by_band.setdefault(r["band"], set()).add(r["bh"])
+    assert all(len(v) == 1 for v in by_band.values())  # equal slices collide
+    assert len({next(iter(v)) for v in by_band.values()}) == 8  # bands differ
+
+
 def test_minhash_lsh_spill_path_identical(docs):
     """max_driver_pairs=0 forces the persisted (non-localized) candidate
     path; results must match the Arrow-localized default, and repeated

@@ -1240,6 +1240,36 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_logweights(d, F.col("lang") == "en")
 
 
+def q_classifier_score(spark, sf_dir):
+    """fastText-style hashed-n-gram linear classifier inference: every
+    document scored sigmoid(bias + mean feature weight) against a
+    deterministic 1024-bucket weight table (w_b derives from b by pure
+    integer arithmetic, so the oracle rebuilds the identical model);
+    md5 bucketing as in q_dsir_weights."""
+    from deltalake2db_spark.operators.dsir import classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    w = spark.range(1024).select(
+        F.col("id").alias("b"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(2001) / F.lit(1000.0)
+         - F.lit(1.0)).alias("w"),
+    )
+    return classifier_score(d, w, bias=0.25)
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-language head/middle/tail
+    terciles (ntile over the 6-decimal-rounded unigram-LM perplexity,
+    doc_id tiebreak — ntile is ANSI-identical so the oracle replays the
+    assignment exactly)."""
+    from deltalake2db_spark.operators.lm import perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(
+        d, "text", "doc_id", by_col="lang", n_buckets=3, top_v=1024
+    )
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher-style repetition metrics per document: top/duplicate
     occurrence fractions for word 1/2/3-grams, 6-decimal-rounded IEEE
@@ -1513,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_bloom_decontam": q_bloom_decontam,
         "q_dsir_weights": q_dsir_weights,
+        "q_classifier_score": q_classifier_score,
+        "q_ppl_buckets": q_ppl_buckets,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1532,13 +1564,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_cosine_topk": q_cosine_topk,
         "q_quantize_int8": q_quantize_int8,
-        "q_quantized_topk": q_quantized_topk,
         "q_tfidf_terms": q_tfidf_terms,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
-        "q_profile_orders": q_profile_orders,
         "q_media_decode_png": q_media_decode_png,
-        # -- positions 51+: r7+r8 double-certified, code untouched in r9 --
+        # -- positions 51+: r7+r8 double-certified, code untouched in r9
+        # (q_quantized_topk / q_profile_orders rotated out to make room
+        # for the new classifier/ppl gates: both r8-certified, and their
+        # functions are untouched by round-9 edits) --
+        "q_quantized_topk": q_quantized_topk,
+        "q_profile_orders": q_profile_orders,
         "q_domain_mix": q_domain_mix,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -2731,6 +2766,70 @@ SELECT query_id, vec_id, sim, rank FROM (
                    round(sum(db.c * lam.l), 6) AS log_weight
             FROM db JOIN lam USING (b)
             GROUP BY db.doc_id
+        """,
+        "q_classifier_score": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, unnest(w) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, w[i] || ' ' || w[i+1]
+                FROM toks, UNNEST(range(1, len(w))) AS t(i)
+            ),
+            fb AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b
+                FROM feats
+            ),
+            wt AS (
+                SELECT i AS b,
+                       ((i * 2654435761) % 2001) / 1000.0 - 1.0 AS w
+                FROM range(0, 1024) t(i)
+            ),
+            db AS (
+                SELECT doc_id, b, count(*) AS c FROM fb GROUP BY doc_id, b
+            )
+            SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_feats,
+                   round(1.0 / (1.0 + exp(-(0.25
+                         + sum(db.c * coalesce(wt.w, 0.0)) / sum(db.c)))),
+                         6) AS score
+            FROM db LEFT JOIN wt USING (b)
+            GROUP BY db.doc_id
+        """,
+        "q_ppl_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents
+            ),
+            vocab AS (
+                SELECT word, cnt FROM (
+                    SELECT word, count(*) AS cnt,
+                           row_number() OVER (
+                               ORDER BY count(*) DESC, word ASC) AS r
+                    FROM toks GROUP BY word
+                ) WHERE r <= 1024
+            ),
+            tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM vocab),
+            scored AS (
+                SELECT t.doc_id,
+                       count(*) AS n_tokens,
+                       round(exp(ln((SELECT n + v + 1 FROM tot))
+                                 - sum(ln(coalesce(vc.cnt, 0) + 1))
+                                   / count(*)),
+                             6) AS perplexity
+                FROM toks t LEFT JOIN vocab vc USING (word)
+                GROUP BY t.doc_id
+            )
+            SELECT s.doc_id, d.lang, s.n_tokens, s.perplexity,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.perplexity ASC, s.doc_id ASC
+                   ) AS INT) AS bucket
+            FROM scored s JOIN documents d USING (doc_id)
         """,
         "q_quality_rules": r"""
             WITH toks AS (

@@ -179,3 +179,54 @@ def dsir_logweights(
         )
     )
 
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear classifier inference over hashed n-grams.
+
+    The workhorse of modern pretraining curation (CCNet's fastText
+    lang-id + quality classifiers, Llama/phi-style "educational value"
+    classifiers): a linear model over a hashed bag of unigram+bigram
+    features.  This is the INFERENCE half — ``weights`` is a trained
+    ``(b, w)`` table (bucket id → weight), model-sized by construction
+    (≤``n_buckets`` rows), and the score is
+
+        score(d) = sigmoid(bias + Σ_b c_{d,b}·w_b / Σ_b c_{d,b})
+
+    i.e. the mean feature weight through a sigmoid — fastText's
+    mean-of-ngram-embeddings composition in one dimension.  Features
+    and bucketing are exactly ``feature_buckets``'s (md5, so a SQL
+    oracle replays bit-for-bit); buckets absent from ``weights`` weigh
+    0.
+
+    Plan shape = ``dsir_logweights``'s scoring half: ONE corpus shuffle
+    (the feature window's doc-keyed exchange), a per-(doc,bucket)
+    count that rides that distribution shuffle-free, a broadcast join
+    against the weight table, one doc-keyed fold.  Returns
+    ``(id_col, n_feats, score)``; tokenless (NULL-text) docs are
+    absent.
+    """
+    feats = feature_buckets(df, text_col, id_col, n_buckets)
+    per_bucket = feats.groupBy(id_col, "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dotted = (
+        per_bucket.join(broadcast(weights), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.coalesce(F.col("w"), F.lit(0.0))).alias("__dot"),
+        )
+    )
+    z = F.lit(float(bias)) + F.col("__dot") / F.col("n_feats")
+    return dotted.select(
+        F.col(id_col),
+        F.col("n_feats"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+    )

@@ -122,3 +122,57 @@ def perplexity_score(
             "avg_token_count"
         ),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_col: str | None = "lang",
+    n_buckets: int = 3,
+    top_v: int = 65536,
+    counts_df: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing.
+
+    CCNet (Wenzek et al., LREC 2020 — public method) splits each
+    language's documents into equal-count perplexity terciles and
+    trains on the "head" (lowest-perplexity) slice first.  This is the
+    bucketing step: ``ntile(n_buckets)`` over perplexity within each
+    ``by_col`` group, with a deterministic ``(perplexity, id)``
+    ordering so the assignment is reproducible engine-to-engine
+    (``ntile`` has identical semantics in ANSI SQL, so a DuckDB oracle
+    replays it exactly).
+
+    Scale note: ``ntile`` is a rank over each ``by_col`` partition —
+    one exchange on ``by_col`` with a per-group sort.  Groups are
+    languages (tens), each potentially corpus-sized, so the sort is
+    the honest cost of EXACT equal-count terciles; a pipeline that
+    can tolerate approximate cuts at 100 TB should instead compute
+    ``percentile_approx`` cut points per group (model-sized result),
+    broadcast them, and bucket with a ``CASE`` — same output schema,
+    no full sort.  The exact form is kept here because CCNet's
+    contract is equal-count tiles and the driver oracle certifies
+    exactness.
+
+    Returns ``(id_col, by_col..., n_tokens, perplexity, bucket)`` with
+    bucket 1 = head (least perplexed) .. ``n_buckets`` = tail.
+    """
+    from pyspark.sql import Window
+
+    keep = [by_col] if by_col else []
+    scored = perplexity_score(
+        df, text_col, id_col, top_v, counts_df=counts_df
+    ).join(df.select(id_col, *keep), id_col) if keep else perplexity_score(
+        df, text_col, id_col, top_v, counts_df=counts_df
+    )
+    part = Window.partitionBy(*keep).orderBy(
+        F.col("perplexity").asc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.col("n_tokens"),
+        F.col("perplexity"),
+        F.ntile(n_buckets).over(part).alias("bucket"),
+    )

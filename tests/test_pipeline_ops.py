@@ -636,3 +636,59 @@ def test_dsir_bucket_range_and_determinism(spark):
     a = sorted(fb.collect())
     b = sorted(feature_buckets(docs, n_buckets=64).collect())
     assert a == b
+
+
+def test_classifier_score_orders_by_feature_weights(spark):
+    from deltalake2db_spark.operators.dsir import classifier_score, md5_bucket
+
+    docs = spark.createDataFrame(
+        [(1, "good good good"), (2, "bad bad bad"), (3, None)],
+        "doc_id long, text string",
+    )
+    # weight the buckets the two unigrams + their self-bigrams land in
+    buckets = {
+        r["g"]: r["b"]
+        for r in spark.createDataFrame(
+            [("good",), ("bad",), ("good good",), ("bad bad",)], ["g"]
+        ).select("g", md5_bucket(F.col("g"), 1024).alias("b")).collect()
+    }
+    w = spark.createDataFrame(
+        [(buckets["good"], 2.0), (buckets["good good"], 2.0),
+         (buckets["bad"], -2.0), (buckets["bad bad"], -2.0)],
+        "b long, w double",
+    )
+    out = {r["doc_id"]: r for r in classifier_score(docs, w).collect()}
+    assert 3 not in out                          # NULL text absent
+    assert out[1]["n_feats"] == 5                # 3 unigrams + 2 bigrams
+    assert out[1]["score"] > 0.85                # sigmoid(+2)
+    assert out[2]["score"] < 0.15                # sigmoid(-2)
+    # unweighted buckets contribute 0: a doc of unknown words scores
+    # sigmoid(bias)
+    mid = classifier_score(
+        spark.createDataFrame([(9, "zz qq")], "doc_id long, text string"),
+        w, bias=0.0,
+    ).first()
+    assert abs(mid["score"] - 0.5) < 1e-9
+
+
+def test_perplexity_buckets_equal_count_tiles(spark):
+    from deltalake2db_spark.operators.lm import perplexity_buckets
+
+    # 9 docs per lang: common words => low ppl, rare words => high
+    rows = []
+    for base, lang in ((100, "en"), (200, "de")):
+        for i in range(6):
+            rows.append((base + i, lang, f"{lang} the quick brown fox"))
+        for i in range(3):
+            rows.append((base + 50 + i, lang,
+                         f"rare{lang}{i} zyx{i} qqq{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = perplexity_buckets(docs, by_col="lang", n_buckets=3).collect()
+    assert set(r["bucket"] for r in out) == {1, 2, 3}
+    from collections import Counter
+    per = Counter((r["lang"], r["bucket"]) for r in out)
+    assert all(v == 3 for v in per.values())     # equal-count tiles
+    # the rare-word docs are the tail tier
+    for r in out:
+        if r["doc_id"] % 100 >= 50:
+            assert r["bucket"] == 3

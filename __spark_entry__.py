@@ -1257,6 +1257,21 @@ def q_classifier_score(spark, sf_dir):
     return classifier_score(d, w, bias=0.25)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval decontam: every 37th document's first 80
+    chars becomes a query; top-5 corpus hits per query by Lucene-style
+    BM25 (k1=1.2, b=0.75), ranked on the 6-decimal-rounded score with
+    doc_id tiebreak so the oracle replays the ordering exactly."""
+    from deltalake2db_spark.operators.bm25 import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 80).alias("text"),
+    )
+    return bm25_topk(d, q, k=5)
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: per-language head/middle/tail
     terciles (ntile over the 6-decimal-rounded unigram-LM perplexity,
@@ -1545,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_classifier_score": q_classifier_score,
         "q_ppl_buckets": q_ppl_buckets,
+        "q_bm25_topk": q_bm25_topk,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1564,16 +1580,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_cosine_topk": q_cosine_topk,
         "q_quantize_int8": q_quantize_int8,
-        "q_tfidf_terms": q_tfidf_terms,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
         "q_media_decode_png": q_media_decode_png,
         # -- positions 51+: r7+r8 double-certified, code untouched in r9
-        # (q_quantized_topk / q_profile_orders rotated out to make room
-        # for the new classifier/ppl gates: both r8-certified, and their
-        # functions are untouched by round-9 edits) --
+        # (q_quantized_topk / q_profile_orders / q_tfidf_terms rotated
+        # out to make room for the new classifier/ppl/bm25 gates: all
+        # r8-certified, and their functions are untouched by round-9
+        # edits) --
         "q_quantized_topk": q_quantized_topk,
         "q_profile_orders": q_profile_orders,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_domain_mix": q_domain_mix,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -2798,6 +2815,58 @@ SELECT query_id, vec_id, sim, rank FROM (
                          6) AS score
             FROM db LEFT JOIN wt USING (b)
             GROUP BY db.doc_id
+        """,
+        "q_bm25_topk": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS w
+                FROM documents WHERE text IS NOT NULL
+            ),
+            toks AS (
+                SELECT doc_id, len(w) AS dl, unnest(w) AS word FROM d
+            ),
+            tf AS (
+                SELECT doc_id, word, count(*) AS tf, max(dl) AS dl
+                FROM toks GROUP BY doc_id, word
+            ),
+            corpus AS (
+                SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d
+            ),
+            q AS (
+                SELECT doc_id AS query_id,
+                       string_split_regex(trim(substring(text, 1, 80)),
+                                          '\s+') AS qw
+                FROM documents
+                WHERE doc_id % 37 = 0 AND text IS NOT NULL
+            ),
+            qt AS (
+                SELECT DISTINCT query_id, unnest(qw) AS word FROM q
+            ),
+            dfreq AS (
+                SELECT word, count(*) AS df FROM tf
+                WHERE word IN (SELECT word FROM qt) GROUP BY word
+            ),
+            scored AS (
+                SELECT qt.query_id, tf.doc_id,
+                       round(sum(
+                           ln(1 + (n - df + 0.5) / (df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))
+                       ), 6) AS score
+                FROM tf JOIN qt USING (word) JOIN dfreq USING (word)
+                CROSS JOIN corpus
+                GROUP BY qt.query_id, tf.doc_id
+            ),
+            ranked AS (
+                SELECT query_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+                       doc_id, score
+                FROM scored
+            )
+            SELECT query_id, rank, doc_id, score FROM ranked
+            WHERE rank <= 5
         """,
         "q_ppl_buckets": r"""
             WITH toks AS (

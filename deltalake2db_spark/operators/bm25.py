@@ -1,0 +1,132 @@
+"""Okapi BM25 top-k retrieval over a tokenized corpus.
+
+Training-data pipelines use lexical retrieval for benchmark
+decontamination (find the corpus documents most similar to each eval
+question — the retrieval-based complement of the n-gram screens in
+``contamination.py``), for quality mining (retrieve near the seed set),
+and for building paired data.  BM25 (Robertson et al., TREC-3 — public
+method) is the standard scoring function; this module implements
+Lucene-flavored BM25 as pure DataFrame algebra.
+
+Model definition (deterministic, engine-independent):
+
+* tokens(d)  = ``split(trim(text), '\\s+')`` — the repo-wide convention
+* tf(d, w)   = occurrences of ``w`` in d; dl(d) = len(tokens(d))
+* N          = docs with non-NULL text; avgdl = mean dl
+* df(w)      = docs containing w
+* idf(w)     = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene: ≥ 0)
+* score(q,d) = Σ_{w ∈ distinct tokens(q)} idf(w) ·
+               tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+* top-k per query by (round(score, 6) DESC, doc id ASC) — ranking on
+  the ROUNDED score so ordering is reproducible engine-to-engine
+  (independent float summation orders agree to ~1e-12; the unrounded
+  value would make near-ties an engine lottery).
+
+Spark-first design
+------------------
+* The corpus is tokenized ONCE; ``tf`` is a (doc, word) partial-combine
+  aggregate (the one corpus-sized shuffle) with dl carried through as
+  ``max`` — no doc-keyed second pass.
+* The QUERY side is small by construction (an eval set, a seed set):
+  its distinct word set **broadcasts**, and the inner join prunes the
+  posting table to the query vocabulary BEFORE anything else — df(w)
+  is then a count WINDOW over the PRUNED postings (exact: pruning
+  drops whole words, never a word's doc rows), so the exchange it
+  needs moves only query-matched postings, never the full-vocabulary
+  table.  A separate ``pruned.groupBy(word)`` aggregate broadcast back
+  was tried first and rejected from the executed plan: Catalyst
+  column-prunes the two consumers differently (df needs only the word,
+  scoring needs tf/dl/doc), the subtrees stop being identical,
+  ReuseExchange fails, and the corpus was tokenized and tf-aggregated
+  TWICE — the same failure mode ``dsir.dsir_logweights`` documents.
+* The scoring shuffle aggregates only matched (query, doc) postings.
+* N/avgdl ride in as a broadcast one-row aggregate over a pruned
+  two-column scan; the plan stays lazy (no driver collect).
+* Final top-k is a per-query window over the scored pairs — bounded by
+  |queries| × matched docs, not the corpus.
+
+Reference scope note: the reference engine (bmsuisse/deltalake2db) has
+no text operators (SURVEY.md §2.5); this is a north-star extension for
+LLM training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+TOKEN_SPLIT = "\\s+"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_text_col: str = "text",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """``(query_id, rank, doc_id, score)`` — top-``k`` BM25 hits per
+    query, rank 1 = best, deterministic ``(score DESC, doc_id ASC)``
+    order on the 6-decimal-rounded score.
+
+    ``queries`` must be model-sized (it is broadcast); queries whose
+    terms match nothing are absent from the result.
+    """
+    words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(words).alias("__dl"),
+        F.explode(words).alias("__w"),
+    )
+    tf = toks.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+    )
+    corpus = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.size(words).alias("__dl"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg("__dl").alias("__avgdl"),
+        )
+    )
+    qwords = F.split(F.trim(F.col(query_text_col)), TOKEN_SPLIT)
+    qterms = (
+        queries.filter(F.col(query_text_col).isNotNull())
+        .select(F.col(query_id_col), F.explode(qwords).alias("__w"))
+        .distinct()
+    )
+    # prune to the query vocabulary FIRST; df(w) as a count window over
+    # the pruned postings exchanges only query-matched rows
+    pruned = tf.join(broadcast(qterms.select("__w").distinct()), "__w")
+    postings = pruned.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__w"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    norm = F.col("__tf") * F.lit(k1 + 1.0) / (
+        F.col("__tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        postings.join(broadcast(qterms), "__w")
+        .crossJoin(broadcast(corpus))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum(idf * norm), 6).alias("score"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

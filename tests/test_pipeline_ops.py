@@ -692,3 +692,44 @@ def test_perplexity_buckets_equal_count_tiles(spark):
     for r in out:
         if r["doc_id"] % 100 >= 50:
             assert r["bucket"] == 3
+
+
+def test_bm25_topk_hand_computed(spark):
+    import math
+
+    from deltalake2db_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a a"), (3, "c"), (4, None)],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(10, "a"), (11, "zzz"), (12, None)],
+        "query_id long, text string",
+    )
+    out = bm25_topk(docs, qs, k=5)
+    rows = {(r["query_id"], r["rank"]): r for r in out.collect()}
+    # N=3, avgdl=5/3, df(a)=2, idf=ln(1.6); tf=2/dl=2 beats tf=1/dl=2
+    idf = math.log(1.6)
+    s2 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 2 / (5 / 3)))
+    s1 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / (5 / 3)))
+    assert rows[(10, 1)]["doc_id"] == 2
+    assert rows[(10, 2)]["doc_id"] == 1
+    assert abs(rows[(10, 1)]["score"] - s2) < 1e-4
+    assert abs(rows[(10, 2)]["score"] - s1) < 1e-4
+    assert (10, 3) not in rows                   # 'c'-doc never matches 'a'
+    assert not any(q == 11 for q, _ in rows)     # no-match query absent
+    assert not any(q == 12 for q, _ in rows)     # NULL-text query absent
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from deltalake2db_spark.operators.bm25 import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "common words everywhere") for i in range(20)]
+        + [(100, "common words everywhere needle")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(1, "needle common")], "query_id long, text string")
+    top = bm25_topk(docs, qs, k=3).filter(F.col("rank") == 1).first()
+    assert top["doc_id"] == 100                  # rare term dominates

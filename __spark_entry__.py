@@ -1257,6 +1257,16 @@ def q_classifier_score(spark, sf_dir):
     return classifier_score(d, w, bias=0.25)
 
 
+def q_doc_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy (zero-shuffle Arrow kernel;
+    6-decimal-rounded doubles of exact counts, hash-matched against the
+    oracle's groupBy replay)."""
+    from deltalake2db_spark.operators.quality import unigram_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_entropy(d)
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 retrieval decontam: every 37th document's first 80
     chars becomes a query; top-5 corpus hits per query by Lucene-style
@@ -1561,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_classifier_score": q_classifier_score,
         "q_ppl_buckets": q_ppl_buckets,
         "q_bm25_topk": q_bm25_topk,
+        "q_doc_entropy": q_doc_entropy,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1577,7 +1588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_ivf_pq_topk": q_ivf_pq_topk,
         "q_ivf_topk": q_ivf_topk,
-        "q_lsh_topk": q_lsh_topk,
         "q_cosine_topk": q_cosine_topk,
         "q_quantize_int8": q_quantize_int8,
         "q_quality_rules": q_quality_rules,
@@ -1589,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-certified, and their functions are untouched by round-9
         # edits) --
         "q_quantized_topk": q_quantized_topk,
+        "q_lsh_topk": q_lsh_topk,
         "q_profile_orders": q_profile_orders,
         "q_tfidf_terms": q_tfidf_terms,
         "q_domain_mix": q_domain_mix,
@@ -2815,6 +2826,20 @@ SELECT query_id, vec_id, sim, rank FROM (
                          6) AS score
             FROM db LEFT JOIN wt USING (b)
             GROUP BY db.doc_id
+        """,
+        "q_doc_entropy": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS word
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, word, count(*) AS c
+                FROM toks GROUP BY doc_id, word
+            )
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+            FROM c GROUP BY doc_id
         """,
         "q_bm25_topk": r"""
             WITH d AS (

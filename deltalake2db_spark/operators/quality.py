@@ -218,3 +218,77 @@ def quality_flags(
         & F.coalesce(F.col("dup3_frac") <= max_dup3_frac, F.lit(True))
     )
     return m.withColumn("keep", keep)
+
+
+def unigram_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution.
+
+    Low-entropy documents are keyword-stuffed / templated / repetitive
+    (the same signal family as the Gopher repetition rules, but a
+    single scalar), and entropy caps are a standard pre-training filter
+    (e.g. C4/RefinedWeb-style heuristics).  Definition (engine-exact):
+
+        H(d) = ln(T) − Σ_w c_w·ln(c_w) / T,   T = Σ_w c_w
+
+    over the ``split(trim(text), '\\s+')`` token counts — 6-decimal
+    rounded IEEE doubles of exact integer counts.
+
+    Zero-shuffle: per-doc counts never cross rows, so the whole
+    computation is one Arrow pass (the shared tokenize+FNV kernel +
+    lexsort run lengths — same machinery as ``repetition_metrics``);
+    counting runs of equal 64-bit word hashes equals counting equal
+    words for any injective-in-practice hash.  Returns
+    ``(id_col, n_tokens, entropy)``; NULL-text docs are absent.
+    """
+    import numpy as np
+
+    from .contamination import _word_hash_stream
+
+    id_field = df.schema[id_col]
+    out_schema = (
+        f"`{id_field.name}` {id_field.dataType.simpleString()}, "
+        "__t long, __s double"
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            texts = b.column(1)
+            nd = b.num_rows
+            null_mask = np.asarray(texts.is_null())
+            di, wh = _word_hash_stream(texts)
+            tot = np.bincount(di, minlength=nd)
+            s = np.zeros(nd, dtype=np.float64)
+            if len(wh):
+                order = np.lexsort((wh, di))
+                ds, hs = di[order], wh[order]
+                starts = np.flatnonzero(
+                    np.concatenate(
+                        ([True], (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1]))
+                    )
+                )
+                run_len = np.diff(np.append(starts, len(ds)))
+                run_doc = ds[starts]
+                doc_starts = np.flatnonzero(
+                    np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
+                )
+                docs_present = run_doc[doc_starts]
+                s[docs_present] = np.add.reduceat(
+                    run_len * np.log(run_len), doc_starts
+                )
+            tot[null_mask] = 0
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(tot), pa.array(s)],
+                names=[id_col, "__t", "__s"],
+            )
+
+    counts = df.select(id_col, text_col).mapInArrow(gen, out_schema)
+    t = F.col("__t")
+    return counts.filter(t > 0).select(
+        F.col(id_col),
+        t.alias("n_tokens"),
+        F.round(F.log(t) - F.col("__s") / t, 6).alias("entropy"),
+    )

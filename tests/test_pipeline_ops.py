@@ -733,3 +733,21 @@ def test_bm25_rare_term_outranks_common(spark):
     qs = spark.createDataFrame([(1, "needle common")], "query_id long, text string")
     top = bm25_topk(docs, qs, k=3).filter(F.col("rank") == 1).first()
     assert top["doc_id"] == 100                  # rare term dominates
+
+
+def test_unigram_entropy_hand_computed(spark):
+    import math
+
+    from deltalake2db_spark.operators.quality import unigram_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "a a a"), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_entropy(docs).collect()}
+    assert 4 not in out                               # NULL text absent
+    assert abs(out[1]["entropy"] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-6
+    assert abs(out[2]["entropy"] - math.log(3)) < 1e-6
+    assert out[3]["entropy"] == 0.0                   # all-same: zero
+    assert out[5]["n_tokens"] == 1 and out[5]["entropy"] == 0.0
+    assert out[2]["n_tokens"] == 3

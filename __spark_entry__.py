@@ -2788,9 +2788,12 @@ SELECT query_id, vec_id, sim, rank FROM (
                 FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
             ),
             db AS (
-                SELECT doc_id, b, count(*) AS c FROM fb GROUP BY doc_id, b
+                SELECT doc_id, b, count(*) AS c,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+                FROM fb GROUP BY doc_id, b
             )
             SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_feats,
+                   CAST(sum(db.tc) AS BIGINT) AS n_target_feats,
                    round(sum(db.c * lam.l), 6) AS log_weight
             FROM db JOIN lam USING (b)
             GROUP BY db.doc_id

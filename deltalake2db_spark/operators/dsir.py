@@ -128,9 +128,21 @@ def dsir_logweights(
 
     ``target`` is a boolean Column over ``df``'s rows selecting the
     target sample (e.g. ``F.col("lang") == "en"`` or a membership flag
-    joined in beforehand).  Returns ``(id_col, n_feats, log_weight)``;
-    documents with no tokens (NULL text) are absent.  Resample with
-    ``exp(log_weight)`` as the sampling weight.
+    joined in beforehand).  Returns ``(id_col, n_feats, n_target_feats,
+    log_weight)`` — ``n_target_feats`` is ``n_feats`` for target-slice
+    documents and 0 otherwise (a per-row target flag that survives the
+    aggregation); documents with no tokens (NULL text) are absent.
+    Resample with ``exp(log_weight)`` as the sampling weight.
+
+    ``n_target_feats`` is also LOAD-BEARING for the plan: it makes the
+    scoring branch consume ``tc_part``, so its per-(doc, bucket)
+    aggregate — and everything below it, down through the window's
+    exchange — stays column-identical to the histogram branch's, and
+    ReuseExchange shares ONE corpus tokenize+shuffle between them.
+    Without it Catalyst prunes ``tc_part`` (and ``__tgt`` below the
+    window) out of the scoring branch only, the subtrees diverge, and
+    the executed plan re-scans and re-shuffles the corpus for the λ
+    broadcast (observed: two FileScan+Exchange+Window chains).
     """
     feats = feature_buckets(
         df.withColumn("__tgt", target), text_col, id_col, n_buckets,
@@ -175,6 +187,7 @@ def dsir_logweights(
         .groupBy(id_col)
         .agg(
             F.sum("c").cast("long").alias("n_feats"),
+            F.sum("tc_part").cast("long").alias("n_target_feats"),
             F.round(F.sum(F.col("c") * F.col("l")), 6).alias("log_weight"),
         )
     )

@@ -77,6 +77,9 @@ def bm25_topk(
     ``queries`` must be model-sized (it is broadcast); queries whose
     terms match nothing are absent from the result.
     """
+    from .parallel import spread_scan
+
+    docs = spread_scan(docs)  # tokenize must not run on one row group
     words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
     toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),

@@ -77,6 +77,9 @@ def feature_buckets(
     occurrence, bucketed.  Requires row-unique ``id_col`` (each source
     row's word stream is its own document).  NULL text yields no rows.
     """
+    from .parallel import spread_scan
+
+    df = spread_scan(df)  # tokenize must not run on one row group
     words = F.split(F.trim(F.col(text_col)), "\\s+")
     ex = df.select(
         F.col(id_col), *[F.col(c) for c in carry_cols],

@@ -1,0 +1,56 @@
+"""Scan-parallelism guard for CPU-heavy map stages.
+
+A parquet ROW GROUP is the unit of scan splitting: a corpus that
+arrives as one file with one row group scans as ONE task no matter how
+many cores the session has (``spark.sql.files.minPartitionNum`` splits
+byte ranges, but every range except the row group's maps to zero
+rows).  Any operator whose map side is expensive — tokenize + explode
++ partial aggregation, per-word hashing — then runs single-threaded
+before its first exchange.  Measured at sf0.1 (single-row-group
+documents.parquet, 32-core local): the BM25 tf stage took 3.05 s on
+one task; a round-robin repartition ahead of it cut the full gate
+4.92 → 2.00 s.
+
+``spread_scan`` repartitions ONLY when the source is
+parallelism-deficient, so at the 100 TB design point (thousands of
+input files, wide scans) it is a no-op and never inserts a
+corpus-sized shuffle; in the deficient case the shuffle it adds moves
+raw rows once — strictly cheaper than leaving every token of the
+corpus on one core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _session_cores(spark) -> int:
+    """Physical task slots of the session (local[N] threads, or the
+    cluster's defaultParallelism = total executor cores)."""
+    sc = spark.sparkContext
+    master = sc.master or ""
+    if master.startswith("local["):
+        inner = master[len("local["):-1].split(",")[0]
+        if inner != "*":
+            try:
+                return max(int(inner), sc.defaultParallelism)
+            except ValueError:
+                pass
+    return sc.defaultParallelism
+
+
+def spread_scan(df: DataFrame, min_ratio: int = 4) -> DataFrame:
+    """Round-robin repartition ``df`` to the session's core count when
+    its current parallelism is more than ``min_ratio``× below it;
+    otherwise return ``df`` unchanged.
+
+    Call this ahead of a CPU-heavy map stage (tokenize/explode/hash)
+    whose input may be a small number of row groups.  Values are
+    partition-independent downstream (aggregates, windows keyed by
+    row-local ids), so the round-robin placement never changes
+    results.
+    """
+    target = _session_cores(df.sparkSession)
+    if df.rdd.getNumPartitions() * min_ratio <= target:
+        return df.repartition(target)
+    return df

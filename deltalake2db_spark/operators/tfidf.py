@@ -42,8 +42,12 @@ def term_stats(
     ``doc_freq`` counts *groups* containing the word;
     ``score = term_freq * (n_groups - doc_freq + 1)`` (exact integers).
     """
+    from .parallel import spread_scan
+
     words = F.split(F.trim(F.col(text_col)), "\\s+")
-    toks = df.select(F.col(group_col).alias("group"), F.explode(words).alias("word"))
+    toks = spread_scan(df).select(
+        F.col(group_col).alias("group"), F.explode(words).alias("word")
+    )
     tf = toks.groupBy("group", "word").agg(F.count(F.lit(1)).alias("term_freq"))
     # doc_freq as a count window over the vocabulary-sized tf table —
     # the former dfreq aggregate + equi-join re-shuffled tf twice for

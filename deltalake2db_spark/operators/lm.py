@@ -132,6 +132,8 @@ def perplexity_buckets(
     n_buckets: int = 3,
     top_v: int = 65536,
     counts_df: DataFrame | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet-style head/middle/tail perplexity bucketing.
 
@@ -144,16 +146,17 @@ def perplexity_buckets(
     (``ntile`` has identical semantics in ANSI SQL, so a DuckDB oracle
     replays it exactly).
 
-    Scale note: ``ntile`` is a rank over each ``by_col`` partition —
-    one exchange on ``by_col`` with a per-group sort.  Groups are
-    languages (tens), each potentially corpus-sized, so the sort is
-    the honest cost of EXACT equal-count terciles; a pipeline that
-    can tolerate approximate cuts at 100 TB should instead compute
-    ``percentile_approx`` cut points per group (model-sized result),
-    broadcast them, and bucket with a ``CASE`` — same output schema,
-    no full sort.  The exact form is kept here because CCNet's
-    contract is equal-count tiles and the driver oracle certifies
-    exactness.
+    Scale note: ``ntile`` (``exact=True``, default) is a rank over
+    each ``by_col`` partition — one exchange on ``by_col`` with a
+    per-group sort.  Groups are languages (tens), each potentially
+    corpus-sized, so the sort is the honest cost of EXACT equal-count
+    terciles, and the driver oracle certifies that form.
+    ``exact=False`` is the 100 TB path: ``percentile_approx`` cut
+    points per group (a model-sized aggregate — map-side sketch merge,
+    never a full sort) broadcast back, bucket = 1 + #cuts below the
+    score.  Same output schema; per-tile counts are approximate within
+    the sketch accuracy, and ties around a cut point all land on the
+    same side (where exact ntile would split them by id).
 
     Returns ``(id_col, by_col..., n_tokens, perplexity, bucket)`` with
     bucket 1 = head (least perplexed) .. ``n_buckets`` = tail.
@@ -166,6 +169,32 @@ def perplexity_buckets(
     ).join(df.select(id_col, *keep), id_col) if keep else perplexity_score(
         df, text_col, id_col, top_v, counts_df=counts_df
     )
+    if not exact:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = scored.groupBy(*keep).agg(
+            F.percentile_approx(
+                "perplexity", probs, accuracy
+            ).alias("__cuts")
+        )
+        joined = (
+            scored.join(broadcast(cuts), keep)
+            if keep
+            else scored.crossJoin(broadcast(cuts))
+        )
+        # unrolled per cut (n_buckets is a small Python int) — HOF
+        # aggregate() lambdas evaluate interpreted per element
+        bucket = F.lit(1)
+        for i in range(1, n_buckets):
+            bucket = bucket + F.when(
+                F.col("perplexity") > F.element_at("__cuts", i), F.lit(1)
+            ).otherwise(F.lit(0))
+        return joined.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            F.col("n_tokens"),
+            F.col("perplexity"),
+            bucket.cast("int").alias("bucket"),
+        )
     part = Window.partitionBy(*keep).orderBy(
         F.col("perplexity").asc(), F.col(id_col).asc()
     )

@@ -751,3 +751,34 @@ def test_unigram_entropy_hand_computed(spark):
     assert out[3]["entropy"] == 0.0                   # all-same: zero
     assert out[5]["n_tokens"] == 1 and out[5]["entropy"] == 0.0
     assert out[2]["n_tokens"] == 3
+
+
+def test_perplexity_buckets_approx_matches_exact_shape(spark):
+    from deltalake2db_spark.operators.lm import perplexity_buckets
+
+    rows = []
+    for base, lang in ((100, "en"), (400, "de")):
+        for i in range(30):
+            # three plateaus of distinct perplexity per lang
+            word = ["common common common", "mid rare word here",
+                    f"uniq{i} zz{i} qq{i} xx{i}"][i % 3]
+            rows.append((base + i, lang, word))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    exact = {r["doc_id"]: r["bucket"]
+             for r in perplexity_buckets(docs, by_col="lang").collect()}
+    approx = {r["doc_id"]: r["bucket"]
+              for r in perplexity_buckets(docs, by_col="lang", exact=False).collect()}
+    assert set(approx) == set(exact)
+    assert set(approx.values()) <= {1, 2, 3}
+    # monotone agreement: approx bucket order never inverts the exact one
+    from deltalake2db_spark.operators.lm import perplexity_score
+    ppl = {r["doc_id"]: r["perplexity"]
+           for r in perplexity_score(docs).collect()}
+    for a in approx:
+        for b in approx:
+            if ppl[a] < ppl[b]:
+                assert approx[a] <= approx[b]
+    # within a lang each bucket is non-empty at this group size
+    for lang_base in (100, 400):
+        got = {approx[d] for d in approx if lang_base <= d < lang_base + 30}
+        assert got == {1, 2, 3}

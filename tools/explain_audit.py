@@ -161,6 +161,45 @@ def main() -> int:
         )
     sections.append(("fused IVF-PQ single-pass scan", formatted(df)))
 
+    # 9. DSIR: histogram and scoring branches must SHARE the corpus
+    # exchange (ReuseExchange) — one FileScan total.  Catalyst pruning
+    # the target flag out of one branch silently re-scans+re-shuffles
+    # the corpus (the r9 regression n_target_feats exists to prevent).
+    from deltalake2db_spark.operators.dsir import dsir_logweights
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    df = dsir_logweights(docs, F.col("lang") == "en")
+    p = plan_of(df)
+    if p.count("Scan parquet") != 1:
+        failures.append(
+            f"dsir_logweights scans the corpus {p.count('Scan parquet')}x; "
+            "the lambda branch must reuse the window exchange"
+        )
+    if "ReusedExchange" not in p:
+        failures.append("dsir_logweights lambda branch does not ReuseExchange")
+    sections.append(("DSIR shared corpus exchange", formatted(df)))
+
+    # 10. BM25: one corpus tokenize pass (tf) + one pruned-column stats
+    # pass — never a third scan (the groupBy-df formulation re-tokenized
+    # the corpus when ReuseExchange failed on pruning), and every join
+    # is broadcast (query side is model-sized).
+    from deltalake2db_spark.operators.bm25 import bm25_topk
+
+    qdf = spark.createDataFrame(
+        [(1, "the quick brown"), (2, "lazy dog")],
+        "query_id long, text string",
+    )
+    df = bm25_topk(docs, qdf, k=3)
+    p = plan_of(df)
+    if p.count("Scan parquet") > 2:
+        failures.append(
+            f"bm25_topk scans the corpus {p.count('Scan parquet')}x "
+            "(tf + stats are the only two sanctioned passes)"
+        )
+    if "SortMergeJoin" in p:
+        failures.append("bm25_topk shuffles a join that must broadcast")
+    sections.append(("BM25 two-pass corpus, broadcast joins", formatted(df)))
+
     if "--dump" in sys.argv:
         with open("/root/repo/PLANS.md", "w") as fh:
             fh.write("# Physical plan audit (generated by tools/explain_audit.py)\n")

@@ -1257,6 +1257,19 @@ def q_classifier_score(spark, sf_dir):
     return classifier_score(d, w, bias=0.25)
 
 
+def q_knn_classify(spark, sf_dir):
+    """k-NN label propagation: every 10th embedding is the labeled seed
+    set; the rest get the majority label of their 5 cosine-nearest
+    seeds (rounded-sim ranking, seed-id then label-asc tie-breaks — the
+    oracle replays the vote exactly)."""
+    from deltalake2db_spark.operators.knn import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 10 == 0)
+    items = emb.filter(F.col("vec_id") % 10 != 0)
+    return knn_classify(items, seeds, k=5)
+
+
 def q_doc_entropy(spark, sf_dir):
     """Per-document unigram Shannon entropy (zero-shuffle Arrow kernel;
     6-decimal-rounded doubles of exact counts, hash-matched against the
@@ -1572,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppl_buckets": q_ppl_buckets,
         "q_bm25_topk": q_bm25_topk,
         "q_doc_entropy": q_doc_entropy,
+        "q_knn_classify": q_knn_classify,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1588,7 +1602,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_ivf_pq_topk": q_ivf_pq_topk,
         "q_ivf_topk": q_ivf_topk,
-        "q_cosine_topk": q_cosine_topk,
         "q_quantize_int8": q_quantize_int8,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
@@ -1599,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-certified, and their functions are untouched by round-9
         # edits) --
         "q_quantized_topk": q_quantized_topk,
+        "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_profile_orders": q_profile_orders,
         "q_tfidf_terms": q_tfidf_terms,
@@ -2829,6 +2843,45 @@ SELECT query_id, vec_id, sim, rank FROM (
                          6) AS score
             FROM db LEFT JOIN wt USING (b)
             GROUP BY db.doc_id
+        """,
+        "q_knn_classify": r"""
+            WITH seeds AS (
+                SELECT vec_id AS sid, embedding AS se, label
+                FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            items AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 10 <> 0
+            ),
+            dots AS (
+                SELECT it.vec_id, s.sid, s.label,
+                       sum(it.embedding[i.i+1]::DOUBLE * s.se[i.i+1]::DOUBLE) AS dot,
+                       sum(it.embedding[i.i+1]::DOUBLE * it.embedding[i.i+1]::DOUBLE) AS na,
+                       sum(s.se[i.i+1]::DOUBLE * s.se[i.i+1]::DOUBLE) AS nb
+                FROM items it, seeds s, range(0, 64) i(i)
+                GROUP BY 1, 2, 3
+            ),
+            ranked AS (
+                SELECT vec_id, label,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 4)
+                                    DESC, sid ASC
+                       ) AS r
+                FROM dots
+            ),
+            votes AS (
+                SELECT vec_id, label, count(*) AS c
+                FROM ranked WHERE r <= 5 GROUP BY 1, 2
+            )
+            SELECT vec_id, label AS pred_label, CAST(c AS INT) AS n_votes
+            FROM (
+                SELECT vec_id, label, c,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY c DESC, label ASC
+                       ) AS rr
+                FROM votes
+            ) WHERE rr = 1
         """,
         "q_doc_entropy": r"""
             WITH toks AS (

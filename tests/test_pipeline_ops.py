@@ -782,3 +782,38 @@ def test_perplexity_buckets_approx_matches_exact_shape(spark):
     for lang_base in (100, 400):
         got = {approx[d] for d in approx if lang_base <= d < lang_base + 30}
         assert got == {1, 2, 3}
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from deltalake2db_spark.operators.knn import knn_classify
+
+    seeds = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.9, 0.1], 1),
+            (2, [0.0, 1.0], 2),
+            (3, [0.1, 0.9], 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    items = spark.createDataFrame(
+        [
+            (10, [1.0, 0.05]),   # x-ish: labels {1,1,2?} at k=3
+            (11, [0.05, 1.0]),   # y-ish
+            (12, None),          # dropped
+            (13, [0.0, 0.0]),    # zero norm: dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in knn_classify(items, seeds, k=3).collect()}
+    assert set(out) == {10, 11}
+    assert out[10]["pred_label"] == 1 and out[10]["n_votes"] == 2
+    assert out[11]["pred_label"] == 2 and out[11]["n_votes"] == 2
+    # 2-2 vote tie at k=4 -> lowest label wins
+    tie = knn_classify(items.filter("vec_id = 10"), seeds, k=4).first()
+    assert tie["pred_label"] == 1 and tie["n_votes"] == 2
+    # scale-invariance of cosine: doubling the item vector changes nothing
+    scaled = spark.createDataFrame(
+        [(10, [2.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    assert knn_classify(scaled, seeds, k=3).first()["pred_label"] == 1

@@ -1257,6 +1257,18 @@ def q_classifier_score(spark, sf_dir):
     return classifier_score(d, w, bias=0.25)
 
 
+def q_unimax(spark, sf_dir):
+    """UniMax language-budget allocation: water-fill 60% of the corpus
+    token mass across languages, max 1.2 epochs each — the closed-form
+    window formulation, replayed exactly by the oracle."""
+    from deltalake2db_spark.operators.sampling import unimax_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.sum("n_chars").alias("n_tokens"))
+    total = counts.agg(F.sum("n_tokens")).first()[0]
+    return unimax_allocation(counts, budget=0.6 * total, max_epochs=1.2)
+
+
 def q_knn_classify(spark, sf_dir):
     """k-NN label propagation: every 10th embedding is the labeled seed
     set; the rest get the majority label of their 5 cosine-nearest
@@ -1586,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_doc_entropy": q_doc_entropy,
         "q_knn_classify": q_knn_classify,
+        "q_unimax": q_unimax,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
@@ -1602,7 +1615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_ivf_pq_topk": q_ivf_pq_topk,
         "q_ivf_topk": q_ivf_topk,
-        "q_quantize_int8": q_quantize_int8,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
         "q_media_decode_png": q_media_decode_png,
@@ -1612,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-certified, and their functions are untouched by round-9
         # edits) --
         "q_quantized_topk": q_quantized_topk,
+        "q_quantize_int8": q_quantize_int8,
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_profile_orders": q_profile_orders,
@@ -2843,6 +2856,43 @@ SELECT query_id, vec_id, sim, rank FROM (
                          6) AS score
             FROM db LEFT JOIN wt USING (b)
             GROUP BY db.doc_id
+        """,
+        "q_unimax": r"""
+            WITH counts AS (
+                SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY lang
+            ),
+            tot AS (
+                SELECT 0.6 * sum(n_tokens) AS B, count(*) AS m FROM counts
+            ),
+            r AS (
+                SELECT lang, n_tokens, 1.2 * n_tokens AS cap,
+                       row_number() OVER (
+                           ORDER BY 1.2 * n_tokens, lang) AS rn,
+                       coalesce(sum(1.2 * n_tokens) OVER (
+                           ORDER BY 1.2 * n_tokens, lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cumb
+                FROM counts
+            ),
+            th AS (
+                SELECT r.*, (B - cumb) / (m - rn + 1) AS theta
+                FROM r CROSS JOIN tot
+            ),
+            lvl AS (
+                SELECT min(rn) AS lstar, arg_min(theta, rn) AS level
+                FROM th WHERE cap >= theta
+            )
+            SELECT lang, n_tokens,
+                   round(alloc, 6) AS budget_tokens,
+                   round(least(1.0, alloc / n_tokens), 6) AS fraction,
+                   round(alloc / n_tokens, 6) AS epochs
+            FROM (
+                SELECT th.lang, th.n_tokens,
+                       CASE WHEN lstar IS NULL OR th.rn < lstar
+                            THEN th.cap ELSE level END AS alloc
+                FROM th CROSS JOIN lvl
+            )
         """,
         "q_knn_classify": r"""
             WITH seeds AS (

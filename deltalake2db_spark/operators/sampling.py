@@ -128,3 +128,77 @@ def split_train_eval(
         F.when(sample_hash(F.col(key), salt) < F.lit(thresh), F.lit("eval"))
         .otherwise(F.lit("train")),
     )
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    budget: float,
+    max_epochs: float = 1.0,
+    group_col: str = "lang",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023 — public method):
+    distribute a total token ``budget`` as uniformly as possible across
+    groups (languages), never exceeding ``max_epochs`` passes over any
+    group's ``count_col`` tokens.
+
+    This is water-filling with per-group caps ``c_g = max_epochs · n_g``
+    and it has a closed form over the cap-ascending order: groups are
+    capped on a PREFIX, and every uncapped group gets the same level
+    θ = (budget − Σ capped c) / #uncapped, where the prefix boundary is
+    the first row whose cap reaches its provisional uniform share
+    (budget − spent-so-far)/(groups remaining).  That closed form is
+    window-expressible, so the whole allocation is a lazy DataFrame
+    plan (no driver loop) AND a SQL oracle replays it exactly.
+
+    Scale: ``counts`` is a per-group aggregate — model-sized (tens to
+    thousands of rows).  The window sorts those rows, never a corpus.
+    If the budget exceeds the total capped capacity every group
+    allocates its full cap (θ never binds).
+
+    Returns ``(group_col, count_col, budget_tokens, fraction, epochs)``
+    — ``fraction`` = allocated/available (cap-bounded by
+    ``max_epochs``), 6-decimal-rounded; feed ``min(fraction, 1.0)``
+    to ``hash_fraction_sample`` for epochs ≤ 1 pipelines.
+    """
+    c = (F.col(count_col).cast("double") * F.lit(float(max_epochs))).alias(
+        "__cap"
+    )
+    w = Window.orderBy("__cap", group_col)
+    rows = counts.select(F.col(group_col), F.col(count_col), c).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn(
+        "__cumb",
+        F.coalesce(
+            F.sum("__cap").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ),
+    )
+    m = counts.agg(F.count(F.lit(1)).alias("__m"))
+    rows = rows.crossJoin(F.broadcast(m)).withColumn(
+        "__theta",
+        (F.lit(float(budget)) - F.col("__cumb"))
+        / (F.col("__m") - F.col("__rn") + 1),
+    )
+    # the water level: θ at the FIRST cap-ascending row whose cap
+    # reaches its provisional share (NULL when every group is capped)
+    level = rows.filter(F.col("__cap") >= F.col("__theta")).agg(
+        F.min_by("__theta", "__rn").alias("__level"),
+        F.min("__rn").alias("__lstar"),
+    )
+    alloc = F.when(
+        F.col("__lstar").isNull() | (F.col("__rn") < F.col("__lstar")),
+        F.col("__cap"),
+    ).otherwise(F.col("__level"))
+    return (
+        rows.crossJoin(F.broadcast(level))
+        .select(
+            F.col(group_col),
+            F.col(count_col),
+            F.round(alloc, 6).alias("budget_tokens"),
+            F.round(
+                F.least(F.lit(1.0), alloc / F.col(count_col)), 6
+            ).alias("fraction"),
+            F.round(alloc / F.col(count_col), 6).alias("epochs"),
+        )
+    )

@@ -817,3 +817,30 @@ def test_knn_classify_majority_and_ties(spark):
         [(10, [2.0, 0.1])], "vec_id long, embedding array<double>"
     )
     assert knn_classify(scaled, seeds, k=3).first()["pred_label"] == 1
+
+
+def test_unimax_water_filling(spark):
+    from deltalake2db_spark.operators.sampling import unimax_allocation
+
+    counts = spark.createDataFrame(
+        [("small", 100), ("mid", 1000), ("big", 10000)],
+        "lang string, n_tokens long",
+    )
+    # budget 3000, cap 1 epoch: small caps at 100, mid at 1000, big
+    # gets the rest (1900) — uniform share was 1000 < mid's would-be...
+    out = {r["lang"]: r for r in
+           unimax_allocation(counts, budget=3000, max_epochs=1.0).collect()}
+    assert out["small"]["budget_tokens"] == 100.0    # capped
+    assert out["mid"]["budget_tokens"] == 1000.0     # capped at 1 epoch
+    assert out["big"]["budget_tokens"] == 1900.0     # the water level
+    assert abs(sum(r["budget_tokens"] for r in out.values()) - 3000) < 1e-6
+    assert out["big"]["epochs"] == 0.19
+    # uniform regime: budget small enough that nothing caps
+    u = {r["lang"]: r["budget_tokens"] for r in
+         unimax_allocation(counts, budget=150, max_epochs=1.0).collect()}
+    assert all(abs(v - 50.0) < 1e-6 for v in u.values())
+    # budget above total capacity: every group allocates its full cap
+    o = {r["lang"]: r for r in
+         unimax_allocation(counts, budget=1e9, max_epochs=2.0).collect()}
+    assert all(o[l]["epochs"] == 2.0 for l in o)
+    assert all(o[l]["fraction"] == 1.0 for l in o)   # fraction caps at 1

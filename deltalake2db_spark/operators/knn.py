@@ -52,8 +52,14 @@ def knn_classify(
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    seeds = labeled.select(id_col, vec_col, label_col).collect()
-    sid = np.array([r[0] for r in seeds], dtype=np.int64)
+    seeds = (
+        labeled.filter(
+            labeled[label_col].isNotNull() & labeled[vec_col].isNotNull()
+        )
+        .select(id_col, vec_col, label_col)
+        .collect()
+    )
+    sid = np.array([r[0] for r in seeds])  # int or string ids both sort
     smat = np.array([np.asarray(r[1], dtype=np.float64) for r in seeds])
     slab = np.array([r[2] for r in seeds])
     norms = np.sqrt((smat * smat).sum(axis=1))
@@ -89,9 +95,10 @@ def knn_classify(
                     keep.append(i)
                     X.append(a / n)
             if not keep:
+                # empty frame with the input id dtype preserved
                 yield pd.DataFrame(
                     {
-                        id_col: pd.Series([], dtype="int64"),
+                        id_col: pdf[id_col].iloc[:0],
                         "pred_label": pd.Series([], dtype=object),
                         "n_votes": pd.Series([], dtype="int32"),
                     }

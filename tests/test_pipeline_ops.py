@@ -844,3 +844,24 @@ def test_unimax_water_filling(spark):
          unimax_allocation(counts, budget=1e9, max_epochs=2.0).collect()}
     assert all(o[l]["epochs"] == 2.0 for l in o)
     assert all(o[l]["fraction"] == 1.0 for l in o)   # fraction caps at 1
+
+
+def test_knn_classify_null_seeds_and_empty_batch(spark):
+    from deltalake2db_spark.operators.knn import knn_classify
+
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, None, 2), (2, [0.0, 1.0], None),
+         (3, [0.0, 1.0], 2)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    items = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_classify(items, seeds, k=1).collect()
+    assert len(out) == 1 and out[0]["vec_id"] == 10 and out[0]["pred_label"] == 1
+    # all-null batch yields an empty, schema-correct frame
+    none_items = spark.createDataFrame(
+        [(20, None)], "vec_id long, embedding array<double>"
+    )
+    assert knn_classify(none_items, seeds, k=1).count() == 0

@@ -32,16 +32,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _sq_l2(vec_col, centroid: list[float]):
-    """Squared L2 distance as a sequential fold — the same left-to-right
-    IEEE-double accumulation a SQL oracle's ordered sum performs."""
-    carr = F.array(*[F.lit(float(x)) for x in centroid])
-    diffs = F.zip_with(
-        F.col(vec_col), carr, lambda x, c: (x.cast("double") - c) ** 2
-    )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
-
-
 def kmeans_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -65,17 +55,43 @@ def kmeans_assign(
     expansion, same value up to ~1e-12 cancellation noise).
     """
     if impl == "column":
-        best_cell = F.lit(-1)
-        best_d = F.lit(float("inf"))
+        # Two hazards drove this shape (SCALE.md §7h):
+        # 1. the original when-chain fold referenced its accumulator
+        #    twice per centroid — a 2^k expression tree of interpreted
+        #    zip_with/aggregate HOFs (6.7 s for k=8 over 2k rows);
+        # 2. rebuilding it from Column operators costs one Py4J round
+        #    trip per node — k×dim×6 calls ≈ seconds of DRIVER time on
+        #    every plan build.
+        # So each distance is ONE F.expr over a Python-built SQL string
+        # (linear left-to-right adds of (x-c)*(x-c), the oracle's
+        # ordered sum), materialized once in its own projection;
+        # argmin = least() + first-match CASE (ties -> lowest cell).
+        dnames = [f"__kmd{ci}" for ci in range(len(centroids))]
+        dcols = []
         for ci, c in enumerate(centroids):
-            d = _sq_l2(vec_col, c)
-            improved = d < best_d
-            best_cell = F.when(improved, F.lit(ci)).otherwise(best_cell)
-            best_d = F.when(improved, d).otherwise(best_d)
-        res = df.withColumn(out, best_cell)
+            terms = " + ".join(
+                f"(CAST(element_at(`{vec_col}`, {j + 1}) AS DOUBLE)"
+                f" - {float(v)!r}) * "
+                f"(CAST(element_at(`{vec_col}`, {j + 1}) AS DOUBLE)"
+                f" - {float(v)!r})"
+                for j, v in enumerate(c)
+            )
+            dcols.append(F.expr(terms).alias(dnames[ci]))
+        tmp = df.select("*", *dcols)
+        best_expr = (
+            dnames[0]
+            if len(dnames) == 1
+            else "least(" + ", ".join(dnames) + ")"
+        )
+        # all-NULL distances (NULL vector) fall through to cell -1
+        cases = " ".join(
+            f"WHEN {n} = {best_expr} THEN {ci}"
+            for ci, n in enumerate(dnames)
+        )
+        res = tmp.withColumn(out, F.expr(f"CASE {cases} ELSE -1 END"))
         if out_dist is not None:
-            res = res.withColumn(out_dist, best_d)
-        return res
+            res = res.withColumn(out_dist, F.expr(best_expr))
+        return res.drop(*dnames)
 
     import numpy as np
 

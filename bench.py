@@ -281,6 +281,11 @@ def emit(sf_dir: str, draws: list[dict]) -> None:
     try:
         with open(detail_path) as fh:
             prev = json.load(fh)
+        # drift is only meaningful against a sidecar of the SAME scale
+        # factor — a leftover sf0.01 smoke run would otherwise make
+        # every ratio look like 10x machine drift
+        if prev.get("sf") is not None and prev.get("sf") != out.get("sf"):
+            raise ValueError("sidecar sf mismatch")
         prev_oracle = prev.get("duckdb_oracle_total_sec")
         prev_q = prev.get("headline_spark_queries") or {}
         if not prev_q and prev.get("draws"):

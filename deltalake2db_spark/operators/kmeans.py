@@ -55,43 +55,44 @@ def kmeans_assign(
     expansion, same value up to ~1e-12 cancellation noise).
     """
     if impl == "column":
-        # Two hazards drove this shape (SCALE.md §7h):
+        # Three hazards drove this shape (SCALE.md §7h):
         # 1. the original when-chain fold referenced its accumulator
         #    twice per centroid — a 2^k expression tree of interpreted
-        #    zip_with/aggregate HOFs (6.7 s for k=8 over 2k rows);
-        # 2. rebuilding it from Column operators costs one Py4J round
-        #    trip per node — k×dim×6 calls ≈ seconds of DRIVER time on
-        #    every plan build.
-        # So each distance is ONE F.expr over a Python-built SQL string
-        # (linear left-to-right adds of (x-c)*(x-c), the oracle's
-        # ordered sum), materialized once in its own projection;
-        # argmin = least() + first-match CASE (ties -> lowest cell).
-        dnames = [f"__kmd{ci}" for ci in range(len(centroids))]
-        dcols = []
-        for ci, c in enumerate(centroids):
-            terms = " + ".join(
-                f"(CAST(element_at(`{vec_col}`, {j + 1}) AS DOUBLE)"
-                f" - {float(v)!r}) * "
-                f"(CAST(element_at(`{vec_col}`, {j + 1}) AS DOUBLE)"
-                f" - {float(v)!r})"
-                for j, v in enumerate(c)
-            )
-            dcols.append(F.expr(terms).alias(dnames[ci]))
-        tmp = df.select("*", *dcols)
-        best_expr = (
-            dnames[0]
-            if len(dnames) == 1
-            else "least(" + ", ".join(dnames) + ")"
+        #    HOFs (6.7 s for k=8 over 2k rows at sf0.1);
+        # 2. building expressions from Column operators costs one Py4J
+        #    round trip per node (k×dim×6 driver calls per plan build);
+        # 3. even a string-built codegen spelling (k unrolled 64-term
+        #    sums) re-paid its k×dim-node tree on every downstream
+        #    re-analysis AND a giant janino compile — measured SLOWER
+        #    end-to-end than interpreting the HOF at gate scale.
+        # So: ONE F.expr — transform over the centroid-matrix literal,
+        # each distance an aggregate(zip_with(...)) fold.  The fold is
+        # the oracle's ordered sum ((x-c)*(x-c), left-to-right, +0.0
+        # seed — bit-equal).  HOF lambdas evaluate interpreted, which
+        # is fine HERE: the column impl exists for oracle-exact gates
+        # on model-sized inputs; impl='arrow' is the throughput path.
+        # Ties -> lowest cell via array_position's first match; a NULL
+        # vector yields an all-NULL distance array -> cell -1.
+        rows = ", ".join(
+            "array(" + ", ".join(repr(float(v)) for v in c) + ")"
+            for c in centroids
         )
-        # all-NULL distances (NULL vector) fall through to cell -1
-        cases = " ".join(
-            f"WHEN {n} = {best_expr} THEN {ci}"
-            for ci, n in enumerate(dnames)
+        arr = (
+            f"transform(array({rows}), c -> aggregate("
+            f"zip_with(`{vec_col}`, c, (x, y) -> "
+            "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0.0 AS DOUBLE), (a, d) -> a + d))"
         )
-        res = tmp.withColumn(out, F.expr(f"CASE {cases} ELSE -1 END"))
+        tmp = df.select("*", F.expr(arr).alias("__kmds"))
+        sel = [
+            F.expr(
+                "nvl(CAST(array_position(__kmds, array_min(__kmds))"
+                " AS INT) - 1, -1)"
+            ).alias(out)
+        ]
         if out_dist is not None:
-            res = res.withColumn(out_dist, F.expr(best_expr))
-        return res.drop(*dnames)
+            sel.append(F.expr("array_min(__kmds)").alias(out_dist))
+        return tmp.select("*", *sel).drop("__kmds")
 
     import numpy as np
 

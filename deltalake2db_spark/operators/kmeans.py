@@ -13,8 +13,8 @@ Scale design (1e9+ vectors):
   list broadcast into the plan (k is hundreds-to-thousands; SemDeDup
   used 50k clusters for 5B docs — still megabytes).  Two
   implementations: a numpy GEMM per Arrow batch (``impl='arrow'``, the
-  throughput path) and a pure-expression chain (``impl='column'``,
-  whole-stage codegen, bit-reproducible against a SQL oracle).
+  throughput path) and a pure-expression HOF fold (``impl='column'``,
+  bit-reproducible against a SQL oracle's ordered sum).
 * **Update** step aggregates ``(cell, dim_index, value)`` with map-side
   partial combine — each task emits at most k×dim partial sums no
   matter how many vectors it scanned, so the shuffle is model-sized,
@@ -43,11 +43,12 @@ def kmeans_assign(
 ) -> DataFrame:
     """Nearest-centroid assignment (squared-L2, ties -> lowest cell id).
 
-    ``impl='column'`` evaluates one fold per centroid inside whole-stage
-    codegen — bit-identical to an ordered-sum SQL oracle, used by the
-    correctness gates.  ``impl='arrow'`` does one ``(batch × k)`` numpy
-    distance matrix per Arrow batch — the 100 TB path (k expression
-    folds stop scaling once k is large).
+    ``impl='column'`` evaluates one ordered HOF fold per centroid —
+    bit-identical to an ordered-sum SQL oracle, used by the
+    correctness gates (lambdas run interpreted; fine on the
+    model-sized inputs the gates score).  ``impl='arrow'`` does one
+    ``(batch × k)`` numpy distance matrix per Arrow batch — the 100 TB
+    path.
 
     ``out_dist`` additionally emits the squared-L2 distance to the
     assigned centroid (the column fold's value is the exact sequential

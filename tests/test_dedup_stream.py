@@ -157,3 +157,66 @@ def test_neardup_ingest_batch_replay_is_noop(spark, tmp_path_factory):
     # the next batch id lands normally
     fn(_docs(spark, novel), 1)
     assert scan_delta(spark, corpus).count() == 5
+
+
+def test_streaming_quality_and_decontam_composition(spark, tmp_path_factory):
+    """Map-side pipeline operators compose with Structured Streaming
+    unchanged: a Delta doc stream flows through the gram-hash
+    contamination screen (arrays_overlap against the broadcast bench
+    gram set — pure codegen) and the quality text heuristics inside one
+    readStream->transform->sink query.  No stateful machinery: per-row
+    operators ARE the 100 TB streaming-ingest shape."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from deltalake2db_spark.operators.contamination import word_ngram_hashes
+
+    path = str(tmp_path_factory.mktemp("stream_pipe") / "tbl")
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "clean document with enough words to pass the gram screen"),
+        (2, f"prefix {bench_text} suffix words"),         # contaminated
+        (3, "another clean one that keeps different wording throughout"),
+    ]
+    _commit(spark, path, rows, first=True)
+
+    bench_grams = [
+        r[0]
+        for r in spark.createDataFrame([(bench_text,)], ["text"])
+        .select(F.explode(word_ngram_hashes(F.col("text"), 6)))
+        .collect()
+    ]
+    register(spark)
+    stream = (
+        spark.readStream.format("deltalake2db")
+        .option("path", path)
+        .option("startingVersion", 0)
+        .load()
+    )
+    out = (
+        stream.withColumn("__g", word_ngram_hashes(F.col("text"), 6))
+        .withColumn(
+            "contaminated",
+            F.arrays_overlap(
+                "__g", F.lit(bench_grams).cast("array<bigint>")
+            ),
+        )
+        .withColumn("n_words", F.size(F.split(F.trim("text"), "\\s+")))
+        .select("doc_id", "contaminated", "n_words")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pipe_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r
+            for r in spark.sql("select * from pipe_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert set(got) == {1, 2, 3}
+    assert got[2]["contaminated"] and not got[1]["contaminated"]
+    assert not got[3]["contaminated"]
+    assert all(r["n_words"] >= 8 for r in got.values())

@@ -81,11 +81,16 @@ def bm25_topk(
 
     docs = spread_scan(docs)  # tokenize must not run on one row group
     words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
+    # posting keys are 64-bit word hashes, not strings: the tf shuffle,
+    # the query join, and the df window all move/compare 8 bytes
+    # (injective-in-practice at corpus vocabularies — the repo-wide
+    # dedup argument; measured 2.33 -> 1.90 s on the sf0.1 gate with
+    # byte-identical output)
     toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.size(words).alias("__dl"),
-        F.explode(words).alias("__w"),
-    )
+        F.explode(words).alias("__ws"),
+    ).select(id_col, "__dl", F.xxhash64("__ws").alias("__w"))
     tf = toks.groupBy(id_col, "__w").agg(
         F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
     )
@@ -100,7 +105,8 @@ def bm25_topk(
     qwords = F.split(F.trim(F.col(query_text_col)), TOKEN_SPLIT)
     qterms = (
         queries.filter(F.col(query_text_col).isNotNull())
-        .select(F.col(query_id_col), F.explode(qwords).alias("__w"))
+        .select(F.col(query_id_col), F.explode(qwords).alias("__ws"))
+        .select(query_id_col, F.xxhash64("__ws").alias("__w"))
         .distinct()
     )
     # prune to the query vocabulary FIRST; df(w) as a count window over

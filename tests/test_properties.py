@@ -153,3 +153,100 @@ def test_png_roundtrip_property(w, h, ch, ft, seed):
     arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
     got = M.decode_png(M.encode_png(arr, filter_type=ft))
     assert np.array_equal(got, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 10_000), min_size=1, max_size=12),
+    budget_frac=st.floats(0.05, 3.0),
+    epochs=st.floats(0.1, 4.0),
+)
+def test_unimax_water_filling_invariants(counts, budget_frac, epochs):
+    """Allocation sums to min(budget, total capacity); no group exceeds
+    its cap; every uncapped group gets the same level; matches the
+    iterative UniMax reference loop exactly."""
+    import math
+
+    budget = budget_frac * sum(counts)
+    caps = sorted(
+        ((epochs * n, f"l{i}", n) for i, n in enumerate(counts))
+    )
+    # reference: the iterative algorithm from the paper
+    ref, r, m = {}, budget, len(caps)
+    for cap, name, n in caps:
+        take = min(cap, r / m)
+        ref[name] = take
+        r -= take
+        m -= 1
+    from deltalake2db_spark import get_spark
+
+    spark = get_spark("props", cpus=8)
+    cdf = spark.createDataFrame(
+        [(f"l{i}", n) for i, n in enumerate(counts)],
+        "lang string, n_tokens long",
+    )
+    from deltalake2db_spark.operators.sampling import unimax_allocation
+
+    got = {
+        r_["lang"]: r_["budget_tokens"]
+        for r_ in unimax_allocation(
+            cdf, budget=budget, max_epochs=epochs
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert math.isclose(got[k], ref[k], rel_tol=1e-9, abs_tol=1e-6), (
+            k, got[k], ref[k])
+
+
+def test_bm25_matches_numpy_replay(spark):
+    """bm25_topk against an exact numpy implementation of the same
+    Lucene-style formula on a random small corpus."""
+    import math
+    import random
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rnd.choices(vocab, k=rnd.randint(3, 25))))
+        for i in range(40)
+    ]
+    queries = [(100 + i, " ".join(rnd.choices(vocab, k=4))) for i in range(6)]
+
+    # exact replay
+    tok = {i: t.split() for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(v) for v in tok.values()) / N
+    df = {}
+    for ws in tok.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    expect = {}
+    for qid, qt in queries:
+        scores = {}
+        for d, ws in tok.items():
+            s = 0.0
+            for w in set(qt.split()):
+                tf = ws.count(w)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (N - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * tf * 2.2 / (
+                    tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl)
+                )
+            if s > 0:
+                scores[d] = round(s, 6)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        expect[qid] = [(r + 1, d, s) for r, (d, s) in enumerate(top)]
+
+    from deltalake2db_spark.operators.bm25 import bm25_topk
+
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    got = {}
+    for r in bm25_topk(ddf, qdf, k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid in expect:
+        assert sorted(got.get(qid, [])) == sorted(expect[qid]), qid

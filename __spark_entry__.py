@@ -1265,8 +1265,7 @@ def q_unimax(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.sum("n_chars").alias("n_tokens"))
-    total = counts.agg(F.sum("n_tokens")).first()[0]
-    return unimax_allocation(counts, budget=0.6 * total, max_epochs=1.2)
+    return unimax_allocation(counts, budget_frac=0.6, max_epochs=1.2)
 
 
 def q_knn_classify(spark, sf_dir):

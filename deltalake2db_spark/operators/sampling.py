@@ -132,10 +132,11 @@ def split_train_eval(
 
 def unimax_allocation(
     counts: DataFrame,
-    budget: float,
+    budget: float | None = None,
     max_epochs: float = 1.0,
     group_col: str = "lang",
     count_col: str = "n_tokens",
+    budget_frac: float | None = None,
 ) -> DataFrame:
     """UniMax budget allocation (Chung et al. 2023 — public method):
     distribute a total token ``budget`` as uniformly as possible across
@@ -161,6 +162,8 @@ def unimax_allocation(
     ``max_epochs``), 6-decimal-rounded; feed ``min(fraction, 1.0)``
     to ``hash_fraction_sample`` for epochs ≤ 1 pipelines.
     """
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget / budget_frac")
     c = (F.col(count_col).cast("double") * F.lit(float(max_epochs))).alias(
         "__cap"
     )
@@ -174,10 +177,20 @@ def unimax_allocation(
             F.lit(0.0),
         ),
     )
-    m = counts.agg(F.count(F.lit(1)).alias("__m"))
+    # budget_frac keeps the plan fully lazy (budget = frac x total
+    # count mass, a broadcast one-row aggregate — no driver collect to
+    # learn the total first)
+    m = counts.agg(
+        F.count(F.lit(1)).alias("__m"),
+        (
+            F.lit(float(budget))
+            if budget is not None
+            else F.sum(count_col).cast("double") * F.lit(float(budget_frac))
+        ).alias("__b"),
+    )
     rows = rows.crossJoin(F.broadcast(m)).withColumn(
         "__theta",
-        (F.lit(float(budget)) - F.col("__cumb"))
+        (F.col("__b") - F.col("__cumb"))
         / (F.col("__m") - F.col("__rn") + 1),
     )
     # the water level: θ at the FIRST cap-ascending row whose cap

@@ -1441,6 +1441,21 @@ def q_prototype_prune(spark, sf_dir):
     ).select("vec_id", "cell", "rnk")
 
 
+def q_d4_prune(spark, sf_dir):
+    """D4 pruning: SemDeDup (cosine >= 0.25 within-cell dups dropped,
+    min-id survivor) then SSL-prototypes rank on the survivors (keep
+    the hardest half per cell) — one fixed centroid model drives both
+    stages so the oracle replays the whole composition."""
+    from deltalake2db_spark.operators.kmeans import d4_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    return d4_prune(
+        emb, centroids=cents, threshold=0.25, keep_frac=0.5,
+        assign_impl="column",
+    ).select("vec_id", "cell", "rnk")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: k-means cells as blocking, drop within-cell cosine
     near-duplicates keeping the min-id representative.  Fixed centroid
@@ -1607,13 +1622,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": q_dup_clusters,
         "q_neardup_dedup": q_neardup_dedup,
         "q_semantic_dedup": q_semantic_dedup,
+        "q_d4_prune": q_d4_prune,
         "q_semantic_decontam": q_semantic_decontam,
         "q_kmeans_assign": q_kmeans_assign,
         "q_prototype_prune": q_prototype_prune,
         "q_pq_encode": q_pq_encode,
         "q_pq_topk": q_pq_topk,
         "q_ivf_pq_topk": q_ivf_pq_topk,
-        "q_ivf_topk": q_ivf_topk,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
         "q_media_decode_png": q_media_decode_png,
@@ -1623,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-certified, and their functions are untouched by round-9
         # edits) --
         "q_quantized_topk": q_quantized_topk,
+        "q_ivf_topk": q_ivf_topk,
         "q_quantize_int8": q_quantize_int8,
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
@@ -1839,6 +1855,37 @@ SELECT query_id, vec_id, dist, CAST(rank AS INT) AS rank FROM (
     PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
   FROM adc
 ) WHERE rank <= 5
+"""
+
+_D4_PRUNE_SQL = f"""
+WITH {_KMEANS_ASSIGN_CTE},
+ae AS (
+  SELECT e.vec_id, e.embedding, a.cell
+  FROM embeddings e JOIN assign a USING (vec_id)
+), pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         sum(x.embedding[i.i+1]::DOUBLE * y.embedding[i.i+1]::DOUBLE) AS dot,
+         sum(x.embedding[i.i+1]::DOUBLE * x.embedding[i.i+1]::DOUBLE) AS na,
+         sum(y.embedding[i.i+1]::DOUBLE * y.embedding[i.i+1]::DOUBLE) AS nb
+  FROM ae x, ae y, range(0, 64) i(i)
+  WHERE x.cell = y.cell AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+), losers AS (
+  SELECT DISTINCT id_b FROM pairs
+  WHERE round(dot / (sqrt(na) * sqrt(nb)), 4) >= 0.25
+), surv AS (
+  SELECT vec_id, cell FROM ae
+  WHERE vec_id NOT IN (SELECT id_b FROM losers)
+), ranked AS (
+  SELECT s.vec_id, s.cell,
+         row_number() OVER (
+             PARTITION BY s.cell
+             ORDER BY round(d.dist, 6) DESC, s.vec_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY s.cell) AS n_cell
+  FROM surv s JOIN dists d ON d.vec_id = s.vec_id AND d.cell = s.cell
+)
+SELECT vec_id, cell, rnk FROM ranked
+WHERE rnk <= ceil(0.5 * n_cell)
 """
 
 _SEMANTIC_DEDUP_SQL = f"""
@@ -3142,6 +3189,7 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_pq_topk": _PQ_TOPK_SQL,
         "q_ivf_pq_topk": _IVF_PQ_TOPK_SQL,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "q_d4_prune": _D4_PRUNE_SQL,
         "q_semantic_decontam": _SEMANTIC_DECONTAM_SQL,
         "q_perplexity": r"""
             WITH toks AS (

@@ -580,3 +580,53 @@ def semantic_dedup_against(
     )
     assigned_new.unpersist()
     return final.join(losers, id_col, "left_anti")
+
+
+def d4_prune(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.97,
+    keep_frac: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "hard",
+    assign_impl: str = "arrow",
+    pairs_impl: str = "arrow",
+    max_block: int = 20_000,
+) -> DataFrame:
+    """D4 data pruning (Tirumala et al., NeurIPS 2023 — public method):
+    SemDeDup first (drop within-cell cosine near-duplicates, min-id
+    representative survives), then SSL-prototypes pruning of the
+    SURVIVORS (keep the ``keep_frac`` hardest per cell) — dedup removes
+    the redundancy clusters, the prototype rank then prunes the easy
+    prototypical core that dedup alone leaves over-represented.
+
+    One centroid model drives both stages (fitted here once when not
+    supplied), so the plan pays a single k-means fit; each stage keeps
+    its own documented scale shape (blocked within-cell GEMM for the
+    pair scan; map-side assignment + one cell-keyed window for the
+    rank).  Returns the kept rows plus ``cell`` and ``rnk``.
+    """
+    if centroids is None:
+        centroids = kmeans_fit(df, k, iters, id_col, vec_col)
+    survivors = semantic_dedup(
+        df,
+        centroids=centroids,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign_impl=assign_impl,
+        pairs_impl=pairs_impl,
+        max_block=max_block,
+    )
+    return prototype_prune(
+        survivors.drop("cell"),
+        centroids,
+        keep_frac=keep_frac,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep=keep,
+        assign_impl=assign_impl,
+    )

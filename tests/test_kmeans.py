@@ -230,3 +230,37 @@ def test_prototype_prune_arrow_matches_column(spark):
                                  assign_impl="column").collect()
     )
     assert a == c
+
+
+def test_d4_prune_composes_dedup_then_prototypes(spark):
+    import random
+
+    from deltalake2db_spark.operators.kmeans import (
+        d4_prune,
+        prototype_prune,
+        semantic_dedup,
+    )
+
+    rnd = random.Random(11)
+    base = [[rnd.gauss(0, 1) for _ in range(6)] for _ in range(8)]
+    rows = []
+    for i in range(40):
+        v = [x + rnd.gauss(0, 0.4) for x in base[i % 8]]
+        rows.append((i, v))
+    # plant exact duplicates that SemDeDup must collapse first
+    rows += [(100 + i, rows[i][1]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = base[:4]
+    d4 = d4_prune(emb, centroids=cents, threshold=0.999, keep_frac=0.5)
+    got = {r["vec_id"] for r in d4.collect()}
+    # manual composition is the definition
+    surv = semantic_dedup(emb, centroids=cents, threshold=0.999)
+    manual = {
+        r["vec_id"]
+        for r in prototype_prune(
+            surv.drop("cell"), cents, keep_frac=0.5
+        ).collect()
+    }
+    assert got == manual
+    assert not any(v >= 100 for v in got)   # planted dups never survive
+    assert 0 < len(got) < 40

@@ -1571,14 +1571,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness harness checks the FIRST 50
     # registry entries each round.  Round 9 rotation (VERDICT r8 item 5):
     # positions 1-22 are the r6-era gates parked two rounds ago (delta
-    # lifecycle, events/sessions/joins, pii, cosine_neardup — the last of
-    # which shares similarity.py with round-9 edits, and q_delta_stream
-    # which gained its value oracle this round).  Positions 23-50 hold the
-    # dedup/kmeans/contamination families round 9 touched plus fillers
-    # certified in both r7+r8.  Parked at 51+ are TPC-H core / window /
-    # set-op / string-date-json gates and the three roundtrips — each
-    # certified green in BOTH r7 and r8 with untouched code; all 72 stay
-    # covered by tools/check_correctness.py locally each round.
+    # lifecycle, events/sessions/joins, pii, cosine_neardup, and
+    # q_delta_stream which gained its value oracle this round).  The rest
+    # of the window holds every gate never driver-certified — the round-9
+    # additions (dsir/classifier/ppl/bm25/entropy/knn/unimax/d4/pq/
+    # media_png/prototype/bloom) — plus the dedup/kmeans/contamination
+    # families round 9 touched.  Parked at 51+ are ONLY r7+r8
+    # double-certified gates whose functions this round does not touch
+    # (TPC-H core / window / set-op / string-date-json, the three
+    # roundtrips, and the r8-certified quantize/cosine/lsh/ivf-topk +
+    # profile/tfidf gates rotated out to make room); all 86 stay covered
+    # by tools/check_correctness.py locally each round.
     return {
         # -- positions 1-22: r6-era gates, re-certification overdue --
         "q_delta_restore": q_delta_restore,

@@ -248,8 +248,10 @@ def contamination_check(
       hash aggregates reusing the fold's exchange; one corpus shuffle.
 
     ``impl="auto"`` takes the arrow path iff the benchmark fits both
-    collect bounds (checked via a ``limit(max+1)`` probe — one tiny
-    job, no full count), falling back to the join path otherwise.
+    collect bounds (a count+sum(length) aggregate over the
+    ``limit(max+1)`` probe decides BEFORE any text is collected — two
+    tiny jobs, never a byte-unbounded driver transfer), falling back to
+    the join path otherwise.
     Callers whose ``doc_id`` is NOT row-unique must pass
     ``impl="join"`` explicitly.
     """
@@ -264,17 +266,11 @@ def contamination_check(
             docs, list(benchmark), n, doc_id, text_col, min_hits
         )
     if impl != "join":
-        bench_rows = (
-            benchmark.select(F.col(bench_text_col).alias("__t"))
-            .limit(bench_collect_max + 1)
-            .collect()
+        texts = _bounded_text_collect(
+            benchmark, bench_text_col, bench_collect_max,
+            bench_collect_max_bytes,
         )
-        texts = [r["__t"] for r in bench_rows]
-        n_bytes = sum(len(t) for t in texts if t is not None)
-        if (
-            len(bench_rows) <= bench_collect_max
-            and n_bytes <= bench_collect_max_bytes
-        ):
+        if texts is not None:
             return _contamination_arrow(
                 docs, texts, n, doc_id, text_col, min_hits
             )
@@ -286,6 +282,28 @@ def contamination_check(
     return _contamination_join(
         docs, benchmark, n, doc_id, text_col, bench_text_col, min_hits
     )
+
+
+def _bounded_text_collect(benchmark, text_col, max_rows, max_bytes):
+    """Texts of ``benchmark`` if it fits BOTH bounds, else ``None``.
+
+    The bounds are checked with a cheap count+sum(length) aggregate
+    over the ``limit(max_rows+1)`` probe BEFORE any text reaches the
+    driver — the collect itself is never byte-unbounded (a benchmark of
+    few but huge rows used to materialize fully before the byte check
+    could reject it — ADVICE r9).  Deterministic: if the probe passes
+    the row bound, the limit covered the whole table, so the second job
+    sees the same rows."""
+    probe = benchmark.select(F.col(text_col).alias("__t")).limit(
+        max_rows + 1
+    )
+    stats = probe.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.length("__t")).alias("__b"),
+    ).collect()[0]
+    if stats["__n"] > max_rows or (stats["__b"] or 0) > max_bytes:
+        return None
+    return [r["__t"] for r in probe.collect()]
 
 
 def _contamination_arrow(
@@ -567,27 +585,30 @@ def decontaminate_bloom(
 
     ``benchmark`` may be a driver-local list of texts (eval suites are
     driver-sized by contract), or a DataFrame: collected when it fits
-    the bounds, else the Bloom filter is built DISTRIBUTED
-    (``bloom_from_benchmark_df`` — partial bit-array OR, the benchmark
-    never leaves the cluster) and the confirm pass uses the join path.
+    the bounds (count+sum(length) probe BEFORE the collect — never a
+    byte-unbounded driver transfer), else the Bloom filter is built
+    DISTRIBUTED (``bloom_from_benchmark_df`` — partial bit-array OR,
+    the benchmark never leaves the cluster) and the confirm pass uses
+    the join path.
+
+    The screen SUMS row-level bloom hits per ``doc_id`` before the
+    ``min_hits`` cut, so a duplicated ``doc_id`` is never
+    false-negatived at the screen.  Exact-parity caveat (inherited from
+    ``decontaminate``'s auto path): when the benchmark is driver-sized
+    the CONFIRM pass is ``contamination_check``'s arrow impl, whose
+    per-doc report requires row-unique ``doc_id``; callers with
+    duplicated ``doc_id`` rows get pooled-gram semantics only on the
+    distributed-benchmark (join-confirm) path.
     """
     sc = docs.sparkSession.sparkContext
     bench_texts = None
     if isinstance(benchmark, (list, tuple)):
         bench_texts = list(benchmark)
     else:
-        rows = (
-            benchmark.select(F.col(bench_text_col).alias("__t"))
-            .limit(bench_collect_max + 1)
-            .collect()
+        bench_texts = _bounded_text_collect(
+            benchmark, bench_text_col, bench_collect_max,
+            bench_collect_max_bytes,
         )
-        texts = [r["__t"] for r in rows]
-        if (
-            len(rows) <= bench_collect_max
-            and sum(len(t) for t in texts if t is not None)
-            <= bench_collect_max_bytes
-        ):
-            bench_texts = texts
     if bench_texts is not None:
         bits, m, k = bloom_from_texts(bench_texts, n, bits_per_gram)
     else:
@@ -596,7 +617,9 @@ def decontaminate_bloom(
         )
     bc = sc.broadcast(bits)
     id_field = docs.schema[doc_id]
-    out_schema = f"`{doc_id}` {id_field.dataType.simpleString()}"
+    out_schema = (
+        f"`{doc_id}` {id_field.dataType.simpleString()}, __bh int"
+    )
 
     def screen(batches):
         import pyarrow as pa  # noqa: F811 — worker-side import
@@ -615,12 +638,29 @@ def decontaminate_bloom(
             n_hits = np.bincount(
                 di_s[first & hit_s], minlength=b.num_rows
             )
-            keep = np.flatnonzero(n_hits >= min_hits)
+            keep = np.flatnonzero(n_hits > 0)
             yield pa.RecordBatch.from_arrays(
-                [b.column(0).take(pa.array(keep))], names=[doc_id]
+                [
+                    b.column(0).take(pa.array(keep)),
+                    pa.array(n_hits[keep].astype(np.int32)),
+                ],
+                names=[doc_id, "__bh"],
             )
 
-    suspects = docs.select(doc_id, text_col).mapInArrow(screen, out_schema)
+    # per-doc SUM of row-level bloom hits before the min_hits cut: when
+    # doc_id spans multiple rows, grams pooled across rows can reach
+    # min_hits while no single row does — sum-of-row-hits is an upper
+    # bound on the pooled distinct-hit count, so no false negatives
+    # (ADVICE r9).  Shuffles only bloom-POSITIVE rows (the contaminated
+    # set plus the FP sliver), not the corpus.
+    suspects = (
+        docs.select(doc_id, text_col)
+        .mapInArrow(screen, out_schema)
+        .groupBy(doc_id)
+        .agg(F.sum("__bh").alias("__bhs"))
+        .filter(F.col("__bhs") >= min_hits)
+        .select(doc_id)
+    )
     suspect_docs = docs.join(broadcast(suspects), doc_id, "left_semi")
     if bench_texts is not None:
         check = contamination_check(

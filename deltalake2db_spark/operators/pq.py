@@ -48,6 +48,44 @@ def _as_codebooks(codebooks):
     return cb
 
 
+def _reshape_vectors(col, n, dim):
+    """(n, dim) float64 from a fixed-dim arrow list column — with a
+    CLEAR error instead of the opaque reshape ValueError that Arrow's
+    NULL-dropping ``flatten`` would otherwise produce.  NULL embeddings
+    are filtered Spark-side before the kernel; a length mismatch here
+    means a wrong-length vector slipped through."""
+    import numpy as np
+
+    flat = np.asarray(col.flatten()).astype(np.float64)
+    if flat.size != n * dim:
+        raise ValueError(
+            f"pq: embedding column is not fixed-dim {dim} "
+            f"(batch of {n} rows flattened to {flat.size} values — "
+            "NULL or wrong-length vectors present)"
+        )
+    return flat.reshape(n, dim)
+
+
+def _select_topk(dist_row, ids, kk):
+    """Indices of the ``kk`` smallest entries by (dist ASC, id ASC) —
+    deterministic under distance ties (rounded ADC distances collide
+    often: vectors sharing codes share distances exactly).
+
+    O(n) threshold partition + a lexsort over only the <=threshold
+    candidates, instead of a bare ``argpartition`` (which drops the
+    lowest-id tied member at the k boundary — ADVICE r9)."""
+    import numpy as np
+
+    n = len(dist_row)
+    kk = min(kk, n)
+    if kk <= 0:
+        return np.empty(0, dtype=np.int64)
+    t = np.partition(dist_row, kk - 1)[kk - 1]
+    cand = np.flatnonzero(dist_row <= t)
+    order = cand[np.lexsort((ids[cand], dist_row[cand]))]
+    return order[:kk]
+
+
 def pq_train(
     df: DataFrame,
     m: int = 8,
@@ -55,6 +93,7 @@ def pq_train(
     iters: int = 5,
     vec_col: str = "embedding",
     sample: int = 100_000,
+    sample_max_bytes: int = 256 << 20,
 ) -> list:
     """Per-subspace k-means codebooks ``(m, ksub, dsub)`` as nested
     lists.
@@ -64,10 +103,27 @@ def pq_train(
     init takes the first ``ksub`` sampled subvectors; Lloyd iterations
     run in numpy on the driver.  Empty clusters keep their previous
     centroid (FAISS does the same).
+
+    The driver sample is bounded by BYTES as well as rows: ``dim`` is
+    probed from one row first and the row cap shrinks to
+    ``sample_max_bytes / (dim * 8)`` before collecting, so a 1536-dim
+    corpus cannot materialize ``sample`` × 12 KB on the driver (same
+    clamp as ``kmeans.semantic_dedup_against``'s broadcast-ref probe).
     """
     import numpy as np
 
-    rows = df.select(vec_col).limit(sample).collect()
+    probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError("pq_train: empty input")
+    dim_probe = len(probe[0])
+    if dim_probe > 0:
+        sample = min(sample, max(ksub, sample_max_bytes // (dim_probe * 8)))
+    rows = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .limit(sample)
+        .collect()
+    )
     if not rows:
         raise ValueError("pq_train: empty input")
     X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
@@ -100,11 +156,17 @@ def pq_encode(
     out: str = "pq_code",
 ) -> DataFrame:
     """``(id, pq_code array<int>)`` — nearest subspace centroid per
-    subvector, ties to the lowest code.  One map-only Arrow stage."""
+    subvector, ties to the lowest code.  One map-only Arrow stage.
+
+    NULL embeddings are dropped Spark-side before the kernel (the
+    documented skip behavior shared with ``knn_classify``); a
+    wrong-length vector raises a clear per-batch error instead of an
+    opaque reshape failure (ADVICE r9)."""
     import numpy as np
 
     cb = _as_codebooks(codebooks)
     m, ksub, dsub = cb.shape
+    dim = m * dsub
     c_sq = (cb * cb).sum(axis=2)  # (m, ksub)
     id_field = df.schema[id_col]
     out_schema = (
@@ -119,11 +181,7 @@ def pq_encode(
             if n == 0:
                 continue
             # fixed-dim list column: flatten+reshape, no python lists
-            X = (
-                np.asarray(b.column(1).flatten())
-                .astype(np.float64)
-                .reshape(n, -1)
-            )
+            X = _reshape_vectors(b.column(1), n, dim)
             codes = np.empty((n, m), dtype=np.int32)
             for s in range(m):
                 Xs = X[:, s * dsub : (s + 1) * dsub]
@@ -138,7 +196,11 @@ def pq_encode(
                 [b.column(0), arr], names=[id_col, out]
             )
 
-    return df.select(id_col, vec_col).mapInArrow(encode, out_schema)
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInArrow(encode, out_schema)
+    )
 
 
 def pq_topk(
@@ -158,19 +220,26 @@ def pq_topk(
     The query set is collected (small by construction — same bound
     story as ``brute_force_topk``); each Arrow batch of the CODED
     corpus does ``m`` LUT gathers per query and emits its local top-k.
+
+    Ids keep their native type: the output schema is built from the
+    input frames' id columns (string doc ids work, ADVICE r9) and the
+    kernel emits ids via arrow ``take`` — no int64 coercion.
     """
     import numpy as np
 
     cb = _as_codebooks(codebooks)
     m, ksub, dsub = cb.shape
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    cid_t = codes_df.schema[id_col].dataType.simpleString()
+    qid_at = to_arrow_type(queries.schema[id_col].dataType)
+    out_schema = f"`{query_id_col}` {qid_t}, `{id_col}` {cid_t}, dist double"
     qrows = queries.select(id_col, vec_col).collect()
     spark = codes_df.sparkSession
     if not qrows:
-        return spark.createDataFrame(
-            [],
-            schema=f"{query_id_col} long, {id_col} long, dist double, rank int",
-        )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        return spark.createDataFrame([], schema=out_schema + ", rank int")
+    qids = np.array([r[0] for r in qrows])
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
     # LUT[q, s, c] = ||q_s - cb[s][c]||² — built once on the driver,
     # rides in the task closure (Q × m × ksub doubles: tiny)
@@ -180,11 +249,10 @@ def pq_topk(
         diff = Qs[:, None, :] - cb[s][None, :, :]
         lut[:, s, :] = (diff * diff).sum(axis=2)
 
-    out_schema = f"{query_id_col} long, {id_col} long, dist double"
-
     def scan(batches):
         import pyarrow as pa
 
+        qid_arr = pa.array(qids.tolist(), type=qid_at)
         for b in batches:
             n = b.num_rows
             if n == 0:
@@ -196,21 +264,21 @@ def pq_topk(
             for s in range(1, m):
                 dist = dist + lut[:, s, :][:, C[:, s]]
             dist = np.round(dist, 4)
-            kk = min(k + 1, n)  # +1 allows dropping the self row
-            part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
             qi, ci = [], []
             for qn in range(len(qids)):
-                for j in part[qn]:
+                # k+1 allows dropping the self row; (dist, id) lexsort
+                # keeps tied boundary members deterministic
+                for j in _select_topk(dist[qn], ids, k + 1):
                     if ids[j] != qids[qn]:
                         qi.append(qn)
-                        ci.append(j)
+                        ci.append(int(j))
             qi = np.asarray(qi, dtype=np.int64)
-            ci = np.asarray(ci, dtype=np.int64)
+            ci = pa.array(np.asarray(ci, dtype=np.int64))
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(qids[qi]),
-                    pa.array(ids[ci]),
-                    pa.array(dist[qi, ci]),
+                    qid_arr.take(pa.array(qi)),
+                    b.column(0).take(ci),
+                    pa.array(dist[qi, np.asarray(ci)]),
                 ],
                 names=[query_id_col, id_col, "dist"],
             )
@@ -258,19 +326,23 @@ def ivf_pq_topk(
     """
     import numpy as np
 
+    from pyspark.sql.pandas.types import to_arrow_type
+
     cb = _as_codebooks(codebooks)
     m, ksub, dsub = cb.shape
+    dim = m * dsub
     cents = np.asarray(centroids, dtype=np.float64)
     cent_sq = (cents * cents).sum(axis=1)
     c_sq = (cb * cb).sum(axis=2)
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    cid_t = corpus.schema[id_col].dataType.simpleString()
+    qid_at = to_arrow_type(queries.schema[id_col].dataType)
+    out_schema = f"`{query_id_col}` {qid_t}, `{id_col}` {cid_t}, dist double"
     qrows = queries.select(id_col, vec_col).collect()
     spark = corpus.sparkSession
     if not qrows:
-        return spark.createDataFrame(
-            [],
-            schema=f"{query_id_col} long, {id_col} long, dist double, rank int",
-        )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        return spark.createDataFrame([], schema=out_schema + ", rank int")
+    qids = np.array([r[0] for r in qrows])
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
     # routing: nprobe closest cells per query (rounded dist, cell asc —
     # see ivf_topk's routing note on why rounding makes the argsort
@@ -287,20 +359,15 @@ def ivf_pq_topk(
         diff = Qs[:, None, :] - cb[s][None, :, :]
         lut[:, s, :] = (diff * diff).sum(axis=2)
 
-    out_schema = f"{query_id_col} long, {id_col} long, dist double"
-
     def scan(batches):
         import pyarrow as pa
 
+        qid_arr = pa.array(qids.tolist(), type=qid_at)
         for b in batches:
             n = b.num_rows
             if n == 0:
                 continue
-            X = (
-                np.asarray(b.column(1).flatten())
-                .astype(np.float64)
-                .reshape(n, -1)
-            )
+            X = _reshape_vectors(b.column(1), n, dim)
             ids = np.asarray(b.column(0))
             cell = np.argmin(
                 -2.0 * (X @ cents.T) + cent_sq[None, :], axis=1
@@ -322,24 +389,30 @@ def ivf_pq_topk(
                 )
                 if not len(cand):
                     continue
-                kk = min(k, len(cand))
+                # (dist, id) lexsorted batch-local top-k over the
+                # probed candidates — tied boundary rows stay
+                # deterministic (ADVICE r9)
                 top = cand[
-                    np.argpartition(dist[qn, cand], kk - 1)[:kk]
+                    _select_topk(dist[qn, cand], ids[cand], k)
                 ]
                 qi.extend([qn] * len(top))
                 ci.extend(top.tolist())
             qi = np.asarray(qi, dtype=np.int64)
-            ci = np.asarray(ci, dtype=np.int64)
+            ci = pa.array(np.asarray(ci, dtype=np.int64))
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(qids[qi]),
-                    pa.array(ids[ci]),
-                    pa.array(dist[qi, ci]),
+                    qid_arr.take(pa.array(qi)),
+                    b.column(0).take(ci),
+                    pa.array(dist[qi, np.asarray(ci)]),
                 ],
                 names=[query_id_col, id_col, "dist"],
             )
 
-    scored = corpus.select(id_col, vec_col).mapInArrow(scan, out_schema)
+    scored = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInArrow(scan, out_schema)
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("dist").asc(), F.col(id_col).asc()
     )

@@ -571,6 +571,30 @@ def test_decontaminate_bloom_min_hits(spark):
     assert got == {1, 3}
 
 
+def test_decontaminate_bloom_pools_duplicate_doc_ids(spark):
+    """A doc_id split across rows pools its grams at the screen (r9
+    ADVICE: per-row hit counts false-negatived such docs).  Forced down
+    the distributed-benchmark path so the confirm pass (join impl)
+    pools too."""
+    from deltalake2db_spark.operators.contamination import decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x1 y1"),            # one shared 4-gram each...
+            (1, "b c d e x2 y2"),            # ...two pooled
+            (3, "totally different text with nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench_df = spark.createDataFrame(
+        [("a b c d e",)], "text string"
+    )
+    out = decontaminate_bloom(
+        docs, bench_df, n=4, min_hits=2, bench_collect_max=0
+    ).select("doc_id").collect()
+    assert {r[0] for r in out} == {3}
+
+
 def test_bloom_distributed_build_matches_driver(spark):
     """The partial-OR distributed bloom build equals the driver build
     bit-for-bit when m coincides (same grams, same probes)."""

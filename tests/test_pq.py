@@ -162,3 +162,69 @@ def test_pq_train_validates(spark):
         P.pq_train(df, m=3, ksub=2)
     with pytest.raises(ValueError, match="ksub"):
         P.pq_train(df, m=2, ksub=32)
+
+
+def test_pq_topk_tie_break_at_k_boundary(spark):
+    """Rounded-ADC ties at the k boundary keep the LOWEST ids (r9
+    ADVICE: bare argpartition dropped tied low-id members).  One
+    1-subspace codebook makes every same-code vector share a distance
+    exactly."""
+    cb = [[[0.0, 0.0], [10.0, 10.0]]]
+    # vec 1 near code 0; vecs 5..9 all code 1 (identical ADC distance)
+    rows = [(1, [0.2, 0.2])] + [
+        (i, [10.0 + 0.01 * (i % 3), 10.0]) for i in range(5, 10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codes = P.pq_encode(df, cb)
+    queries = spark.createDataFrame([(100, [0.0, 0.0])], ["vec_id", "embedding"])
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in P.pq_topk(codes, queries, cb, k=3).collect()
+    ]
+    # rank 1 = vec 1 (code 0); ranks 2-3 = the two LOWEST tied ids
+    assert got == [(1, 1), (2, 5), (3, 6)]
+
+
+def test_pq_topk_string_ids(spark):
+    """Non-bigint id columns survive both sides (r9 ADVICE: int64
+    coercion corrupted string doc ids)."""
+    cb = [[[0.0, 0.0], [10.0, 10.0]]]
+    df = spark.createDataFrame(
+        [("a", [0.1, 0.0]), ("b", [10.0, 10.0]), ("c", [9.9, 10.1])],
+        ["vec_id", "embedding"],
+    )
+    codes = P.pq_encode(df, cb)
+    queries = spark.createDataFrame([("q1", [10.0, 10.0])], ["vec_id", "embedding"])
+    out = P.pq_topk(codes, queries, cb, k=2)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    assert dict(out.dtypes)["query_id"] == "string"
+    got = [(r["rank"], r["vec_id"]) for r in out.collect()]
+    # b and c share code 1 -> tied ADC distance -> id ASC
+    assert got == [(1, "b"), (2, "c")]
+
+
+def test_pq_encode_drops_null_embeddings(spark):
+    """NULL embeddings are skipped Spark-side (knn_classify contract),
+    not an opaque reshape error."""
+    cb = [[[0.0, 0.0], [10.0, 10.0]]]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.0]), (2, None), (3, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["pq_code"] for r in P.pq_encode(df, cb).collect()}
+    assert got == {1: [0], 3: [1]}
+
+
+def test_pq_train_byte_bound_caps_sample(spark):
+    """The driver sample shrinks to sample_max_bytes/(dim*8) rows —
+    same clamp class as the decontam broadcast-ref probe."""
+    dim = 16
+    df = spark.createDataFrame(_vecs(200, dim), ["vec_id", "embedding"])
+    # 4 rows' worth of bytes, but ksub=4 forces at least ksub rows
+    cb = P.pq_train(
+        df.orderBy("vec_id"), m=2, ksub=4, iters=1,
+        sample_max_bytes=4 * dim * 8,
+    )
+    import numpy as np
+
+    assert np.asarray(cb).shape == (2, 4, dim // 2)

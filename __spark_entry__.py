@@ -926,6 +926,28 @@ def q_media_decode_png(spark, sf_dir):
     )
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL lossy-codec decode end-to-end (r10): grayscale images that
+    are CONSTANT per 8x8 block (value ``(i + x//8 + y//8) % 256``) are
+    baseline-JPEG-encoded distributed (pure-numpy DCT + Annex K
+    Huffman, all-ones quant) and decoded by the pure-numpy JPEG reader
+    (canonical Huffman + IDCT) inside Arrow-batched mapInPandas.
+    Block-constant + unit quant makes the lossy codec bit-exact (one
+    integer DC, zero ACs), so the oracle replays decoded pixels from
+    the closed form — no codec library on either side."""
+    from deltalake2db_spark.operators import multimodal as M
+
+    media = M.make_real_media(spark, 100, width=16, height=16, fmt="jpeg")
+    feats = M.extract_image_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_px") * F.col("n_px"))
+        .cast("long")
+        .alias("px_sum"),
+        "n_px",
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH at its design point (j >= 0.5): the corpus has no
     natural near-dups, so plant one per doc (doc_id+10^6, first word
@@ -1583,11 +1605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
     # Round 10: q_profile_orders + q_tfidf_terms re-enter (their modules
-    # changed in r9 while they were parked — r9 verdict item 2);
-    # r10-touched modules (pq, knn, contamination, dedup, multimodal,
-    # streaming) keep their gates in-window; q_events_hourly +
-    # q_events_pivot park (r9-certified, pure-DataFrame gates over
-    # untouched functions/datetime paths).
+    # changed in r9 while they were parked — r9 verdict item 2); every
+    # gate over an r10-touched module (pq, knn, contamination, dedup,
+    # multimodal incl. all four media gates, streaming) is in-window,
+    # plus the new q_media_decode_jpeg; q_events_hourly, q_events_pivot,
+    # q_event_gaps, q_sessions park (r6+r9 double-certified, events/
+    # sessions closure untouched in r10).
     return {
         # -- r6-era gates re-certified in r9; kept while their delta/
         #    streaming import closure keeps changing --
@@ -1598,8 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_orders": q_profile_orders,
         "q_tfidf_terms": q_tfidf_terms,
         "q_asof_events_orders": q_asof_events_orders,
-        "q_event_gaps": q_event_gaps,
-        "q_sessions": q_sessions,
+        "q_media_decode": q_media_decode,
+        "q_media_decode_png": q_media_decode_png,
         "q_range_join": q_range_join,
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
@@ -1641,11 +1664,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_pq_topk": q_ivf_pq_topk,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
-        "q_media_decode_png": q_media_decode_png,
+        "q_media_decode_jpeg": q_media_decode_jpeg,
         # -- positions 51+: multi-round-certified gates whose import
         # closure is untouched this round (rotation rule above) --
         "q_events_hourly": q_events_hourly,
         "q_events_pivot": q_events_pivot,
+        "q_event_gaps": q_event_gaps,
+        "q_sessions": q_sessions,
         "q_quantized_topk": q_quantized_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_quantize_int8": q_quantize_int8,
@@ -1655,7 +1680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_pack_sequences": q_pack_sequences,
-        "q_media_decode": q_media_decode,
         "q_delta_convert": q_delta_convert,
         "q_shard_stats": q_shard_stats,
         "q1_pricing_summary": q1_pricing_summary,
@@ -2676,6 +2700,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(192 AS BIGINT) AS n_px
             FROM range(100) i(v), range(16) x(v), range(12) y(v),
                  range(3) c(v)
+            GROUP BY 1
+        """,
+        "q_media_decode_jpeg": """
+            SELECT i.v AS media_id,
+                   CAST(sum(((i.v + bx.v + by.v) % 256) * 64) AS BIGINT)
+                       AS px_sum,
+                   CAST(256 AS BIGINT) AS n_px
+            FROM range(100) i(v), range(2) bx(v), range(2) by(v)
             GROUP BY 1
         """,
         "q_lsh_topk": _lsh_topk_sql(),

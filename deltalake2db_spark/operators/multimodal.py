@@ -3,16 +3,18 @@ metadata, processed with Arrow-batched ``mapInPandas`` stages.
 
 Decode support is tiered:
 
-* **Real, dependency-free decoders** for the uncompressed container
-  formats whose specs need no codec library: BMP (24/32-bit BI_RGB),
-  PPM ``P6`` / PGM ``P5`` (binary netpbm), and PCM WAV (16/8-bit) —
-  implemented with ``struct`` + numpy, fully vectorized per payload.
-* **Stub fallback** for compressed formats (PNG/JPEG/MP4...) that
-  genuinely need Pillow/libvips/ffmpeg, which are not in this
-  container: a clearly-marked ``NotImplementedError`` (strict mode) or
-  a deterministic fake feature tuple (test mode).  Swap
-  ``_decode_image``'s fallback branch for a Pillow kernel in a real
-  deployment; everything else ships as-is.
+* **Real, dependency-free decoders**: BMP (24/32-bit BI_RGB), PPM
+  ``P6`` / PGM ``P5`` (binary netpbm), PCM WAV (16/8-bit), PNG
+  (stdlib zlib inflate + numpy unfiltering), and baseline-sequential
+  JPEG (pure-numpy Huffman + IDCT — ``operators/jpeg.py``), all
+  implemented from the public specs with ``struct`` + numpy.
+* **Stub fallback** for the remaining codec-tier formats (WebP /
+  progressive JPEG / MP4 video) that genuinely need libvips/ffmpeg,
+  which are not in this container: a clearly-marked
+  ``NotImplementedError`` (strict mode) or a deterministic fake
+  feature tuple (test mode).  Swap ``_decode_image``'s fallback
+  branch for a Pillow kernel in a real deployment; everything else
+  ships as-is.
 
 Everything Spark-side — the schema, the Arrow batch shapes, the
 partition sizing, and the UDF signatures — is identical for both
@@ -224,15 +226,21 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_image_array(payload: bytes) -> Optional[np.ndarray]:
-    """Decode PNG (8-bit gray/GA/RGB/RGBA, stdlib zlib inflate), BMP
-    (24/32-bit uncompressed), PPM ``P6`` or PGM ``P5`` bytes to an
-    ``(H, W, C) uint8`` array (RGB channel order for BMP's stored
-    BGR).  Returns None when the payload is not one of these formats
-    or is malformed — callers fall back to the stub tier."""
+    """Decode PNG (8-bit gray/GA/RGB/RGBA, stdlib zlib inflate),
+    baseline JPEG (pure-numpy Huffman + IDCT, gray or YCbCr with any
+    sampling factors), BMP (24/32-bit uncompressed), PPM ``P6`` or
+    PGM ``P5`` bytes to an ``(H, W, C) uint8`` array (RGB channel
+    order for BMP's stored BGR).  Returns None when the payload is not
+    one of these formats or is malformed — callers fall back to the
+    stub tier."""
     if payload is None or len(payload) < 16:
         return None
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         hdr = _pnm_header(payload)
@@ -325,12 +333,12 @@ def decode_wav(payload: bytes) -> Optional[tuple[np.ndarray, int]]:
 def _decode_image(payload: bytes, width: int, height: int):
     """Feature tuple (mean_px, fill_ratio, n_px) for one image payload.
 
-    PNG (stdlib zlib)/BMP/PPM/PGM decode for real (see
-    ``decode_image_array``); other formats (JPEG/WebP/video frames)
-    hit the stub tier — ``NotImplementedError`` in strict mode (swap
-    for a Pillow/libvips/ffmpeg kernel in deployments that need them),
-    or a deterministic fake derived from the payload bytes so tests
-    have stable expectations.
+    PNG (stdlib zlib)/baseline JPEG/BMP/PPM/PGM decode for real (see
+    ``decode_image_array``); the remaining formats (WebP/progressive
+    JPEG/video frames) hit the stub tier — ``NotImplementedError`` in
+    strict mode (swap for a Pillow/libvips/ffmpeg kernel in
+    deployments that need them), or a deterministic fake derived from
+    the payload bytes so tests have stable expectations.
     """
     if payload is None:
         return None
@@ -472,21 +480,39 @@ def make_real_media(
     fmt: str = "bmp",
 ) -> DataFrame:
     """Synthetic media table whose image payloads are REAL encoded
-    BMPs or PNGs (``fmt``), generated distributed (mapInPandas over
-    ``spark.range`` — no driver-side byte building, so the builder
-    itself scales).  Pixel values follow the closed form
-    ``(i + x + y + c) % 256``, which an external oracle can recompute
-    exactly.  ``fmt='png'`` exercises the full compressed path: zlib
-    deflate on encode, inflate + unfilter on decode."""
-    if fmt not in ("bmp", "png"):
-        raise ValueError(f"fmt={fmt!r}: expected 'bmp' or 'png'")
+    BMPs, PNGs, or baseline JPEGs (``fmt``), generated distributed
+    (mapInPandas over ``spark.range`` — no driver-side byte building,
+    so the builder itself scales).
+
+    BMP/PNG pixels follow the closed form ``(i + x + y + c) % 256``
+    (RGB); ``fmt='jpeg'`` writes GRAYSCALE images that are CONSTANT
+    per 8x8 block with value ``(i + x//8 + y//8) % 256`` — with the
+    encoder's all-ones quant table such blocks round-trip bit-exactly
+    (one integer DC coefficient, zero ACs), so an external oracle can
+    recompute decoded pixels from the closed form despite JPEG being
+    a lossy codec.  ``width``/``height`` must be multiples of 8 for
+    ``fmt='jpeg'``."""
+    if fmt not in ("bmp", "png", "jpeg"):
+        raise ValueError(f"fmt={fmt!r}: expected 'bmp', 'png', or 'jpeg'")
+    if fmt == "jpeg" and (width % 8 or height % 8):
+        raise ValueError("fmt='jpeg' needs width/height multiples of 8")
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        y, x, c = np.meshgrid(
-            np.arange(height), np.arange(width), np.arange(3), indexing="ij"
-        )
-        base = (x + y + c).astype(np.int64)
-        enc = encode_bmp if fmt == "bmp" else encode_png
+        if fmt == "jpeg":
+            from .jpeg import encode_jpeg
+
+            y, x = np.meshgrid(
+                np.arange(height), np.arange(width), indexing="ij"
+            )
+            base = (x // 8 + y // 8).astype(np.int64)
+            enc = encode_jpeg
+        else:
+            y, x, c = np.meshgrid(
+                np.arange(height), np.arange(width), np.arange(3),
+                indexing="ij",
+            )
+            base = (x + y + c).astype(np.int64)
+            enc = encode_bmp if fmt == "bmp" else encode_png
         mime = f"image/{fmt}"
         for pdf in it:
             rows = []

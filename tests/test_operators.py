@@ -588,6 +588,78 @@ def test_multimodal_real_decoders(spark):
     assert got[0]["duration_ms"] == 100
 
 
+def test_jpeg_roundtrip_and_variants():
+    """Pure-numpy baseline JPEG codec: bit-exact on block-constant
+    gray (unit quant), bounded error on random gray/RGB, 4:2:0 MCU
+    interleave, restart markers, and clean None fallbacks."""
+    import numpy as np
+
+    from deltalake2db_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    # block-constant gray: EXACT (one integer DC, zero ACs)
+    bv = rng.integers(0, 256, (3, 2))
+    img = np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img))[:, :, 0], img)
+    # random gray, unit quant: off-by-one rounding at most
+    g = rng.integers(0, 256, (24, 41), dtype=np.uint8)  # odd width pad
+    d = decode_jpeg(encode_jpeg(g))
+    assert d.shape == (24, 41, 1)
+    assert np.abs(d[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    # RGB 4:4:4: color-transform rounding only
+    rgb = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    d3 = decode_jpeg(encode_jpeg(rgb))
+    assert d3.shape == (17, 19, 3)
+    assert np.abs(d3.astype(int) - rgb.astype(int)).max() <= 4
+    # 4:2:0 subsampling on a smooth gradient: small mean error
+    yy, xx = np.meshgrid(np.arange(32), np.arange(48), indexing="ij")
+    smooth = np.stack(
+        [(yy * 2 + xx) % 256, (yy + xx * 2) % 256, (yy + xx) % 256], -1
+    ).astype(np.uint8)
+    d4 = decode_jpeg(encode_jpeg(smooth, subsample=True))
+    assert d4.shape == (32, 48, 3)
+    assert np.abs(d4.astype(int) - smooth.astype(int)).mean() < 2.0
+    # restart markers: decode equals the no-restart encoding's decode
+    enc_r = encode_jpeg(smooth, subsample=True, restart_interval=2)
+    assert b"\xff\xdd" in enc_r and b"\xff\xd0" in enc_r
+    assert np.array_equal(decode_jpeg(enc_r), d4)
+    # coarse quant table still decodes with bounded error
+    q = np.full((8, 8), 16, int)
+    q[0, 0] = 8
+    d5 = decode_jpeg(encode_jpeg(smooth, quant_luma=q, quant_chroma=q))
+    assert np.abs(d5.astype(int) - smooth.astype(int)).mean() < 6.0
+    # fallbacks: not-a-jpeg, truncated, progressive (SOF2) -> None
+    enc = encode_jpeg(g)
+    assert decode_jpeg(b"definitely not a jpeg") is None
+    assert decode_jpeg(enc[:30]) is None
+    prog = bytearray(enc)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+
+
+def test_jpeg_dispatch_and_distributed(spark):
+    """decode_image_array routes JPEG; make_real_media(fmt='jpeg')
+    round-trips the block-constant closed form exactly through the
+    Spark feature path."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators.jpeg import encode_jpeg
+
+    bv = np.arange(6).reshape(2, 3) * 40
+    img = np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8)
+    got = M.decode_image_array(encode_jpeg(img))
+    assert np.array_equal(got[:, :, 0], img)
+
+    media = M.make_real_media(spark, 5, width=16, height=16, fmt="jpeg")
+    feats = {r["media_id"]: r for r in M.extract_image_features(media).collect()}
+    assert len(feats) == 5
+    for i in range(5):
+        expect = np.mean([(i + bx + by) % 256 for bx in range(2) for by in range(2)])
+        assert abs(feats[i]["mean_px"] - expect) < 1e-9
+        assert feats[i]["n_px"] == 256
+
+
 def test_incremental_stream(spark, tmp_path):
     import pyarrow as pa
 

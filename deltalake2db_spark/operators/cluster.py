@@ -77,18 +77,42 @@ def connected_components(
         # the dedup gates).  Union-find needs neither direction
         # normalization nor dedup, so raw pairs are fine; at scale the
         # limit pushes into the scan and stops early.
-        probe = (
-            pairs.select(
+        # CollectLimit escalates from 1 partition (1 -> 4x -> ...): for
+        # a probe whose limit usually EXCEEDS the data, that is one
+        # wasted job per escalation round (~0.3 s/job of local-mode
+        # floor, r9 SCALE.md §7g).  Opening the first bite to the
+        # session's parallelism makes the common small-graph case one
+        # job; at 100 TB the first bite is still bounded (64 tasks,
+        # each stopping at the limit) and escalation proceeds as
+        # before.
+        ip_before = spark.conf.get(
+            "spark.sql.limit.initialNumPartitions", "1"
+        )
+        spark.conf.set("spark.sql.limit.initialNumPartitions", "64")
+        try:
+            probe_df = pairs.select(
                 F.col(id_a).cast("long").alias("src"),
                 F.col(id_b).cast("long").alias("dst"),
+            ).limit(local_threshold + 1)
+            # toArrow skips the pandas Series build entirely (~3x
+            # faster than toPandas on this probe, r10 A/B in SCALE.md)
+            if hasattr(probe_df, "toArrow"):
+                tbl = probe_df.toArrow()
+                n_probe = tbl.num_rows
+                edge_iter = zip(
+                    tbl.column("src").to_pylist(),
+                    tbl.column("dst").to_pylist(),
+                )
+            else:  # pre-4.0 fallback
+                pdf = probe_df.toPandas()
+                n_probe = len(pdf)
+                edge_iter = zip(pdf["src"].tolist(), pdf["dst"].tolist())
+        finally:
+            spark.conf.set(
+                "spark.sql.limit.initialNumPartitions", ip_before
             )
-            .limit(local_threshold + 1)
-            .toPandas()
-        )
-        if len(probe) <= local_threshold:
-            return _cc_local(
-                zip(probe["src"].tolist(), probe["dst"].tolist()), spark
-            )
+        if n_probe <= local_threshold:
+            return _cc_local(edge_iter, spark)
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     sp_before = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

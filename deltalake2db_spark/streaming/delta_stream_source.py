@@ -65,11 +65,16 @@ COMMIT_TIMESTAMP = "_commit_timestamp"
 _META_COLS = (CHANGE_TYPE, COMMIT_VERSION, COMMIT_TIMESTAMP)
 
 
-class DeltaStreamPartition(InputPartition):
+class _FileSpec:
     """One file of one commit: file URI + pre-decoded field plan +
     change metadata.  ``change_type=None`` means 'read the file's own
     _change_type column' (cdc files); ``keep_rows`` restricts to the
     given parquet row indexes (DV-growth deletes)."""
+
+    __slots__ = (
+        "file_uri", "field_plan", "version", "change_type", "dv",
+        "keep_rows", "commit_ts_us", "size",
+    )
 
     def __init__(
         self,
@@ -79,8 +84,8 @@ class DeltaStreamPartition(InputPartition):
         change_type: str | None,
         dv: dict | None = None,
         keep_rows: list[int] | None = None,
-        table_root: str | None = None,
         commit_ts_us: int | None = None,
+        size: int = 0,
     ):
         self.file_uri = file_uri
         self.field_plan = field_plan
@@ -88,8 +93,31 @@ class DeltaStreamPartition(InputPartition):
         self.change_type = change_type
         self.dv = dv
         self.keep_rows = keep_rows
-        self.table_root = table_root
         self.commit_ts_us = commit_ts_us
+        self.size = size
+
+    def __getstate__(self):
+        return {s: getattr(self, s) for s in self.__slots__}
+
+    def __setstate__(self, st):
+        for k, v in st.items():
+            setattr(self, k, v)
+
+
+class DeltaStreamPartition(InputPartition):
+    """One TASK of a microbatch: a size-bundled run of file specs, in
+    commit order.  Small-file change feeds (many tiny commits, the
+    common streaming shape) would otherwise schedule one task per file
+    — at a ~20 ms/task floor, a 100-file batch pays 2 s of pure
+    scheduling for milliseconds of I/O.  Bundling to
+    ``streamMaxPartitionBytes`` (default 128 MB — the same heuristic
+    as ``spark.sql.files.maxPartitionBytes`` on the batch path) keeps
+    one task per ~128 MB of change data instead; a large file still
+    gets its own task, so parallelism at scale is unchanged."""
+
+    def __init__(self, files: list, table_root: str | None):
+        self.files = files
+        self.table_root = table_root
 
 
 def _field_plan(state, action) -> list[tuple]:
@@ -140,6 +168,12 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError("maxFilesPerTrigger must be >= 1")
         if self.max_bytes is not None and self.max_bytes < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
+        mpb = options.get("streammaxpartitionbytes")
+        self.max_partition_bytes = (
+            int(mpb) if mpb is not None else 128 << 20
+        )
+        if self.max_partition_bytes < 1:
+            raise ValueError("streamMaxPartitionBytes must be >= 1")
         self._state = get_meta(self.path)
         # admission-control position: the newest version this reader has
         # ADMITTED into an offset (advisory — batch CONTENT always comes
@@ -316,56 +350,73 @@ class DeltaStreamReader(DataSourceStreamReader):
             prev_adds: dict = {}
         else:
             prev_adds = dict(get_meta(self.path, version=sv).add_actions)
-        parts: list[DeltaStreamPartition] = []
+        specs: list[_FileSpec] = []
         for v in range(sv + 1, ev + 1):
             changed, ts_us = self._commit_changes(prev_adds, v)
             for change, action, keep_rows in changed:
                 # file_uri handles quoted-relative AND absolute (shallow
                 # clone) action paths alike
                 uri = self._state.file_uri(action)
-                parts.append(
-                    DeltaStreamPartition(
+                specs.append(
+                    _FileSpec(
                         uri,
                         _field_plan(self._state, action),
                         v,
                         change,
                         dv=None if keep_rows else action.get("deletionVector"),
                         keep_rows=keep_rows,
-                        table_root=self.path,
                         commit_ts_us=ts_us,
+                        size=int(action.get("size") or 0),
                     )
                 )
+        # size-bundle in commit order (see DeltaStreamPartition)
+        parts: list[DeltaStreamPartition] = []
+        cur: list[_FileSpec] = []
+        cur_bytes = 0
+        for spec in specs:
+            sz = max(spec.size, 1)
+            if cur and cur_bytes + sz > self.max_partition_bytes:
+                parts.append(DeltaStreamPartition(cur, self.path))
+                cur, cur_bytes = [], 0
+            cur.append(spec)
+            cur_bytes += sz
+        if cur:
+            parts.append(DeltaStreamPartition(cur, self.path))
         return parts
 
     # ------------------------------------------------------------- read
 
     def read(self, partition: DeltaStreamPartition) -> Iterator:
+        for spec in partition.files:
+            yield from self._read_file(spec, partition.table_root)
+
+    def _read_file(self, spec: _FileSpec, table_root: str | None) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from ..sources.pyds import _arrow_type
 
-        if not partition.file_uri:
+        if not spec.file_uri:
             return
         data_fields = [
             f for f in self.full_schema.fields if f.name not in _META_COLS
         ]
-        table = pq.read_table(partition.file_uri)
-        if partition.keep_rows is not None:
-            table = table.take(pa.array(partition.keep_rows, type=pa.int64()))
-        elif partition.dv:
+        table = pq.read_table(spec.file_uri)
+        if spec.keep_rows is not None:
+            table = table.take(pa.array(spec.keep_rows, type=pa.int64()))
+        elif spec.dv:
             import numpy as np
 
             from ..plans.deletion_vectors import read_descriptor
 
-            deleted = read_descriptor(partition.dv, partition.table_root)
+            deleted = read_descriptor(spec.dv, table_root)
             mask = np.ones(table.num_rows, dtype=bool)
             mask[np.asarray(list(deleted), dtype=np.int64)] = False
             table = table.filter(pa.array(mask))
         n = table.num_rows
         by_phys = {name: i for i, name in enumerate(table.schema.names)}
         arrays, names = [], []
-        for (lname, phys, decoded), f in zip(partition.field_plan, data_fields):
+        for (lname, phys, decoded), f in zip(spec.field_plan, data_fields):
             ttype = _arrow_type(f.dataType)
             if phys is None:
                 arrays.append(pa.array([decoded] * n, type=ttype))
@@ -392,17 +443,17 @@ class DeltaStreamReader(DataSourceStreamReader):
                 arrays.append(pa.nulls(n, type=ttype))
             names.append(lname)
         if self.change_feed:
-            if partition.change_type is None:
+            if spec.change_type is None:
                 ct = table.column(by_phys[CHANGE_TYPE]).combine_chunks()
             else:
-                ct = pa.array([partition.change_type] * n, type=pa.string())
+                ct = pa.array([spec.change_type] * n, type=pa.string())
             arrays.append(ct)
             names.append(CHANGE_TYPE)
-            arrays.append(pa.array([partition.version] * n, type=pa.int64()))
+            arrays.append(pa.array([spec.version] * n, type=pa.int64()))
             names.append(COMMIT_VERSION)
             arrays.append(
                 pa.array(
-                    [partition.commit_ts_us] * n,
+                    [spec.commit_ts_us] * n,
                     type=pa.timestamp("us", tz="UTC"),
                 )
             )

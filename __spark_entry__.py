@@ -1454,6 +1454,32 @@ def q_ivf_pq_topk(spark, sf_dir):
     return ivf_pq_topk(emb, queries, cents, cb, k=5, nprobe=2)
 
 
+def q_ivf_pq_index(spark, sf_dir):
+    """IVF-PQ index AT REST (r10): the corpus is encoded and written as
+    a cell-partitioned Delta table (one fused assign+encode Arrow pass,
+    partitionBy('cell') through our sink), then searched with driver
+    routing -> a `cell IN probes` partition-pruning scan_delta (files
+    of unprobed cells never open) -> ADC over the surviving codes.
+    Same determinism contract and oracle as the single-pass
+    q_ivf_pq_topk — the two paths must agree exactly."""
+    from deltalake2db_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir, k=8)
+    cb = _fixed_codebooks(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_ivfpq{tag}/index"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        build_ivf_pq_index(emb, cents, cb, path)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_pq_index_topk(
+        spark, path, queries, cb, cents, k=5, nprobe=2
+    )
+
+
 def q_prototype_prune(spark, sf_dir):
     """SSL-prototypes pruning: keep the hardest (farthest-from-centroid)
     half of every k-means cell.  Ranks on the 6-decimal-ROUNDED
@@ -1620,7 +1646,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_schema_ddl": q_delta_schema_ddl,
         "q_profile_orders": q_profile_orders,
         "q_tfidf_terms": q_tfidf_terms,
-        "q_asof_events_orders": q_asof_events_orders,
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_range_join": q_range_join,
@@ -1662,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_encode": q_pq_encode,
         "q_pq_topk": q_pq_topk,
         "q_ivf_pq_topk": q_ivf_pq_topk,
+        "q_ivf_pq_index": q_ivf_pq_index,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
         "q_media_decode_jpeg": q_media_decode_jpeg,
@@ -1671,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_pivot": q_events_pivot,
         "q_event_gaps": q_event_gaps,
         "q_sessions": q_sessions,
+        "q_asof_events_orders": q_asof_events_orders,
         "q_quantized_topk": q_quantized_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_quantize_int8": q_quantize_int8,
@@ -3227,6 +3254,8 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_pq_encode": _PQ_ENCODE_SQL,
         "q_pq_topk": _PQ_TOPK_SQL,
         "q_ivf_pq_topk": _IVF_PQ_TOPK_SQL,
+        # the at-rest index path must agree with the single-pass oracle
+        "q_ivf_pq_index": _IVF_PQ_TOPK_SQL,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "q_d4_prune": _D4_PRUNE_SQL,
         "q_semantic_decontam": _SEMANTIC_DECONTAM_SQL,

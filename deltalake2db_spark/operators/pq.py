@@ -294,6 +294,183 @@ def pq_topk(
     )
 
 
+def build_ivf_pq_index(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+):
+    """Materialize the IVF-PQ index as a Delta table
+    ``(id, pq_code array<int>)`` PARTITIONED BY ``cell``.
+
+    One fused Arrow pass assigns every vector to its squared-L2-closest
+    coarse cell (ties to the lowest cell) and PQ-encodes it; the write
+    is ``partitionBy('cell')`` through the Delta sink, so a search
+    probing ``nprobe`` cells PRUNES FILES at the log level — the honest
+    at-rest layout the in-pass masks of ``ivf_pq_topk``/``ivf_topk``
+    approximate for single-pass use.  Index bytes: ``m`` codes + one
+    id per vector (the raw vectors stay behind); at 10⁹ vectors × m=8
+    that is a ~16 GB index for a ~4 TB float corpus."""
+    import numpy as np
+
+    cb = _as_codebooks(codebooks)
+    m, ksub, dsub = cb.shape
+    dim = m * dsub
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cents * cents).sum(axis=1)
+    c_sq = (cb * cb).sum(axis=2)
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_t}, cell int, pq_code array<int>"
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            X = _reshape_vectors(b.column(1), n, dim)
+            cell = np.argmin(
+                -2.0 * (X @ cents.T) + cent_sq[None, :], axis=1
+            ).astype(np.int32)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = np.argmin(
+                    -2.0 * (Xs @ cb[s].T) + c_sq[s][None, :], axis=1
+                )
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * m),
+                pa.array(codes.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(cell), arr],
+                names=[id_col, "cell", "pq_code"],
+            )
+
+    from ..sources.delta_sink import write_delta
+
+    encoded = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInArrow(encode, out_schema)
+    )
+    write_delta(encoded, path, partition_by=["cell"], mode=mode)
+
+
+def ivf_pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    codebooks,
+    centroids,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a ``build_ivf_pq_index`` table: queries are routed on the
+    driver (same rounded-distance/lowest-cell rule as ``ivf_pq_topk``),
+    the UNION of probed cells becomes a partition-pruning ``cell IN``
+    condition on the Delta scan — files of unprobed cells are never
+    opened — and one Arrow pass over the surviving PQ codes sums the
+    ADC lookup tables and emits batch-local top-k, trimmed by a final
+    k-row window.  Identical determinism contract (and results) as the
+    single-pass ``ivf_pq_topk``."""
+    import numpy as np
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from ..sources.delta import scan_delta
+
+    cb = _as_codebooks(codebooks)
+    m, ksub, dsub = cb.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_sq = (cents * cents).sum(axis=1)
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    qid_at = to_arrow_type(queries.schema[id_col].dataType)
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [],
+            schema=(
+                f"`{query_id_col}` {qid_t}, `{id_col}` {qid_t}, "
+                "dist double, rank int"
+            ),
+        )
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qd = np.round(
+        (Q * Q).sum(axis=1)[:, None] - 2.0 * (Q @ cents.T) + cent_sq[None, :],
+        4,
+    )
+    probes = np.argsort(qd, axis=1, kind="stable")[:, :nprobe]
+    probed = sorted({int(c) for row in probes for c in row})
+    lut = np.empty((len(Q), m, ksub), dtype=np.float64)
+    for s in range(m):
+        Qs = Q[:, s * dsub : (s + 1) * dsub]
+        diff = Qs[:, None, :] - cb[s][None, :, :]
+        lut[:, s, :] = (diff * diff).sum(axis=2)
+
+    codes_df = scan_delta(
+        spark, path, conditions=[("cell", "in", probed)]
+    )
+    cid_t = codes_df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{query_id_col}` {qid_t}, `{id_col}` {cid_t}, dist double"
+
+    def scan(batches):
+        import pyarrow as pa
+
+        qid_arr = pa.array(qids.tolist(), type=qid_at)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = np.asarray(b.column(0))
+            cells = np.asarray(b.column(1))
+            C = np.asarray(b.column(2).flatten()).reshape(n, m)
+            dist = lut[:, 0, :][:, C[:, 0]]
+            for s in range(1, m):
+                dist = dist + lut[:, s, :][:, C[:, s]]
+            dist = np.round(dist, 4)
+            qi, ci = [], []
+            for qn in range(len(qids)):
+                cand = np.flatnonzero(
+                    np.isin(cells, probes[qn]) & (ids != qids[qn])
+                )
+                if not len(cand):
+                    continue
+                top = cand[_select_topk(dist[qn, cand], ids[cand], k)]
+                qi.extend([qn] * len(top))
+                ci.extend(top.tolist())
+            qi = np.asarray(qi, dtype=np.int64)
+            ci = pa.array(np.asarray(ci, dtype=np.int64))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    qid_arr.take(pa.array(qi)),
+                    b.column(0).take(ci),
+                    pa.array(dist[qi, np.asarray(ci)]),
+                ],
+                names=[query_id_col, id_col, "dist"],
+            )
+
+    scored = codes_df.select(id_col, "cell", "pq_code").mapInArrow(
+        scan, out_schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "dist", "rank")
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

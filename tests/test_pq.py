@@ -228,3 +228,66 @@ def test_pq_train_byte_bound_caps_sample(spark):
     import numpy as np
 
     assert np.asarray(cb).shape == (2, 4, dim // 2)
+
+
+def test_ivf_pq_index_matches_single_pass(spark, tmp_path):
+    """The at-rest index path (build partitionBy(cell) + pruning scan)
+    returns exactly the single-pass ivf_pq_topk results."""
+    import numpy as np
+
+    dim, m, ksub = 16, 4, 8
+    rows = _vecs(80, dim)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = P.pq_train(df.orderBy("vec_id"), m=m, ksub=ksub, iters=3)
+    cents = [v for _, v in rows[:6]]
+    queries = df.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivfpq")
+    P.build_ivf_pq_index(df, cents, cb, path)
+    got = sorted(
+        map(tuple, P.ivf_pq_index_topk(
+            spark, path, queries, cb, cents, k=4, nprobe=2).collect())
+    )
+    want = sorted(
+        map(tuple, P.ivf_pq_topk(
+            df, queries, cents, cb, k=4, nprobe=2).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivf_pq_index_prunes_unprobed_cells(spark, tmp_path):
+    """Files of unprobed cells are NEVER opened: corrupting every
+    parquet under an unprobed cell's partition directory leaves the
+    search result unchanged."""
+    import os
+
+    dim = 8
+    rows = _vecs(60, dim, seed=9)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = P.pq_train(df.orderBy("vec_id"), m=2, ksub=4, iters=2)
+    cents = [v for _, v in rows[:6]]
+    queries = df.filter(F.col("vec_id") < 2)
+    path = str(tmp_path / "ivfpq")
+    P.build_ivf_pq_index(df, cents, cb, path)
+    before = sorted(map(tuple, P.ivf_pq_index_topk(
+        spark, path, queries, cb, cents, k=3, nprobe=2).collect()))
+    # find a cell no query probes
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    Q = np.array([v for i, v in rows if i < 2])
+    qd = np.round((Q*Q).sum(1)[:, None] - 2.0*(Q @ C.T) + (C*C).sum(1)[None, :], 4)
+    probed = {int(c) for r in np.argsort(qd, 1, kind="stable")[:, :2] for c in r}
+    unprobed = [c for c in range(len(cents)) if c not in probed]
+    corrupted = 0
+    for c in unprobed:
+        pdir = os.path.join(path, f"cell={c}")
+        if os.path.isdir(pdir):
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(pdir, f), "wb") as fh:
+                        fh.write(b"ruined")
+                    corrupted += 1
+    assert corrupted > 0  # the test must actually corrupt something
+    after = sorted(map(tuple, P.ivf_pq_index_topk(
+        spark, path, queries, cb, cents, k=3, nprobe=2).collect()))
+    assert after == before

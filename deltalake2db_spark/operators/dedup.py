@@ -666,14 +666,16 @@ def _cut_lineage_pairs(
     spark = candidates.sparkSession
     c = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     # limit(N+1) probe: ONE job both sizes the set and supplies the
-    # rows when it fits (r9 — previously a count job + a toPandas job)
-    pdf = c.limit(max_driver_rows + 1).toPandas()
-    if len(pdf) <= max_driver_rows:
+    # rows when it fits (r9 — previously a count job + a toPandas job;
+    # r10 — arrow end to end: toArrow collect, arrow group_by dedup,
+    # createDataFrame(LocalRelation) — no pandas build on either side)
+    tbl = c.limit(max_driver_rows + 1).toArrow()
+    if tbl.num_rows <= max_driver_rows:
         schema = c.schema
         c.unpersist()
         if dedup:
-            pdf = pdf.drop_duplicates(ignore_index=True)
-        return spark.createDataFrame(pdf, schema=schema), True
+            tbl = tbl.group_by(tbl.column_names).aggregate([])
+        return spark.createDataFrame(tbl, schema=schema), True
     if dedup:
         d = c.distinct().persist(StorageLevel.MEMORY_AND_DISK)
         d.count()

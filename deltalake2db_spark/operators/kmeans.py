@@ -235,12 +235,14 @@ def _cut_lineage_ids(ids: DataFrame, max_driver_rows: int = 1_000_000):
     spark = ids.sparkSession
     c = ids.persist(StorageLevel.MEMORY_AND_DISK)
     # limit(N+1) probe: ONE job both sizes the set and supplies the
-    # rows when it fits (r9 — previously a count job + a toPandas job)
-    pdf = c.limit(max_driver_rows + 1).toPandas()
-    if len(pdf) <= max_driver_rows:
+    # rows when it fits (r9 — previously a count job + a toPandas job);
+    # r10: arrow round-trip end to end (toArrow -> createDataFrame
+    # LocalRelation), no pandas Series build on either side
+    tbl = c.limit(max_driver_rows + 1).toArrow()
+    if tbl.num_rows <= max_driver_rows:
         schema = c.schema
         c.unpersist()
-        return F.broadcast(spark.createDataFrame(pdf, schema=schema))
+        return F.broadcast(spark.createDataFrame(tbl, schema=schema))
     return c
 
 
@@ -253,6 +255,7 @@ def _final_assignment(
     assign_impl: str,
     out: str = "cell",
     max_driver_rows: int = 1_000_000,
+    out_dist: str | None = None,
 ) -> DataFrame:
     """Lazy (df rows + cell) plan WITHOUT a second assignment GEMM.
 
@@ -266,16 +269,22 @@ def _final_assignment(
     double pass (VERDICT r6 item 3).
     """
     spark = df.sparkSession
-    amap = assigned.select(id_col, out)
+    extra = [out_dist] if out_dist else []
+    amap = assigned.select(id_col, out, *extra)
     # limit(N+1) probe off the caller's persisted assignment: one job
     # sizes AND supplies the map when driver-sized (r9 — was count +
-    # toPandas)
-    pdf = amap.limit(max_driver_rows + 1).toPandas()
-    if len(pdf) <= max_driver_rows:
-        local = F.broadcast(spark.createDataFrame(pdf, schema=amap.schema))
+    # toPandas; r10 — arrow end to end, see _cut_lineage_ids)
+    tbl = amap.limit(max_driver_rows + 1).toArrow()
+    if tbl.num_rows <= max_driver_rows:
+        local = F.broadcast(spark.createDataFrame(tbl, schema=amap.schema))
         # keep kmeans_assign's column order: df columns then the cell
-        return df.join(local, id_col, "inner").select(*df.columns, out)
-    return kmeans_assign(df, centroids, id_col, vec_col, out, impl=assign_impl)
+        return df.join(local, id_col, "inner").select(
+            *df.columns, out, *extra
+        )
+    return kmeans_assign(
+        df, centroids, id_col, vec_col, out, impl=assign_impl,
+        out_dist=out_dist,
+    )
 
 
 def semantic_dedup(
@@ -603,30 +612,54 @@ def d4_prune(
     the redundancy clusters, the prototype rank then prunes the easy
     prototypical core that dedup alone leaves over-represented.
 
-    One centroid model drives both stages (fitted here once when not
-    supplied), so the plan pays a single k-means fit; each stage keeps
-    its own documented scale shape (blocked within-cell GEMM for the
-    pair scan; map-side assignment + one cell-keyed window for the
-    rank).  Returns the kept rows plus ``cell`` and ``rnk``.
+    One centroid model AND one assignment pass drive both stages
+    (fitted/assigned once; r10 — the previous composition re-assigned
+    the survivors for the prototype rank, a second full GEMM/fold pass
+    over the corpus): the shared assignment (with its distance column)
+    feeds the blocked within-cell pair scan, the anti-join of the
+    losers, and the cell-keyed rank window directly.  Returns the kept
+    rows plus ``cell`` and ``rnk``.
     """
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep={keep!r}: expected hard|easy")
+    from .similarity import neardup_pairs_blocked
+
     if centroids is None:
         centroids = kmeans_fit(df, k, iters, id_col, vec_col)
-    survivors = semantic_dedup(
-        df,
-        centroids=centroids,
+    assigned = kmeans_assign(
+        df, centroids, id_col, vec_col, impl=assign_impl,
+        out_dist="__dist",
+    ).persist()
+    pairs = neardup_pairs_blocked(
+        assigned,
         threshold=threshold,
         id_col=id_col,
         vec_col=vec_col,
-        assign_impl=assign_impl,
-        pairs_impl=pairs_impl,
+        block_col="cell",
+        impl=pairs_impl,
         max_block=max_block,
     )
-    return prototype_prune(
-        survivors.drop("cell"),
-        centroids,
-        keep_frac=keep_frac,
-        id_col=id_col,
-        vec_col=vec_col,
-        keep=keep,
-        assign_impl=assign_impl,
+    losers = _cut_lineage_ids(
+        pairs.select(F.col("id_b").alias(id_col)).distinct()
     )
+    # lazy final plan: ONE assignment total (broadcast (id, cell, dist)
+    # map when driver-sized, honest re-assign above) — same cache
+    # lifecycle story as semantic_dedup
+    final = _final_assignment(
+        df, assigned, centroids, id_col, vec_col, assign_impl,
+        out_dist="__dist",
+    )
+    assigned.unpersist()
+    survivors = final.join(losers, id_col, "left_anti").withColumn(
+        "__dr", F.round(F.col("__dist"), 6)
+    )
+    order = (
+        F.col("__dr").desc() if keep == "hard" else F.col("__dr").asc()
+    )
+    w = Window.partitionBy("cell")
+    ranked = survivors.withColumn(
+        "rnk", F.row_number().over(w.orderBy(order, F.col(id_col).asc()))
+    ).withColumn("__n", F.count(F.lit(1)).over(w))
+    return ranked.filter(
+        F.col("rnk") <= F.ceil(F.lit(float(keep_frac)) * F.col("__n"))
+    ).drop("__dist", "__dr", "__n")

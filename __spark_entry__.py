@@ -948,6 +948,44 @@ def q_media_decode_jpeg(spark, sf_dir):
     )
 
 
+def q_media_mp4_meta(spark, sf_dir):
+    """REAL video-container parse end-to-end (r10): metadata-only MP4s
+    (ftyp+moov, ISO 14496-12 boxes written by the pure-struct encoder)
+    are synthesized distributed with closed-form parameters
+    (duration 1000+37i ms, width 320+16*(i%5), height 240+8*(i%3)),
+    then parsed back by the pure-struct box walker inside mapInPandas.
+    Frame decode stays stubbed; the container layer — what curation
+    filters on — is real on both sides."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        from deltalake2db_spark.operators.multimodal import encode_mp4_meta
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rows.append((
+                    i, "video",
+                    encode_mp4_meta(
+                        1000 + 37 * i, 320 + 16 * (i % 5), 240 + 8 * (i % 3),
+                        audio=(i % 2 == 0),
+                    ),
+                    {"mime": "video/mp4", "width": None, "height": None,
+                     "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(100).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return M.extract_video_meta(media).select(
+        "media_id", "duration_ms", "width", "height", "n_tracks", "codecs"
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH at its design point (j >= 0.5): the corpus has no
     natural near-dups, so plant one per doc (doc_id+10^6, first word
@@ -1648,7 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_terms": q_tfidf_terms,
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
-        "q_range_join": q_range_join,
+        "q_media_mp4_meta": q_media_mp4_meta,
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
@@ -1698,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_gaps": q_event_gaps,
         "q_sessions": q_sessions,
         "q_asof_events_orders": q_asof_events_orders,
+        "q_range_join": q_range_join,
         "q_quantized_topk": q_quantized_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_quantize_int8": q_quantize_int8,
@@ -2728,6 +2767,17 @@ def oracle_sql() -> dict[str, str]:
             FROM range(100) i(v), range(16) x(v), range(12) y(v),
                  range(3) c(v)
             GROUP BY 1
+        """,
+        "q_media_mp4_meta": """
+            SELECT i.v AS media_id,
+                   CAST(1000 + 37 * i.v AS BIGINT) AS duration_ms,
+                   CAST(320 + 16 * (i.v % 5) AS INT) AS width,
+                   CAST(240 + 8 * (i.v % 3) AS INT) AS height,
+                   CAST(CASE WHEN i.v % 2 = 0 THEN 2 ELSE 1 END AS INT)
+                       AS n_tracks,
+                   CASE WHEN i.v % 2 = 0 THEN 'avc1,mp4a' ELSE 'avc1' END
+                       AS codecs
+            FROM range(100) i(v)
         """,
         "q_media_decode_jpeg": """
             SELECT i.v AS media_id,

@@ -442,6 +442,245 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MP4 / ISO-BMFF container metadata (ISO 14496-12 box walk — pure
+# struct parsing, no codec).  Frame DECODE stays in the stub tier; the
+# container layer (duration, dimensions, track types, codec fourccs)
+# is what a corpus-curation pipeline filters on before any decode.
+# --------------------------------------------------------------------------
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each top-level box in
+    ``buf[start:end]`` — handles 64-bit largesize and size==0 (to
+    end-of-enclosure) per the spec."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in _walk_boxes(buf, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def parse_mp4_meta(payload: bytes) -> Optional[dict]:
+    """Container metadata of an MP4/ISO-BMFF payload:
+    ``{major_brand, duration_ms, width, height, n_tracks, tracks:
+    [{handler, codec, duration_ms, width, height}]}`` — or ``None``
+    when the payload is not BMFF (no ftyp/moov) or malformed.
+
+    Reads ftyp, moov/mvhd (movie timescale + duration), and per trak:
+    tkhd (16.16 fixed-point presentation size), mdia/mdhd (media
+    timescale/duration), mdia/hdlr (vide/soun), stbl/stsd (first
+    sample-entry fourcc).  Pure driver-free parsing — runs inside the
+    same mapInPandas tier as the image decoders."""
+    try:
+        return _parse_mp4_meta(payload)
+    except Exception:
+        return None
+
+
+def _parse_mp4_meta(payload: bytes) -> Optional[dict]:
+    if payload is None or len(payload) < 16:
+        return None
+    n = len(payload)
+    major = None
+    moov = None
+    for t, b, e in _walk_boxes(payload, 0, n):
+        if t == b"ftyp":
+            major = payload[b : b + 4].decode("ascii", "replace")
+        elif t == b"moov":
+            moov = (b, e)
+    if moov is None or major is None:
+        return None
+    mb, me = moov
+    out = {
+        "major_brand": major,
+        "duration_ms": None,
+        "width": None,
+        "height": None,
+        "n_tracks": 0,
+        "tracks": [],
+    }
+    mvhd = _find_box(payload, mb, me, b"mvhd")
+    if mvhd:
+        vb, _ = mvhd
+        ver = payload[vb]
+        if ver == 1:
+            ts, dur = struct.unpack_from(">IQ", payload, vb + 4 + 16)
+        else:
+            ts, dur = struct.unpack_from(">II", payload, vb + 4 + 8)
+        if ts:
+            out["duration_ms"] = int(dur * 1000 // ts)
+    for t, b, e in _walk_boxes(payload, mb, me):
+        if t != b"trak":
+            continue
+        tr = {"handler": None, "codec": None, "duration_ms": None,
+              "width": None, "height": None}
+        tkhd = _find_box(payload, b, e, b"tkhd")
+        if tkhd:
+            vb, ve = tkhd
+            ver = payload[vb]
+            # width/height are the LAST 8 bytes of tkhd (16.16 fixed)
+            w_fx, h_fx = struct.unpack_from(">II", payload, ve - 8)
+            tr["width"] = w_fx >> 16 or None
+            tr["height"] = h_fx >> 16 or None
+        mdia = _find_box(payload, b, e, b"mdia")
+        if mdia:
+            db, de = mdia
+            mdhd = _find_box(payload, db, de, b"mdhd")
+            if mdhd:
+                vb, _ = mdhd
+                ver = payload[vb]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, vb + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, vb + 4 + 8)
+                if ts:
+                    tr["duration_ms"] = int(dur * 1000 // ts)
+            hdlr = _find_box(payload, db, de, b"hdlr")
+            if hdlr:
+                vb, _ = hdlr
+                tr["handler"] = payload[vb + 8 : vb + 12].decode(
+                    "ascii", "replace"
+                )
+            minf = _find_box(payload, db, de, b"minf")
+            if minf:
+                stbl = _find_box(payload, minf[0], minf[1], b"stbl")
+                if stbl:
+                    stsd = _find_box(payload, stbl[0], stbl[1], b"stsd")
+                    if stsd:
+                        vb, ve = stsd
+                        n_ent = struct.unpack_from(">I", payload, vb + 4)[0]
+                        if n_ent and vb + 16 <= ve:
+                            tr["codec"] = payload[vb + 12 : vb + 16].decode(
+                                "ascii", "replace"
+                            )
+        if tr["handler"] == "vide" and out["width"] is None:
+            out["width"], out["height"] = tr["width"], tr["height"]
+        out["tracks"].append(tr)
+    out["n_tracks"] = len(out["tracks"])
+    return out
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def encode_mp4_meta(
+    duration_ms: int,
+    width: int = 0,
+    height: int = 0,
+    codec: bytes = b"avc1",
+    audio: bool = False,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal VALID metadata-only MP4 (ftyp + moov, no media data) —
+    the round-trip partner of ``parse_mp4_meta`` for synthesizing
+    test/gate payloads without ffmpeg.  One video track (and optionally
+    one audio track) with the given presentation size and duration."""
+    dur = duration_ms * timescale // 1000
+
+    def track(handler: bytes, fourcc: bytes, w: int, h: int, tid: int):
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIIII", 0, 0, tid, 0, dur)
+            + b"\x00" * 8
+            + struct.pack(
+                ">hhhh", 0, 0, 0 if handler == b"vide" else 0x0100, 0
+            )
+            + struct.pack(
+                ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _box(
+            b"mdhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, timescale, dur)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _box(
+            b"hdlr", struct.pack(">B3x4x", 0) + handler + b"\x00" * 13
+        )
+        entry = struct.pack(">I", 16) + fourcc + b"\x00" * 8
+        stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 3),
+    )
+    traks = track(b"vide", codec, width, height, 1)
+    if audio:
+        traks += track(b"soun", b"mp4a", 0, 0, 2)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + _box(b"moov", mvhd + traks)
+
+
+def extract_video_meta(df: DataFrame) -> DataFrame:
+    """(media_id, major_brand, duration_ms, width, height, n_tracks,
+    codecs) per video row — ISO-BMFF container parse in the same
+    map-side mapInPandas tier as the image/audio paths; non-BMFF
+    payloads are skipped (frame decode itself stays in the stub tier)."""
+    out_schema = (
+        "media_id long, major_brand string, duration_ms long, "
+        "width int, height int, n_tracks int, codecs string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                meta = parse_mp4_meta(payload)
+                if meta is None:
+                    continue
+                rows.append((
+                    int(mid), meta["major_brand"], meta["duration_ms"],
+                    meta["width"], meta["height"], meta["n_tracks"],
+                    ",".join(
+                        t["codec"] or "?" for t in meta["tracks"]
+                    ),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "major_brand", "duration_ms",
+                         "width", "height", "n_tracks", "codecs"],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+# --------------------------------------------------------------------------
 # Encoders (round-trip partners of the decoders; used to synthesize
 # real-format test payloads without any codec library)
 # --------------------------------------------------------------------------

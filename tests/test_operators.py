@@ -1041,3 +1041,47 @@ def test_shingled_group_cols(spark):
     out = D.shingled(df, "doc_id", "text", 2, group_cols=("side",)).collect()
     assert len(out) == 4  # 2 shingles per side
     assert {r["side"] for r in out} == {0, 1}
+
+
+def test_mp4_meta_roundtrip_and_variants(spark):
+    """ISO-BMFF container parse: encode_mp4_meta round-trips, 64-bit
+    largesize boxes and version-1 mvhd parse, malformed payloads fall
+    through to None, and the Spark extract path computes true values."""
+    import struct
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    p = M.encode_mp4_meta(5500, 640, 360, audio=True)
+    m = M.parse_mp4_meta(p)
+    assert m["duration_ms"] == 5500 and (m["width"], m["height"]) == (640, 360)
+    assert m["n_tracks"] == 2
+    assert [t["handler"] for t in m["tracks"]] == ["vide", "soun"]
+    assert [t["codec"] for t in m["tracks"]] == ["avc1", "mp4a"]
+    # video-only
+    m1 = M.parse_mp4_meta(M.encode_mp4_meta(250, 128, 96))
+    assert m1["n_tracks"] == 1 and m1["duration_ms"] == 250
+    # largesize (size==1 + 64-bit) wrapping of moov still parses
+    ftyp_end = 8 + struct.unpack_from(">I", p, 0)[0] - 8
+    ftyp_len = struct.unpack_from(">I", p, 0)[0]
+    moov = p[ftyp_len:]
+    big = (
+        p[:ftyp_len]
+        + struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov) - 8)
+        + moov[8:]
+    )
+    mb = M.parse_mp4_meta(big)
+    assert mb is not None and mb["duration_ms"] == 5500
+    # malformed / non-BMFF
+    assert M.parse_mp4_meta(b"RIFF" + bytes(32)) is None
+    assert M.parse_mp4_meta(p[:20]) is None
+    assert M.parse_mp4_meta(None) is None
+
+    rows = [(1, "video", bytearray(p), None),
+            (2, "image", bytearray(b"not a video here"), None),
+            (3, "video", bytearray(b"also not bmff data"), None)]
+    vdf = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = M.extract_video_meta(vdf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["media_id"], r["duration_ms"], r["width"], r["height"],
+            r["n_tracks"], r["codecs"]) == (1, 5500, 640, 360, 2, "avc1,mp4a")

@@ -986,6 +986,26 @@ def q_media_mp4_meta(spark, sf_dir):
     )
 
 
+def q_media_decode_pjpeg(spark, sf_dir):
+    """PROGRESSIVE-JPEG decode end-to-end (r10): same block-constant
+    closed form as q_media_decode_jpeg, but encoded as SOF2 with the
+    common 4-phase scan script (interleaved DC first at Al=1,
+    per-component spectral AC at Al=1, AC refinement, DC refinement)
+    and decoded by the multi-scan coefficient-store path (EOB runs,
+    successive-approximation refinement).  Same closed-form oracle."""
+    from deltalake2db_spark.operators import multimodal as M
+
+    media = M.make_real_media(spark, 100, width=16, height=16, fmt="pjpeg")
+    feats = M.extract_image_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_px") * F.col("n_px"))
+        .cast("long")
+        .alias("px_sum"),
+        "n_px",
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH at its design point (j >= 0.5): the corpus has no
     natural near-dups, so plant one per doc (doc_id+10^6, first word
@@ -1687,7 +1707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_mp4_meta": q_media_mp4_meta,
-        "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
         "q_delta_optimize": q_delta_optimize,
@@ -1728,9 +1747,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_pq_index": q_ivf_pq_index,
         "q_quality_rules": q_quality_rules,
         "q_perplexity": q_perplexity,
+        "q_media_decode_pjpeg": q_media_decode_pjpeg,
         "q_media_decode_jpeg": q_media_decode_jpeg,
         # -- positions 51+: multi-round-certified gates whose import
         # closure is untouched this round (rotation rule above) --
+        "q_delta_time_travel": q_delta_time_travel,
         "q_events_hourly": q_events_hourly,
         "q_events_pivot": q_events_pivot,
         "q_event_gaps": q_event_gaps,
@@ -2780,6 +2801,14 @@ def oracle_sql() -> dict[str, str]:
             FROM range(100) i(v)
         """,
         "q_media_decode_jpeg": """
+            SELECT i.v AS media_id,
+                   CAST(sum(((i.v + bx.v + by.v) % 256) * 64) AS BIGINT)
+                       AS px_sum,
+                   CAST(256 AS BIGINT) AS n_px
+            FROM range(100) i(v), range(2) bx(v), range(2) by(v)
+            GROUP BY 1
+        """,
+        "q_media_decode_pjpeg": """
             SELECT i.v AS media_id,
                    CAST(sum(((i.v + bx.v + by.v) % 256) * 64) AS BIGINT)
                        AS px_sum,

@@ -1,12 +1,16 @@
-"""Pure-numpy baseline JPEG codec (no codec library).
+"""Pure-numpy JPEG codec (no codec library).
 
-Decoder: baseline/extended sequential Huffman JPEG (SOF0/SOF1) — DQT /
-DHT / DRI / RSTn / APPn / COM segment parsing, canonical Huffman
-entropy decode, dequantize + inverse zigzag, separable float64 IDCT,
-sample-replication chroma upsampling for any (h, v) factors, and the
-BT.601 YCbCr->RGB transform.  Progressive (SOF2), arithmetic, 12-bit,
-and hierarchical streams return ``None`` — callers fall back to the
-stub tier exactly like the other decoders in ``multimodal``.
+Decoder: Huffman JPEG, both baseline/extended sequential (SOF0/SOF1)
+AND progressive (SOF2) — DQT / DHT / DRI / RSTn / APPn / COM segment
+parsing, canonical Huffman entropy decode into a per-component
+coefficient store, multi-scan progressive reassembly (spectral
+selection, successive approximation with DC/AC first + refinement
+scans, EOB runs per spec G.2), dequantize + inverse zigzag, batched
+separable float64 IDCT, sample-replication chroma upsampling for any
+(h, v) factors, and the BT.601 YCbCr->RGB transform.  Arithmetic,
+12-bit, lossless, and hierarchical streams return ``None`` — callers
+fall back to the stub tier exactly like the other decoders in
+``multimodal``.
 
 Encoder: the round-trip partner used to synthesize REAL ``.jpg``
 payloads distributed (``multimodal.make_real_media``) — grayscale or
@@ -170,13 +174,29 @@ def _idct_block(S: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
-    """Baseline-sequential JPEG bytes -> ``(H, W, C) uint8`` (C = 1
-    gray or 3 RGB), or ``None`` for non-JPEG / unsupported variants
-    (progressive, arithmetic, 12-bit)."""
+    """Huffman JPEG bytes -> ``(H, W, C) uint8`` (C = 1 gray or 3
+    RGB).  Supports baseline/extended sequential (SOF0/SOF1) AND
+    progressive (SOF2: spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs).  Returns ``None``
+    for non-JPEG or the remaining variants (lossless, arithmetic,
+    hierarchical, 12-bit)."""
     try:
         return _decode_jpeg(payload)
     except Exception:
         return None
+
+
+class _Scan:
+    __slots__ = ("comps", "ss", "se", "ah", "al", "segments", "restart")
+
+    def __init__(self, comps, ss, se, ah, al, segments, restart):
+        self.comps = comps  # [(comp_index, td, ta)]
+        self.ss = ss
+        self.se = se
+        self.ah = ah
+        self.al = al
+        self.segments = segments
+        self.restart = restart
 
 
 def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
@@ -189,7 +209,8 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
     comps = None  # [(cid, hi, vi, tq)]
     h = w = 0
     restart = 0
-    scan = None
+    scans: list[_Scan] = []
+    progressive = False
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             return None
@@ -212,10 +233,9 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
                 else:
                     tab = np.frombuffer(seg, np.uint8, 64, i).astype(np.int64)
                     i += 64
-                q = np.zeros((8, 8), np.int64)
-                q[_ZZ_ROWS, _ZZ_COLS] = tab
-                qt[tq] = q
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+                qt[tq] = tab.copy()  # zigzag order, like the coef store
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or not h or not w:
                 return None
@@ -223,9 +243,9 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / lossless / arithmetic
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(seg):
@@ -237,101 +257,78 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — parse header + its entropy data
+            if comps is None:
+                return None
             ns = seg[0]
-            scan = []
+            cid_to_ix = {c[0]: ix for ix, c in enumerate(comps)}
+            sc = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan.append((cs, tt >> 4, tt & 0xF))
+                sc.append((cid_to_ix[cs], tt >> 4, tt & 0xF))
+            ss, se, aa = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             pos += ln
-            break
-        pos += ln
-    if comps is None or scan is None:
-        return None
-
-    # entropy-coded data: unstuff FF00 -> FF, note RST positions
-    segments = []  # list of unstuffed byte strings (restart intervals)
-    cur = bytearray()
-    i = pos
-    while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        m = payload[i + 1] if i + 1 < n else 0xD9
-        if m == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:
-            segments.append(bytes(cur))
+            # unstuff FF00 -> FF; split at RSTn; stop at any other marker
+            segments = []
             cur = bytearray()
-            i += 2
-        else:  # EOI or next marker
-            break
-    segments.append(bytes(cur))
+            i = pos
+            while i < n:
+                b = payload[i]
+                if b != 0xFF:
+                    cur.append(b)
+                    i += 1
+                    continue
+                m = payload[i + 1] if i + 1 < n else 0xD9
+                if m == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                elif 0xD0 <= m <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                else:
+                    break
+            segments.append(bytes(cur))
+            scans.append(
+                _Scan(sc, ss, se, aa >> 4, aa & 0xF, segments, restart)
+            )
+            pos = i
+            continue
+        pos += ln
+    if comps is None or not scans:
+        return None
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # per-component coefficient planes at sampled resolution
-    planes = [
-        np.zeros((mcuy * vi * 8, mcux * hi * 8), np.float64)
-        for _, hi, vi, _ in comps
-    ]
-    scan_of = {cs: (td, ta) for cs, td, ta in scan}
-    order = []  # (comp_index, hi, vi, dc_table, ac_table, quant)
-    for ci, (cid, hi, vi, tq) in enumerate(comps):
-        td, ta = scan_of[cid]
-        order.append((ci, hi, vi, huf[(0, td)], huf[(1, ta)], qt[tq]))
+    geom = []  # (hi, vi, bw_full, bh_full, bw, bh) per component
+    coefs = []
+    for cid, hi, vi, tq in comps:
+        bw = -(-(-(-w * hi // hmax)) // 8)
+        bh = -(-(-(-h * vi // vmax)) // 8)
+        geom.append((hi, vi, mcux * hi, mcuy * vi, bw, bh))
+        coefs.append(np.zeros((mcuy * vi, mcux * hi, 64), np.int64))
+    for sc in scans:
+        _decode_scan(sc, coefs, geom, huf, mcux, mcuy, progressive)
 
-    pred = [0] * len(comps)
-    mcu_i = 0
-    seg_iter = iter(segments)
-    reader = _BitReader(next(seg_iter))
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_i and mcu_i % restart == 0:
-                reader = _BitReader(next(seg_iter))
-                pred = [0] * len(comps)
-            mcu_i += 1
-            for ci, hi, vi, dct, act, q in order:
-                for by in range(vi):
-                    for bx in range(hi):
-                        S = np.zeros((8, 8), np.float64)
-                        s = reader.huff(dct)
-                        diff = _extend(reader.read(s), s) if s else 0
-                        pred[ci] += diff
-                        S[0, 0] = pred[ci] * q[0, 0]
-                        k = 1
-                        while k < 64:
-                            rs = reader.huff(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            v = _extend(reader.read(s), s)
-                            rr, cc = _ZIGZAG[k]
-                            S[rr, cc] = v * q[rr, cc]
-                            k += 1
-                        px = _idct_block(S) + 128.0
-                        y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-
-    out_planes = []
-    for (ci, hi, vi, _, _, _), plane in zip(order, planes):
+    planes = []
+    for (cid, hi, vi, tq), coef, (_, _, bwf, bhf, _, _) in zip(
+        comps, coefs, geom
+    ):
+        q = qt[tq]  # zigzag order
+        deq = coef * q[None, None, :]
+        S = np.zeros((bhf, bwf, 8, 8), np.float64)
+        S[:, :, _ZZ_ROWS, _ZZ_COLS] = deq
+        # batched separable IDCT over all blocks of the component
+        px = np.einsum("ux,mnuv,vy->mnxy", _DCT_A, S, _DCT_A) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bhf * 8, bwf * 8)
         up = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
-        out_planes.append(up[:h, :w])
-    if len(out_planes) == 1:
-        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        planes.append(up[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return y[:, :, None]
-    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -341,6 +338,143 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(sc: _Scan, coefs, geom, huf, mcux, mcuy, progressive):
+    """One entropy-coded scan into the coefficient store (spec F.2 /
+    G.2): sequential full-band, progressive DC/AC first, and
+    progressive DC/AC refinement, with EOB runs and restarts."""
+    ns = len(sc.comps)
+    if progressive:
+        # spec G.1: progressive scans are DC-only (0,0) or AC-only
+        # (1<=Ss<=Se<=63) — a full-band scan here is a corrupt stream
+        if not (
+            (sc.ss == 0 and sc.se == 0)
+            or (1 <= sc.ss <= sc.se <= 63)
+        ):
+            raise ValueError("invalid progressive spectral range")
+    elif (sc.ss, sc.se) != (0, 63):
+        raise ValueError("sequential scan must cover the full band")
+    p1, m1 = 1 << sc.al, -1 << sc.al
+    seg_iter = iter(sc.segments)
+    reader = _BitReader(next(seg_iter))
+    pred = [0] * len(coefs)
+    eobrun = 0
+
+    def ac_first(coef, dct, act):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = max(sc.ss, 1)
+        while k <= sc.se:
+            rs = reader.huff(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                return
+            k += r
+            if k > sc.se:
+                raise ValueError("AC index out of range")
+            coef[k] = _extend(reader.read(s), s) << sc.al
+            k += 1
+
+    def ac_refine(coef, act):
+        # spec G.1.2.3 (the libjpeg AC-refinement control flow)
+        nonlocal eobrun
+        k = sc.ss
+        if eobrun == 0:
+            while k <= sc.se:
+                rs = reader.huff(act)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("refinement size must be 1")
+                    newval = p1 if reader.read(1) else m1
+                while k <= sc.se:
+                    if coef[k] != 0:
+                        if reader.read(1) and (coef[k] & p1) == 0:
+                            coef[k] += p1 if coef[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= sc.se:
+                    coef[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= sc.se:
+                if coef[k] != 0:
+                    if reader.read(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def one_block(ci, by, bx, dct, act):
+        coef = coefs[ci][by, bx]
+        if sc.ss == 0:
+            if sc.ah == 0:
+                s = reader.huff(dct)
+                diff = _extend(reader.read(s), s) if s else 0
+                pred[ci] += diff
+                coef[0] = pred[ci] << sc.al
+            else:
+                if reader.read(1):
+                    coef[0] |= p1
+        if sc.se > 0 and (not progressive or sc.ss > 0):
+            # sequential: DC+AC in one pass; progressive: AC-only scans
+            if sc.ah == 0:
+                ac_first(coef, dct, act)
+            else:
+                ac_refine(coef, act)
+
+    tables = {
+        ci: (huf.get((0, td)), huf.get((1, ta)))
+        for ci, td, ta in sc.comps
+    }
+    mcu_i = 0
+    if ns == 1:
+        ci = sc.comps[0][0]
+        dct, act = tables[ci]
+        _, _, _, _, bw, bh = geom[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                if sc.restart and mcu_i and mcu_i % sc.restart == 0:
+                    reader = _BitReader(next(seg_iter))
+                    pred = [0] * len(coefs)
+                    eobrun = 0
+                mcu_i += 1
+                one_block(ci, by, bx, dct, act)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if sc.restart and mcu_i and mcu_i % sc.restart == 0:
+                    reader = _BitReader(next(seg_iter))
+                    pred = [0] * len(coefs)
+                    eobrun = 0
+                mcu_i += 1
+                for ci, td, ta in sc.comps:
+                    dct, act = tables[ci]
+                    hi, vi = geom[ci][0], geom[ci][1]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            one_block(
+                                ci, my * vi + by, mx * hi + bx, dct, act
+                            )
 
 
 # ---------------------------------------------------------------- encoder
@@ -379,8 +513,9 @@ def _encode_coeff(bw: _BitWriter, v: int, table):
         bw.write(v if v >= 0 else v + (1 << s) - 1, s)
 
 
-def _encode_block(bw: _BitWriter, S: np.ndarray, pred: int, dct, act) -> int:
-    zz = S[_ZZ_ROWS, _ZZ_COLS].astype(np.int64)
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dct, act) -> int:
+    """Sequential full-band block encode from ZIGZAG-ordered quantized
+    coefficients."""
     dc = int(zz[0])
     diff = dc - pred
     s = abs(diff).bit_length()
@@ -406,11 +541,6 @@ def _encode_block(bw: _BitWriter, S: np.ndarray, pred: int, dct, act) -> int:
     return dc
 
 
-def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
-    S = _DCT_A @ (block - 128.0) @ _DCT_A.T
-    return np.round(S / q)
-
-
 def _dqt_segment(tq: int, q: np.ndarray) -> bytes:
     zz = q[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
     return struct.pack(">HB", 2 + 1 + 64, tq) + zz
@@ -430,9 +560,15 @@ def encode_jpeg(
     quant_chroma=None,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """``(H, W)``/``(H, W, 1)`` gray or ``(H, W, 3)`` RGB uint8 ->
-    baseline JPEG bytes (Annex K Huffman tables, JFIF marker).
+    baseline JPEG bytes (Annex K Huffman tables, JFIF marker);
+    ``progressive=True`` writes SOF2 with the common 4-phase scan
+    script (interleaved DC first at Al=1, per-component AC 1-63 at
+    Al=1, AC refinement to Al=0, DC refinement) — exercising spectral
+    selection, successive approximation, and EOB-run coding end to
+    end.  Baseline notes:
 
     Quant tables default to ALL-ONES (a legal table): with it, a
     block-constant image round-trips bit-exactly (integer DC, zero
@@ -501,31 +637,18 @@ def encode_jpeg(
     ac_chr = _enc_table(_AC_CHR_BITS, _AC_CHR_VALS)
     tabs = [(dc_lum, ac_lum)] + [(dc_chr, ac_chr)] * (len(chans) - 1)
 
-    bw = _BitWriter()
-    pred = [0] * len(chans)
-    mcu_i = rst_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + rst_n % 8])
-                rst_n += 1
-                pred = [0] * len(chans)
-            mcu_i += 1
-            for ci, ((hi, vi), plane, q, (dct, act)) in enumerate(
-                zip(samp, planes, quants, tabs)
-            ):
-                for by in range(vi):
-                    for bx in range(hi):
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        S = _fdct_quant(
-                            plane[y0 : y0 + 8, x0 : x0 + 8], q
-                        )
-                        pred[ci] = _encode_block(
-                            bw, S, pred[ci], dct, act
-                        )
-    bw.flush()
+    # quantized coefficient blocks, zigzag order: (bh, bw, 64) per comp
+    all_zz = []
+    for (hi, vi), plane, q in zip(samp, planes, quants):
+        bh, bwid = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        S = np.einsum("ux,mnxy,vy->mnuv", _DCT_A, blocks, _DCT_A)
+        qz = np.round(
+            S[:, :, _ZZ_ROWS, _ZZ_COLS] / q[_ZZ_ROWS, _ZZ_COLS]
+        ).astype(np.int64)
+        all_zz.append(qz)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(
@@ -539,19 +662,179 @@ def encode_jpeg(
         sof += struct.pack(
             ">BBB", ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1
         )
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     out += b"\xff\xc4" + _dht_segment(0, 0, _DC_LUM_BITS, _DC_LUM_VALS)
     out += b"\xff\xc4" + _dht_segment(1, 0, _AC_LUM_BITS, _AC_LUM_VALS)
     if len(chans) == 3:
         out += b"\xff\xc4" + _dht_segment(0, 1, _DC_CHR_BITS, _DC_CHR_VALS)
         out += b"\xff\xc4" + _dht_segment(1, 1, _AC_CHR_BITS, _AC_CHR_VALS)
-    if restart_interval:
+    if restart_interval and not progressive:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([len(chans)])
-    for ci in range(len(chans)):
-        sos += bytes([ci + 1, 0 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def sos_header(comp_ids_tabs, ss, se, ah, al):
+        sos = bytes([len(comp_ids_tabs)])
+        for cid, td, ta in comp_ids_tabs:
+            sos += bytes([cid, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    if not progressive:
+        bw = _BitWriter()
+        pred = [0] * len(chans)
+        mcu_i = rst_n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_i
+                    and mcu_i % restart_interval == 0
+                ):
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + rst_n % 8])
+                    rst_n += 1
+                    pred = [0] * len(chans)
+                mcu_i += 1
+                for ci, ((hi, vi), zzc, (dct, act)) in enumerate(
+                    zip(samp, all_zz, tabs)
+                ):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            pred[ci] = _encode_block(
+                                bw, zzc[my * vi + by, mx * hi + bx],
+                                pred[ci], dct, act,
+                            )
+        bw.flush()
+        out += sos_header(
+            [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+             for ci in range(len(chans))],
+            0, 63, 0, 0,
+        )
+        out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive: the common 4-phase scan script ----
+    al0 = 1
+    # non-interleaved AC block grids per component
+    grids = []
+    for hi, vi in samp:
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        grids.append((-(-chh // 8), -(-cw // 8)))
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    pred = [0] * len(chans)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hi, vi), zzc, (dct, _)) in enumerate(
+                zip(samp, all_zz, tabs)
+            ):
+                for by in range(vi):
+                    for bx in range(hi):
+                        v = int(zzc[my * vi + by, mx * hi + bx, 0]) >> al0
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = abs(diff).bit_length()
+                        code, ln = dct[s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1,
+                                s,
+                            )
+    bw.flush()
+    out += sos_header(
+        [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(len(chans))],
+        0, 0, 0, al0,
+    )
     out += bw.out
-    out += b"\xff\xd9"  # EOI
+
+    # scan 2: AC first (1..63, Al=1), one scan per component
+    for ci, (zzc, (_, act)) in enumerate(zip(all_zz, tabs)):
+        bh_c, bw_c = grids[ci]
+        bw = _BitWriter()
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                zz = zzc[by, bx]
+                shifted = np.sign(zz[1:]) * (np.abs(zz[1:]) >> al0)
+                nzi = np.flatnonzero(shifted) + 1
+                k = 1
+                for idx in nzi:
+                    run = int(idx) - k
+                    while run >= 16:
+                        bw.write(*act[0xF0])
+                        run -= 16
+                    v = int(shifted[idx - 1])
+                    s = abs(v).bit_length()
+                    code, ln = act[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    k = int(idx) + 1
+                if k < 64:
+                    bw.write(*act[0x00])  # EOB (EOBRUN = 1)
+        bw.flush()
+        out += sos_header(
+            [(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, 0, al0
+        )
+        out += bw.out
+
+    # scan 3: AC refinement (Ah=1 -> Al=0), one scan per component
+    for ci, (zzc, (_, act)) in enumerate(zip(all_zz, tabs)):
+        bh_c, bw_c = grids[ci]
+        bw = _BitWriter()
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                zz = zzc[by, bx]
+                r, pending = 0, []
+                for k in range(1, 64):
+                    t = abs(int(zz[k]))
+                    if t == 0:
+                        r += 1
+                        continue
+                    if (t >> al0) != 0:
+                        # already significant: correction bit
+                        pending.append(t & 1)
+                        continue
+                    # newly significant (magnitude is exactly 1 here)
+                    while r > 15:
+                        bw.write(*act[0xF0])
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        r -= 16
+                    code, ln = act[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if zz[k] > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    r = 0
+                if r > 0 or pending:
+                    bw.write(*act[0x00])  # EOB (EOBRUN = 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+        bw.flush()
+        out += sos_header(
+            [(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, 1, 0
+        )
+        out += bw.out
+
+    # scan 4: DC refinement (Ah=1 -> Al=0): one raw bit per block
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, ((hi, vi), zzc) in enumerate(zip(samp, all_zz)):
+                for by in range(vi):
+                    for bx in range(hi):
+                        bw.write(
+                            int(zzc[my * vi + by, mx * hi + bx, 0]) & 1, 1
+                        )
+    bw.flush()
+    out += sos_header(
+        [(ci + 1, 0, 0) for ci in range(len(chans))], 0, 0, 1, 0
+    )
+    out += bw.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -5,11 +5,12 @@ Decode support is tiered:
 
 * **Real, dependency-free decoders**: BMP (24/32-bit BI_RGB), PPM
   ``P6`` / PGM ``P5`` (binary netpbm), PCM WAV (16/8-bit), PNG
-  (stdlib zlib inflate + numpy unfiltering), and baseline-sequential
-  JPEG (pure-numpy Huffman + IDCT — ``operators/jpeg.py``), all
-  implemented from the public specs with ``struct`` + numpy.
+  (stdlib zlib inflate + numpy unfiltering), sequential AND
+  progressive Huffman JPEG (pure-numpy — ``operators/jpeg.py``), and
+  MP4/ISO-BMFF container metadata, all implemented from the public
+  specs with ``struct`` + numpy.
 * **Stub fallback** for the remaining codec-tier formats (WebP /
-  progressive JPEG / MP4 video) that genuinely need libvips/ffmpeg,
+  MP4 video FRAME decode) that genuinely need libvips/ffmpeg,
   which are not in this container: a clearly-marked
   ``NotImplementedError`` (strict mode) or a deterministic fake
   feature tuple (test mode).  Swap ``_decode_image``'s fallback
@@ -724,27 +725,34 @@ def make_real_media(
     so the builder itself scales).
 
     BMP/PNG pixels follow the closed form ``(i + x + y + c) % 256``
-    (RGB); ``fmt='jpeg'`` writes GRAYSCALE images that are CONSTANT
-    per 8x8 block with value ``(i + x//8 + y//8) % 256`` — with the
-    encoder's all-ones quant table such blocks round-trip bit-exactly
-    (one integer DC coefficient, zero ACs), so an external oracle can
-    recompute decoded pixels from the closed form despite JPEG being
-    a lossy codec.  ``width``/``height`` must be multiples of 8 for
-    ``fmt='jpeg'``."""
-    if fmt not in ("bmp", "png", "jpeg"):
-        raise ValueError(f"fmt={fmt!r}: expected 'bmp', 'png', or 'jpeg'")
-    if fmt == "jpeg" and (width % 8 or height % 8):
-        raise ValueError("fmt='jpeg' needs width/height multiples of 8")
+    (RGB); ``fmt='jpeg'`` (baseline) and ``fmt='pjpeg'`` (progressive
+    SOF2, 4-phase scan script) write GRAYSCALE images that are
+    CONSTANT per 8x8 block with value ``(i + x//8 + y//8) % 256`` —
+    with the encoder's all-ones quant table such blocks round-trip
+    bit-exactly (one integer DC coefficient, zero ACs), so an
+    external oracle can recompute decoded pixels from the closed form
+    despite JPEG being a lossy codec.  ``width``/``height`` must be
+    multiples of 8 for the JPEG formats."""
+    if fmt not in ("bmp", "png", "jpeg", "pjpeg"):
+        raise ValueError(
+            f"fmt={fmt!r}: expected 'bmp', 'png', 'jpeg', or 'pjpeg'"
+        )
+    if fmt in ("jpeg", "pjpeg") and (width % 8 or height % 8):
+        raise ValueError("JPEG fmts need width/height multiples of 8")
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if fmt == "jpeg":
+        if fmt in ("jpeg", "pjpeg"):
+            import functools
+
             from .jpeg import encode_jpeg
 
             y, x = np.meshgrid(
                 np.arange(height), np.arange(width), indexing="ij"
             )
             base = (x // 8 + y // 8).astype(np.int64)
-            enc = encode_jpeg
+            enc = functools.partial(
+                encode_jpeg, progressive=(fmt == "pjpeg")
+            )
         else:
             y, x, c = np.meshgrid(
                 np.arange(height), np.arange(width), np.arange(3),

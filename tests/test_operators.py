@@ -628,13 +628,16 @@ def test_jpeg_roundtrip_and_variants():
     q[0, 0] = 8
     d5 = decode_jpeg(encode_jpeg(smooth, quant_luma=q, quant_chroma=q))
     assert np.abs(d5.astype(int) - smooth.astype(int)).mean() < 6.0
-    # fallbacks: not-a-jpeg, truncated, progressive (SOF2) -> None
+    # fallbacks: not-a-jpeg, truncated, lossless (SOF3) -> None; a
+    # forged SOF2 over a baseline full-band scan is spec-illegal in a
+    # progressive frame -> None too
     enc = encode_jpeg(g)
     assert decode_jpeg(b"definitely not a jpeg") is None
     assert decode_jpeg(enc[:30]) is None
-    prog = bytearray(enc)
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
-    assert decode_jpeg(bytes(prog)) is None
+    for forged in (0xC2, 0xC3):
+        bad = bytearray(enc)
+        bad[bad.index(b"\xff\xc0") + 1] = forged
+        assert decode_jpeg(bytes(bad)) is None
 
 
 def test_jpeg_dispatch_and_distributed(spark):
@@ -1085,3 +1088,46 @@ def test_mp4_meta_roundtrip_and_variants(spark):
     r = got[0]
     assert (r["media_id"], r["duration_ms"], r["width"], r["height"],
             r["n_tracks"], r["codecs"]) == (1, 5500, 640, 360, 2, "avc1,mp4a")
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2, 4-phase scan script: DC@Al=1, spectral AC@
+    Al=1, AC refinement, DC refinement) reconstructs the EXACT same
+    coefficients as the sequential scan — decoded pixels must be
+    identical across gray/RGB/4:2:0, and block-constant gray stays
+    bit-exact."""
+    import numpy as np
+
+    from deltalake2db_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    bv = rng.integers(0, 256, (2, 3))
+    img = np.repeat(np.repeat(bv, 8, 0), 8, 1).astype(np.uint8)
+    enc = encode_jpeg(img, progressive=True)
+    assert b"\xff\xc2" in enc[:200]  # SOF2 actually written
+    assert np.array_equal(decode_jpeg(enc)[:, :, 0], img)
+    g = rng.integers(0, 256, (24, 41), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, progressive=True)),
+        decode_jpeg(encode_jpeg(g)),
+    )
+    rgb = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(rgb, progressive=True)),
+        decode_jpeg(encode_jpeg(rgb)),
+    )
+    yy, xx = np.meshgrid(np.arange(32), np.arange(48), indexing="ij")
+    smooth = np.stack(
+        [(yy * 2 + xx) % 256, (yy + xx * 2) % 256, (yy + xx) % 256], -1
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(smooth, subsample=True, progressive=True)),
+        decode_jpeg(encode_jpeg(smooth, subsample=True)),
+    )
+    # coarse quant: refinement sees multi-bit magnitudes too
+    q = np.full((8, 8), 16, int)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(smooth, quant_luma=q, quant_chroma=q,
+                                progressive=True)),
+        decode_jpeg(encode_jpeg(smooth, quant_luma=q, quant_chroma=q)),
+    )

@@ -187,9 +187,11 @@ def decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
 
 
 class _Scan:
-    __slots__ = ("comps", "ss", "se", "ah", "al", "segments", "restart")
+    __slots__ = (
+        "comps", "ss", "se", "ah", "al", "segments", "restart", "tables",
+    )
 
-    def __init__(self, comps, ss, se, ah, al, segments, restart):
+    def __init__(self, comps, ss, se, ah, al, segments, restart, tables):
         self.comps = comps  # [(comp_index, td, ta)]
         self.ss = ss
         self.se = se
@@ -197,6 +199,10 @@ class _Scan:
         self.al = al
         self.segments = segments
         self.restart = restart
+        # tables are SNAPSHOTTED at parse time: real progressive files
+        # redefine DHT ids between scans, so resolving lazily against
+        # the final definitions mis-decodes earlier scans
+        self.tables = tables  # {comp_index: (dc_table, ac_table)}
 
 
 def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
@@ -289,8 +295,14 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
                 else:
                     break
             segments.append(bytes(cur))
+            tabs = {
+                ci: (huf.get((0, td)), huf.get((1, ta)))
+                for ci, td, ta in sc
+            }
             scans.append(
-                _Scan(sc, ss, se, aa >> 4, aa & 0xF, segments, restart)
+                _Scan(
+                    sc, ss, se, aa >> 4, aa & 0xF, segments, restart, tabs
+                )
             )
             pos = i
             continue
@@ -310,7 +322,7 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
         geom.append((hi, vi, mcux * hi, mcuy * vi, bw, bh))
         coefs.append(np.zeros((mcuy * vi, mcux * hi, 64), np.int64))
     for sc in scans:
-        _decode_scan(sc, coefs, geom, huf, mcux, mcuy, progressive)
+        _decode_scan(sc, coefs, geom, mcux, mcuy, progressive)
 
     planes = []
     for (cid, hi, vi, tq), coef, (_, _, bwf, bhf, _, _) in zip(
@@ -323,7 +335,7 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
         # batched separable IDCT over all blocks of the component
         px = np.einsum("ux,mnuv,vy->mnxy", _DCT_A, S, _DCT_A) + 128.0
         plane = px.transpose(0, 2, 1, 3).reshape(bhf * 8, bwf * 8)
-        up = plane.repeat(vmax // vi, axis=0).repeat(hmax // hi, axis=1)
+        up = _upsample(plane, vmax // vi, hmax // hi)
         planes.append(up[:h, :w])
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -340,7 +352,35 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _decode_scan(sc: _Scan, coefs, geom, huf, mcux, mcuy, progressive):
+def _up2(a: np.ndarray, axis: int) -> np.ndarray:
+    """Factor-2 triangular ("fancy") upsampling along ``axis`` — the
+    libjpeg kernel the mainstream decoders use: the nearer source
+    sample gets weight 3, the next-nearest 1, edges replicate.  The
+    spec leaves upsampling to the decoder; this matches ImageIO /
+    libjpeg within rounding (verified against Spark's JVM image source
+    on real 4:2:0/4:2:2 files)."""
+    a = np.moveaxis(a, axis, 0)
+    prev = np.concatenate([a[:1], a[:-1]], axis=0)
+    nxt = np.concatenate([a[1:], a[-1:]], axis=0)
+    out = np.empty((a.shape[0] * 2,) + a.shape[1:], a.dtype)
+    out[0::2] = (3.0 * a + prev) / 4.0
+    out[1::2] = (3.0 * a + nxt) / 4.0
+    return np.moveaxis(out, 0, axis)
+
+
+def _upsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    if fy == 2:
+        plane = _up2(plane, 0)
+    elif fy != 1:
+        plane = plane.repeat(fy, axis=0)
+    if fx == 2:
+        plane = _up2(plane, 1)
+    elif fx != 1:
+        plane = plane.repeat(fx, axis=1)
+    return plane
+
+
+def _decode_scan(sc: _Scan, coefs, geom, mcux, mcuy, progressive):
     """One entropy-coded scan into the coefficient store (spec F.2 /
     G.2): sequential full-band, progressive DC/AC first, and
     progressive DC/AC refinement, with EOB runs and restarts."""
@@ -442,10 +482,7 @@ def _decode_scan(sc: _Scan, coefs, geom, huf, mcux, mcuy, progressive):
             else:
                 ac_refine(coef, act)
 
-    tables = {
-        ci: (huf.get((0, td)), huf.get((1, ta)))
-        for ci, td, ta in sc.comps
-    }
+    tables = sc.tables
     mcu_i = 0
     if ns == 1:
         ci = sc.comps[0][0]

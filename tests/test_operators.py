@@ -1131,3 +1131,48 @@ def test_jpeg_progressive_matches_baseline():
                                 progressive=True)),
         decode_jpeg(encode_jpeg(smooth, quant_luma=q, quant_chroma=q)),
     )
+
+
+def test_jpeg_against_jvm_imageio_reference(spark):
+    """External-reference validation: decode REAL on-disk JPEGs
+    (baseline 4:2:0/4:2:2 photos AND progressive files shipped with
+    system packages) and compare pixel-for-pixel against Spark's JVM
+    image source (javax.imageio).  Agreement within small rounding
+    bounds — differences are IDCT/upsampling rounding chains, not
+    structure."""
+    import os
+
+    import numpy as np
+
+    from deltalake2db_spark.operators.jpeg import decode_jpeg
+
+    fixtures = [  # (path, max_diff, mean_diff)
+        ("/usr/share/doc/nodejs/full-white-stripe.jpg", 4, 0.2),   # prog
+        ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+         "multi-channel/grayscale.jpg", 2, 0.1),                   # prog
+        ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+         "share/doc/rust/html/embedded-book/assets/verify.jpeg", 8, 1.0),
+    ]
+    checked = 0
+    for path, max_d, mean_d in fixtures:
+        if not os.path.exists(path):
+            continue
+        row = spark.read.format("image").load(path).collect()[0]["image"]
+        nch = row["nChannels"]
+        ref = np.frombuffer(bytes(row["data"]), np.uint8).reshape(
+            row["height"], row["width"], nch
+        )
+        if nch == 3:
+            ref = ref[:, :, ::-1]  # ImageIO emits BGR
+        ours = decode_jpeg(open(path, "rb").read())
+        assert ours is not None, path
+        if ours.shape[2] == 1 and nch == 3:
+            ours = np.repeat(ours, 3, axis=2)
+        diff = np.abs(ours.astype(int) - ref.astype(int))
+        assert diff.max() <= max_d, (path, diff.max())
+        assert diff.mean() <= mean_d, (path, diff.mean())
+        checked += 1
+    if checked == 0:
+        import pytest
+
+        pytest.skip("no system JPEG fixtures present on this machine")

@@ -200,6 +200,32 @@ def main() -> int:
         failures.append("bm25_topk shuffles a join that must broadcast")
     sections.append(("BM25 two-pass corpus, broadcast joins", formatted(df)))
 
+    # 11. persisted IVF-PQ index search: the pruned delta scan of the
+    # codes flows into ONE MapInArrow (ADC) with no Exchange below it,
+    # and the scan reads only the PROBED cells' files (log-level
+    # partition pruning — the file list in the plan location shrinks)
+    from deltalake2db_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+    )
+
+    idx_path = os.path.join(tmp, "ivfpq_idx")
+    build_ivf_pq_index(emb, cents, cb, idx_path)
+    df = ivf_pq_index_topk(
+        spark, idx_path, emb.filter(F.col("vec_id") < 3), cb, cents,
+        k=3, nprobe=2,
+    )
+    p = plan_of(df)
+    below_map = p.split("MapInArrow")[-1]
+    if "Exchange" in below_map:
+        failures.append("ivf_pq_index_topk shuffles the coded corpus")
+    if p.count("MapInArrow") != 1:
+        failures.append("ivf_pq_index_topk must be ONE ADC pass")
+    # file-level pruning itself is proven by
+    # tests/test_pq.py::test_ivf_pq_index_prunes_unprobed_cells
+    # (corrupting an unprobed cell's parquet leaves results unchanged)
+    sections.append(("IVF-PQ index pruned search", formatted(df)))
+
     if "--dump" in sys.argv:
         with open("/root/repo/PLANS.md", "w") as fh:
             fh.write("# Physical plan audit (generated by tools/explain_audit.py)\n")

@@ -986,6 +986,26 @@ def q_media_mp4_meta(spark, sf_dir):
     )
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Repeated-passage detection (r10): content-defined fingerprint
+    sampling (base-31 codepoint polynomial mod 2^64, keep h%rate==0 —
+    phase-independent, so SHIFTED copies are caught), corpus-wide dup
+    counts on the 8-byte hashes, per-doc gaps-and-islands span merge.
+    Planted signal: every doc_id<50 gets a clone at +10^6 with a
+    prefix, shifting the shared passage's alignment.  The oracle
+    replays the polynomial (hugeint mod 2^64), the selection, and the
+    island merge from the same table."""
+    from deltalake2db_spark.operators.dedup import repeated_span_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("XYZPREFIX "), F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return repeated_span_stats(corpus, gram_len=12, rate=2)
+
+
 def q_media_decode_pjpeg(spark, sf_dir):
     """PROGRESSIVE-JPEG decode end-to-end (r10): same block-constant
     closed form as q_media_decode_jpeg, but encoded as SOF2 with the
@@ -1707,7 +1727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_mp4_meta": q_media_mp4_meta,
-        "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
         "q_delta_optimize": q_delta_optimize,
         "q_delta_changes": q_delta_changes,
@@ -1729,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_classify": q_knn_classify,
         "q_unimax": q_unimax,
         "q_jaccard_pairs": q_jaccard_pairs,
+        "q_repeated_spans": q_repeated_spans,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_cross_dedup": q_cross_dedup,
@@ -1752,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positions 51+: multi-round-certified gates whose import
         # closure is untouched this round (rotation rule above) --
         "q_delta_time_travel": q_delta_time_travel,
+        "q_delta_column_mapping": q_delta_column_mapping,
         "q_events_hourly": q_events_hourly,
         "q_events_pivot": q_events_pivot,
         "q_event_gaps": q_event_gaps,
@@ -1894,6 +1915,63 @@ cbv AS (
     FROM sdist
   ) WHERE r = 1
 )
+"""
+
+_SPAN_G, _SPAN_RATE = 12, 2
+_SPAN_COEFFS = ", ".join(
+    f"({j}, {pow(31, _SPAN_G - 1 - j, 1 << 64)}::HUGEINT)"
+    for j in range(_SPAN_G)
+)
+
+_REPEATED_SPANS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'XYZPREFIX ' || text AS text
+  FROM documents WHERE doc_id < 50
+), chars AS (
+  -- one ord()/substr() per CHARACTER (not per hash term): the
+  -- position hash then reassembles via an offset join against the 12
+  -- coefficient rows — 5x faster than hashing per (position, term)
+  SELECT doc_id, i.v AS idx, length(text) AS n_chars,
+         CAST(ord(substr(text, CAST(i.v + 1 AS INT), 1)) AS HUGEINT) AS ch
+  FROM corpus, range(0, 1024) i(v)
+  WHERE i.v < length(text)
+), hashed AS (
+  SELECT doc_id, idx - co.j AS p, any_value(n_chars) AS n_chars,
+         CAST(sum(ch * co.c) % 18446744073709551616::HUGEINT
+              AS HUGEINT) AS hm
+  FROM chars, (VALUES {_SPAN_COEFFS}) AS co(j, c)
+  WHERE idx - co.j >= 0 AND idx - co.j + {_SPAN_G} <= n_chars
+  GROUP BY doc_id, idx - co.j
+), sel AS (
+  SELECT * FROM hashed WHERE hm % {_SPAN_RATE} = 0
+), dup AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY hm) AS n FROM sel
+  ) WHERE n >= 2
+), spans AS (
+  SELECT doc_id, p AS s, p + {_SPAN_G} AS e, n_chars FROM dup
+), marked AS (
+  SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+      PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+    THEN 1 ELSE 0 END AS brk
+  FROM spans
+), isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), merged AS (
+  SELECT doc_id, island, min(s) AS s, max(e) AS e,
+         any_value(n_chars) AS nc
+  FROM isl GROUP BY 1, 2
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+       CAST(sum(e - s) AS BIGINT) AS dup_chars,
+       any_value(nc) AS n_chars,
+       round(sum(e - s)::DOUBLE / any_value(nc), 4) AS dup_frac
+FROM merged GROUP BY 1
 """
 
 _PQ_ENCODE_SQL = f"""
@@ -2766,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_jaccard_pairs": _JACCARD_SQL,
+        "q_repeated_spans": _REPEATED_SPANS_SQL,
         "q_cosine_topk": _COS_SQL,
         "q_cosine_neardup": _NEARDUP_SQL,
         "q_minhash_lsh": _MINHASH_SQL,

@@ -1258,3 +1258,176 @@ def dedup_chunks(
     # all — resurface it with empty text
     ids = df.select(id_col).distinct()
     return ids.join(out, id_col, "left").fillna({text_col: ""})
+
+
+# --------------------------------------------------------------------
+# Repeated-passage detection (content-defined fingerprint sampling)
+# --------------------------------------------------------------------
+
+_SPAN_BASE = 31  # polynomial hash base (codepoint polynomial, mod 2^64)
+
+
+def _span_coeffs(gram_len: int):
+    import numpy as np
+
+    return np.array(
+        [pow(_SPAN_BASE, gram_len - 1 - j, 1 << 64) for j in range(gram_len)],
+        dtype=np.uint64,
+    )
+
+
+def span_fingerprints(
+    df: DataFrame,
+    gram_len: int = 20,
+    rate: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined fingerprint sample of every document:
+    ``(id, p, h)`` rows where ``h`` is the base-31 codepoint-polynomial
+    hash (mod 2^64, cast to signed for Spark) of the ``gram_len``-char
+    gram at position ``p``, SELECTED where ``h % rate == 0``.
+
+    Hash-mod selection is phase-independent (the same substring selects
+    the same positions wherever it appears — unlike aligned-stride
+    grams, which miss shifted copies), and the oracle can replay the
+    polynomial exactly (codepoints via ``ord``, hugeint mod 2^64).  A
+    shared passage of length L >= gram_len is missed with probability
+    ``(1 - 1/rate)^(L - gram_len + 1)`` — ~2e-5 at L=100, g=20, rate=8.
+
+    Scale shape: ONE map-only Arrow pass computes rolling hashes
+    vectorized per doc (UTF-32 codepoints, sliding-window GEMM) and
+    emits only the ~chars/rate selected fingerprints; nothing
+    corpus-sized shuffles (``spread_scan`` only widens a
+    few-row-group scan to the session's cores, the tfidf fix).
+    """
+    import numpy as np
+
+    from .parallel import spread_scan
+
+    coeffs = _span_coeffs(gram_len)
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_t}, p long, h long"
+    df = spread_scan(df.select(id_col, text_col))
+
+    def scan(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids_out, ps, hs = [], [], []
+            texts = b.column(1).to_pylist()
+            for i, t in enumerate(texts):
+                if t is None or len(t) < gram_len:
+                    continue
+                cps = np.frombuffer(
+                    t.encode("utf-32-le"), np.uint32
+                ).astype(np.uint64)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    cps, gram_len
+                )
+                with np.errstate(over="ignore"):
+                    h = (win * coeffs[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                sel = np.flatnonzero(h % np.uint64(rate) == 0)
+                if not len(sel):
+                    continue
+                ids_out.append(
+                    b.column(0).take(
+                        pa.array(np.full(len(sel), i, dtype=np.int64))
+                    )
+                )
+                ps.append(sel.astype(np.int64))
+                hs.append(h[sel].astype(np.int64))
+            if not ids_out:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.concat_arrays(ids_out),
+                    pa.array(np.concatenate(ps)),
+                    pa.array(np.concatenate(hs)),
+                ],
+                names=[id_col, "p", "h"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(scan, out_schema)
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    gram_len: int = 20,
+    rate: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repeated-passage report:
+    ``(id, n_dup_spans, dup_chars, n_chars, dup_frac)``.
+
+    A fingerprint (see ``span_fingerprints``) is DUPLICATED when its
+    hash occurs >= ``min_count`` times corpus-wide; each duplicated
+    fingerprint marks the span ``[p, p + gram_len)`` and overlapping /
+    touching spans merge (gaps-and-islands window).  Documents with no
+    duplicated fingerprint are absent — same contract as
+    ``contamination_check``.  The spans are SEED spans (the sampled
+    grams), the passage-dedup analogue of LSH candidates; exact
+    extension is a verify-stage concern.
+
+    Shuffles: one fingerprint exchange keyed by the 8-byte hash (the
+    duplicate count window) and one keyed by ``id_col`` (the island
+    merge) — both over the sampled ~chars/rate rows, never the corpus
+    text.
+    """
+    fps = span_fingerprints(df, gram_len, rate, id_col, text_col)
+    wcnt = Window.partitionBy("h")
+    dup = fps.withColumn("__n", F.count(F.lit(1)).over(wcnt)).filter(
+        F.col("__n") >= min_count
+    )
+    wdoc = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.select(
+            id_col,
+            F.col("p").alias("s"),
+            (F.col("p") + F.lit(gram_len)).alias("e"),
+        )
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("s")
+                > F.coalesce(F.max("e").over(wdoc), F.lit(-1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("__brk").over(
+                Window.partitionBy(id_col)
+                .orderBy("s")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    lens = df.select(id_col, F.length(text_col).alias("n_chars"))
+    return (
+        spans.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("dup_chars"),
+        )
+        .join(lens, id_col)
+        .select(
+            id_col,
+            "n_dup_spans",
+            "dup_chars",
+            "n_chars",
+            F.round(
+                F.col("dup_chars") / F.col("n_chars"), 4
+            ).alias("dup_frac"),
+        )
+    )

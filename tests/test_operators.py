@@ -1176,3 +1176,48 @@ def test_jpeg_against_jvm_imageio_reference(spark):
         import pytest
 
         pytest.skip("no system JPEG fixtures present on this machine")
+
+
+def test_repeated_spans_phase_independent(spark):
+    """Content-defined fingerprint sampling catches SHIFTED copies
+    (aligned-stride grams would miss them), merges touching spans, and
+    skips NULL/short docs."""
+    from deltalake2db_spark.operators.dedup import (
+        repeated_span_stats,
+        span_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+                " completely unique tail one"),
+            (2, "some prefix here then alpha beta gamma delta epsilon zeta"
+                " eta theta iota kappa and a different tail"),
+            (3, "nothing shared with anything else in this corpus at all"
+                " whatsoever"),
+            (4, None),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           repeated_span_stats(docs, gram_len=12, rate=2).collect()}
+    assert set(out) == {1, 2}  # the shifted shared passage, both docs
+    assert out[1]["dup_chars"] == out[2]["dup_chars"] > 20
+    assert out[1]["n_chars"] == 83
+    assert abs(out[1]["dup_frac"] - out[1]["dup_chars"] / 83) < 1e-3
+    # fingerprints of the shared passage agree across phases: doc 2's
+    # selected hashes are a superset of doc 1's shared-region hashes
+    fps = span_fingerprints(docs, gram_len=12, rate=2).collect()
+    h1 = {r["h"] for r in fps if r["doc_id"] == 1}
+    h2 = {r["h"] for r in fps if r["doc_id"] == 2}
+    assert h1 & h2  # common fingerprints despite the shift
+    # self-repetition counts too: one doc repeating its own passage
+    selfdup = spark.createDataFrame(
+        [(9, "the same twelve chars block " * 4 + "unique ending here")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(selfdup)
+    out2 = {r["doc_id"]: r for r in
+            repeated_span_stats(both, gram_len=12, rate=2).collect()}
+    assert 9 in out2 and out2[9]["n_dup_spans"] >= 1

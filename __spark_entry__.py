@@ -1006,6 +1006,23 @@ def q_repeated_spans(spark, sf_dir):
     return repeated_span_stats(corpus, gram_len=12, rate=2)
 
 
+def q_span_dedup(spark, sf_dir):
+    """Repeated-passage REMOVAL (r10): the q_repeated_spans pipeline's
+    merged spans are cut out of each document with a pure-Catalyst
+    aggregate fold (no Python in the corpus path); the oracle rebuilds
+    the cleaned strings with a lag-window segment reconstruction and
+    string_agg — full string-level hash match."""
+    from deltalake2db_spark.operators.dedup import remove_repeated_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("XYZPREFIX "), F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return remove_repeated_spans(corpus, gram_len=12, rate=2)
+
+
 def q_media_decode_pjpeg(spark, sf_dir):
     """PROGRESSIVE-JPEG decode end-to-end (r10): same block-constant
     closed form as q_media_decode_jpeg, but encoded as SOF2 with the
@@ -1711,10 +1728,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 10: q_profile_orders + q_tfidf_terms re-enter (their modules
     # changed in r9 while they were parked — r9 verdict item 2); every
     # gate over an r10-touched module (pq, knn, contamination, dedup,
-    # multimodal incl. all four media gates, streaming) is in-window,
-    # plus the new q_media_decode_jpeg; q_events_hourly, q_events_pivot,
-    # q_event_gaps, q_sessions park (r6+r9 double-certified, events/
-    # sessions closure untouched in r10).
+    # cluster, kmeans, multimodal/jpeg incl. all media gates, streaming)
+    # is in-window, plus the SEVEN new never-certified gates
+    # (media_decode_jpeg/pjpeg, media_mp4_meta, ivf_pq_index,
+    # repeated_spans, span_dedup).  Parked to make room — all r6+r9
+    # double-certified with r10-untouched import closures:
+    # q_events_hourly, q_events_pivot, q_event_gaps, q_sessions,
+    # q_asof_events_orders, q_range_join, q_delta_time_travel,
+    # q_delta_column_mapping, q_delta_dv_scan.
     return {
         # -- r6-era gates re-certified in r9; kept while their delta/
         #    streaming import closure keeps changing --
@@ -1727,7 +1748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_mp4_meta": q_media_mp4_meta,
-        "q_delta_dv_scan": q_delta_dv_scan,
         "q_delta_optimize": q_delta_optimize,
         "q_delta_changes": q_delta_changes,
         "q_delta_cdf": q_delta_cdf,
@@ -1749,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unimax": q_unimax,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_repeated_spans": q_repeated_spans,
+        "q_span_dedup": q_span_dedup,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_cross_dedup": q_cross_dedup,
@@ -1773,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closure is untouched this round (rotation rule above) --
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
+        "q_delta_dv_scan": q_delta_dv_scan,
         "q_events_hourly": q_events_hourly,
         "q_events_pivot": q_events_pivot,
         "q_event_gaps": q_event_gaps,
@@ -1923,7 +1945,7 @@ _SPAN_COEFFS = ", ".join(
     for j in range(_SPAN_G)
 )
 
-_REPEATED_SPANS_SQL = f"""
+_SPAN_CTE_PREFIX = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -1966,12 +1988,34 @@ WITH corpus AS (
   SELECT doc_id, island, min(s) AS s, max(e) AS e,
          any_value(n_chars) AS nc
   FROM isl GROUP BY 1, 2
-)
+)"""
+
+_REPEATED_SPANS_SQL = f"""{_SPAN_CTE_PREFIX}
 SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
        CAST(sum(e - s) AS BIGINT) AS dup_chars,
        any_value(nc) AS n_chars,
        round(sum(e - s)::DOUBLE / any_value(nc), 4) AS dup_frac
 FROM merged GROUP BY 1
+"""
+
+_SPAN_DEDUP_SQL = f"""{_SPAN_CTE_PREFIX},
+cuts AS (
+  SELECT m.doc_id, m.s, m.e, c.text,
+         substr(
+           c.text,
+           CAST(coalesce(lag(m.e) OVER w, 0) + 1 AS INT),
+           CAST(m.s - coalesce(lag(m.e) OVER w, 0) AS INT)
+         ) AS seg
+  FROM merged m JOIN corpus c USING (doc_id)
+  WINDOW w AS (PARTITION BY m.doc_id ORDER BY m.s)
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(seg, '' ORDER BY s)
+           || substr(any_value(text), CAST(max(e) + 1 AS INT)) AS text
+  FROM cuts GROUP BY doc_id
+)
+SELECT c.doc_id, coalesce(r.text, c.text) AS text
+FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
 """
 
 _PQ_ENCODE_SQL = f"""
@@ -2845,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_jaccard_pairs": _JACCARD_SQL,
         "q_repeated_spans": _REPEATED_SPANS_SQL,
+        "q_span_dedup": _SPAN_DEDUP_SQL,
         "q_cosine_topk": _COS_SQL,
         "q_cosine_neardup": _NEARDUP_SQL,
         "q_minhash_lsh": _MINHASH_SQL,

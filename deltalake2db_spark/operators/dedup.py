@@ -1431,3 +1431,93 @@ def repeated_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    gram_len: int = 20,
+    rate: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut every duplicated span (see ``repeated_span_stats``) out of
+    the text: ``(id, text)`` with the merged spans removed and the
+    surviving segments concatenated in order.  Documents without
+    duplicated fingerprints pass through unchanged.
+
+    The cut itself is a pure-Catalyst ``aggregate`` fold over the
+    doc's sorted span array (no Python in the corpus-sized path): the
+    accumulator carries (chars consumed, output so far) and each span
+    appends the clean segment before it.
+    """
+    fps = span_fingerprints(df, gram_len, rate, id_col, text_col)
+    wcnt = Window.partitionBy("h")
+    dup = fps.withColumn("__n", F.count(F.lit(1)).over(wcnt)).filter(
+        F.col("__n") >= min_count
+    )
+    wdoc = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        dup.select(
+            id_col,
+            F.col("p").alias("s"),
+            (F.col("p") + F.lit(gram_len)).alias("e"),
+        )
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("s") > F.coalesce(F.max("e").over(wdoc), F.lit(-1)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("__brk").over(
+                Window.partitionBy(id_col)
+                .orderBy("s")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy(id_col, "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("s", "e"))
+            ).alias("__spans")
+        )
+    )
+    joined = df.select(id_col, text_col).join(spans, id_col, "left")
+    cut = F.aggregate(
+        F.col("__spans"),
+        F.struct(
+            F.lit(0).cast("long").alias("pos"),
+            F.lit("").alias("out"),
+        ),
+        lambda acc, sp: F.struct(
+            sp.e.alias("pos"),
+            F.concat(
+                acc.out,
+                F.col(text_col).substr(
+                    (acc.pos + 1).cast("int"), (sp.s - acc.pos).cast("int")
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc.out,
+            F.col(text_col).substr(
+                (acc.pos + 1).cast("int"),
+                (F.length(text_col) - acc.pos).cast("int"),
+            ),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.when(F.col("__spans").isNull(), F.col(text_col))
+        .otherwise(cut)
+        .alias(text_col),
+    )

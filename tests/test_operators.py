@@ -1221,3 +1221,31 @@ def test_repeated_spans_phase_independent(spark):
     out2 = {r["doc_id"]: r for r in
             repeated_span_stats(both, gram_len=12, rate=2).collect()}
     assert 9 in out2 and out2[9]["n_dup_spans"] >= 1
+
+
+def test_remove_repeated_spans_cuts_and_passes_through(spark):
+    from deltalake2db_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_span_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+                " unique tail one"),
+            (2, "prefix then alpha beta gamma delta epsilon zeta eta theta"
+                " iota kappa other tail"),
+            (3, "entirely unshared content that survives untouched here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           remove_repeated_spans(docs, gram_len=12, rate=2).collect()}
+    assert out[3] == "entirely unshared content that survives untouched here"
+    stats = {r["doc_id"]: r for r in
+             repeated_span_stats(docs, gram_len=12, rate=2).collect()}
+    for i in (1, 2):
+        orig_len = docs.filter(f"doc_id={i}").collect()[0]["text"]
+        # cleaned length = original minus the reported dup chars
+        assert len(out[i]) == len(orig_len) - stats[i]["dup_chars"]
+        assert "unique tail one" in out[1] and "other tail" in out[2]

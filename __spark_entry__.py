@@ -1023,6 +1023,25 @@ def q_span_dedup(spark, sf_dir):
     return remove_repeated_spans(corpus, gram_len=12, rate=2)
 
 
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "</w>"),
+    ("s", "</w>"), ("i", "n"), ("a", "n"), ("e", "r"),
+]
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Real BPE tokenization (r10): per-doc word/token counts under a
+    FIXED literal merge list, encoded by the pure-Catalyst
+    boundary-safe replace chain (marker-prefixed, space-suffixed
+    symbols — operators/bpe.py).  The oracle replays the identical
+    chain with DuckDB replace(); training itself is iterative (not
+    SQL-expressible) and is pinned by tests on the textbook corpus."""
+    from deltalake2db_spark.operators.bpe import bpe_token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(d, _BPE_MERGES, impl="column")
+
+
 def q_media_decode_pjpeg(spark, sf_dir):
     """PROGRESSIVE-JPEG decode end-to-end (r10): same block-constant
     closed form as q_media_decode_jpeg, but encoded as SOF2 with the
@@ -1748,7 +1767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_mp4_meta": q_media_mp4_meta,
-        "q_delta_optimize": q_delta_optimize,
         "q_delta_changes": q_delta_changes,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
@@ -1770,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_repeated_spans": q_repeated_spans,
         "q_span_dedup": q_span_dedup,
+        "q_bpe_tokens": q_bpe_tokens,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_cross_dedup": q_cross_dedup,
@@ -1795,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
+        "q_delta_optimize": q_delta_optimize,
         "q_events_hourly": q_events_hourly,
         "q_events_pivot": q_events_pivot,
         "q_event_gaps": q_event_gaps,
@@ -1944,6 +1964,32 @@ _SPAN_COEFFS = ", ".join(
     f"({j}, {pow(31, _SPAN_G - 1 - j, 1 << 64)}::HUGEINT)"
     for j in range(_SPAN_G)
 )
+
+def _bpe_sql() -> str:
+    sym = (
+        "chr(1) || array_to_string(str_split(w, ''), ' ' || chr(1))"
+        " || ' ' || chr(1) || '</w> '"
+    )
+    expr = sym
+    for a, b in _BPE_MERGES:
+        pat = f"chr(1) || '{a} ' || chr(1) || '{b} '"
+        rep = f"chr(1) || '{a}{b} '"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), ww AS (
+  SELECT doc_id, w FROM words WHERE length(w) > 0
+), enc AS (
+  SELECT doc_id, len(string_split(rtrim({expr}), ' ')) AS nt
+  FROM ww
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM enc GROUP BY 1
+"""
+
 
 _SPAN_CTE_PREFIX = f"""
 WITH corpus AS (
@@ -2890,6 +2936,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_pairs": _JACCARD_SQL,
         "q_repeated_spans": _REPEATED_SPANS_SQL,
         "q_span_dedup": _SPAN_DEDUP_SQL,
+        "q_bpe_tokens": _bpe_sql(),
         "q_cosine_topk": _COS_SQL,
         "q_cosine_neardup": _NEARDUP_SQL,
         "q_minhash_lsh": _MINHASH_SQL,

@@ -1042,6 +1042,19 @@ def q_bpe_tokens(spark, sf_dir):
     return bpe_token_counts(d, _BPE_MERGES, impl="column")
 
 
+_KEYWORD_TERMS = ["table", "slow", "hash value"]
+
+
+def q_keyword_filter(spark, sf_dir):
+    """Blocklist screen (r10): whole-word, case-insensitive term hits
+    incl. a two-word phrase, every document reporting a verdict.
+    Oracle replays the word/gram explode and the term join."""
+    from deltalake2db_spark.operators.text import keyword_hits
+
+    d = _t(spark, sf_dir, "documents")
+    return keyword_hits(d, _KEYWORD_TERMS, min_hits=3)
+
+
 def q_media_decode_pjpeg(spark, sf_dir):
     """PROGRESSIVE-JPEG decode end-to-end (r10): same block-constant
     closed form as q_media_decode_jpeg, but encoded as SOF2 with the
@@ -1767,7 +1780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_mp4_meta": q_media_mp4_meta,
-        "q_delta_changes": q_delta_changes,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
@@ -1789,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeated_spans": q_repeated_spans,
         "q_span_dedup": q_span_dedup,
         "q_bpe_tokens": q_bpe_tokens,
+        "q_keyword_filter": q_keyword_filter,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_cross_dedup": q_cross_dedup,
@@ -1815,6 +1828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
         "q_delta_optimize": q_delta_optimize,
+        "q_delta_changes": q_delta_changes,
         "q_events_hourly": q_events_hourly,
         "q_events_pivot": q_events_pivot,
         "q_event_gaps": q_event_gaps,
@@ -2937,6 +2951,34 @@ def oracle_sql() -> dict[str, str]:
         "q_repeated_spans": _REPEATED_SPANS_SQL,
         "q_span_dedup": _SPAN_DEDUP_SQL,
         "q_bpe_tokens": _bpe_sql(),
+        "q_keyword_filter": """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+         ) AS ws
+  FROM documents
+), g1 AS (
+  SELECT doc_id, unnest(ws) AS g FROM w
+), g2 AS (
+  SELECT doc_id,
+         array_to_string(ws[CAST(i.v + 1 AS INT):CAST(i.v + 2 AS INT)], ' ') AS g
+  FROM w, range(0, 2048) i(v)
+  WHERE i.v + 2 <= len(ws)
+), allg AS (
+  SELECT doc_id, g FROM g1 WHERE g IN ('table', 'slow')
+  UNION ALL
+  SELECT doc_id, g FROM g2 WHERE g = 'hash value'
+), agg AS (
+  SELECT doc_id, count(*) AS n_hits, count(DISTINCT g) AS n_terms
+  FROM allg GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(a.n_terms, 0) AS INT) AS n_terms,
+       coalesce(a.n_hits, 0) >= 3 AS flagged
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
         "q_cosine_topk": _COS_SQL,
         "q_cosine_neardup": _NEARDUP_SQL,
         "q_minhash_lsh": _MINHASH_SQL,

@@ -217,3 +217,73 @@ def pii_hit_count(text: Column) -> Column:
             F.size(F.split(text, pattern)) - 1, F.lit(0)
         )
     return out
+
+
+def keyword_hits(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Blocklist / keyword screen (the C4 badwords-filter shape):
+    ``(id, n_hits, n_terms, flagged)`` where ``n_hits`` counts every
+    occurrence of any term (case-insensitive, WHOLE-WORD — multi-word
+    phrases match as consecutive word runs), ``n_terms`` counts
+    distinct matched terms, and ``flagged = n_hits >= min_hits``.
+    Documents with no hits report (0, 0, false) — the screen must
+    return a verdict for EVERY document.
+
+    Spark-first: the term list is model-sized by contract; per phrase
+    LENGTH present in it, the doc's word stream is sliced into L-word
+    grams (native transform/slice — no UDF) and broadcast-joined
+    against that length's terms.  One doc-keyed aggregate; the corpus
+    text never shuffles.
+    """
+    norm = [" ".join(t.lower().split()) for t in terms]
+    if not norm:
+        raise ValueError("keyword_hits: empty term list")
+    by_len: dict[int, list[str]] = {}
+    for t in norm:
+        by_len.setdefault(len(t.split()), []).append(t)
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), "\\s+", " "), " "
+    )
+    spark = df.sparkSession
+    base = df.select(id_col, words.alias("__ws"))
+    hits = None
+    for L, ts in sorted(by_len.items()):
+        k = F.size("__ws") - (L - 1)
+        idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice("__ws", i + 1, L))
+        )
+        tdf = F.broadcast(
+            spark.createDataFrame([(t,) for t in ts], ["__term"])
+        )
+        h = (
+            base.select(id_col, F.explode(grams).alias("__g"))
+            .join(tdf, F.col("__g") == F.col("__term"))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("__h"),
+                F.countDistinct("__term").alias("__t"),
+            )
+        )
+        hits = h if hits is None else hits.unionByName(h)
+    agg = hits.groupBy(id_col).agg(
+        F.sum("__h").cast("long").alias("n_hits"),
+        F.sum("__t").cast("int").alias("n_terms"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(min_hits)).alias(
+                "flagged"
+            ),
+        )
+    )

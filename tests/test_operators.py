@@ -1249,3 +1249,29 @@ def test_remove_repeated_spans_cuts_and_passes_through(spark):
         # cleaned length = original minus the reported dup chars
         assert len(out[i]) == len(orig_len) - stats[i]["dup_chars"]
         assert "unique tail one" in out[1] and "other tail" in out[2]
+
+
+def test_keyword_hits_whole_word_and_phrases(spark):
+    from deltalake2db_spark.operators.text import keyword_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the Table is fast but the hash value is slow slow"),
+            (2, "tables are not whole-word matches for table"),
+            (3, "completely clean document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           keyword_hits(docs, ["table", "slow", "hash value"],
+                        min_hits=2).collect()}
+    # doc 1: Table(1) + slow(2) + 'hash value'(1) = 4 hits, 3 terms
+    assert (out[1]["n_hits"], out[1]["n_terms"], out[1]["flagged"]) == (4, 3, True)
+    # doc 2: 'tables' is NOT a whole-word match; 'table' at the end is
+    assert (out[2]["n_hits"], out[2]["n_terms"], out[2]["flagged"]) == (1, 1, False)
+    assert (out[3]["n_hits"], out[3]["n_terms"], out[3]["flagged"]) == (0, 0, False)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        keyword_hits(docs, [])

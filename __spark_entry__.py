@@ -1055,6 +1055,56 @@ def q_keyword_filter(spark, sf_dir):
     return keyword_hits(d, _KEYWORD_TERMS, min_hits=3)
 
 
+def q_media_frame_sample(spark, sf_dir):
+    """Container-level video frame sampling (r10): MP4s with REAL
+    stts/stsz/stsc/stco sample tables are synthesized distributed
+    (closed-form frame sizes/bytes), every 5th frame's encoded bytes
+    are sliced out of mdat by the sample index, and the gate reduces
+    each sampled frame to its exact byte sum — the oracle replays
+    sizes, timestamps, and byte sums from the generation law.  Frame
+    DECODE stays stubbed; the seek/slice plumbing is real."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        from deltalake2db_spark.operators.multimodal import encode_mp4_video
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = [
+                    bytes(
+                        (i + k + j) % 256
+                        for j in range(100 + (i + k) % 50)
+                    )
+                    for k in range(25)
+                ]
+                rows.append((
+                    i, "video", encode_mp4_video(frames, 320, 240),
+                    {"mime": "video/mp4", "width": 320, "height": 240,
+                     "duration_ms": 1000},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(100).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    sampled = M.sample_video_frames(media, every_n=5)
+
+    def bsum(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["bsum"] = [int(sum(bytes(b))) for b in pdf["frame"]]
+            yield pdf[["media_id", "frame_idx", "pts_ms", "nbytes", "bsum"]]
+
+    return sampled.mapInPandas(
+        bsum,
+        "media_id long, frame_idx int, pts_ms long, nbytes int, bsum long",
+    )
+
+
 def q_media_decode_pjpeg(spark, sf_dir):
     """PROGRESSIVE-JPEG decode end-to-end (r10): same block-constant
     closed form as q_media_decode_jpeg, but encoded as SOF2 with the
@@ -1771,8 +1821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r6-era gates re-certified in r9; kept while their delta/
         #    streaming import closure keeps changing --
-        "q_delta_restore": q_delta_restore,
-        "q_delta_history": q_delta_history,
         "q_delta_clone": q_delta_clone,
         "q_delta_schema_ddl": q_delta_schema_ddl,
         "q_profile_orders": q_profile_orders,
@@ -1780,12 +1828,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_mp4_meta": q_media_mp4_meta,
+        "q_media_frame_sample": q_media_frame_sample,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
         "q_delta_merge": q_delta_merge,
         "q_pii_redaction": q_pii_redaction,
-        "q_cosine_neardup": q_cosine_neardup,
         "q_media_features": q_media_features,
         # -- positions 23-50: round-9-touched families + r7/r8 fillers --
         "q_contamination": q_contamination,
@@ -1802,6 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_bpe_tokens": q_bpe_tokens,
         "q_keyword_filter": q_keyword_filter,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_cross_dedup": q_cross_dedup,
@@ -1824,6 +1874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode_jpeg": q_media_decode_jpeg,
         # -- positions 51+: multi-round-certified gates whose import
         # closure is untouched this round (rotation rule above) --
+        "q_delta_restore": q_delta_restore,
+        "q_delta_history": q_delta_history,
+        "q_cosine_neardup": q_cosine_neardup,
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
@@ -1841,8 +1894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_lsh_topk": q_lsh_topk,
         "q_domain_mix": q_domain_mix,
-        "q_text_stats": q_text_stats,
-        "q_lang_id": q_lang_id,
         "q_pack_sequences": q_pack_sequences,
         "q_delta_convert": q_delta_convert,
         "q_shard_stats": q_shard_stats,
@@ -3001,6 +3052,17 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
             FROM range(100) i(v), range(16) x(v), range(12) y(v),
                  range(3) c(v)
             GROUP BY 1
+        """,
+        "q_media_frame_sample": """
+            SELECT i.v AS media_id,
+                   CAST(k.v * 5 AS INT) AS frame_idx,
+                   CAST(k.v * 5 * 40 AS BIGINT) AS pts_ms,
+                   CAST(100 + (i.v + k.v * 5) % 50 AS INT) AS nbytes,
+                   CAST(sum(CASE WHEN j.v < 100 + (i.v + k.v * 5) % 50
+                            THEN (i.v + k.v * 5 + j.v) % 256
+                            ELSE 0 END) AS BIGINT) AS bsum
+            FROM range(100) i(v), range(5) k(v), range(150) j(v)
+            GROUP BY 1, 2, 3, 4
         """,
         "q_media_mp4_meta": """
             SELECT i.v AS media_id,

@@ -642,6 +642,225 @@ def encode_mp4_meta(
     return ftyp + _box(b"moov", mvhd + traks)
 
 
+def mp4_sample_table(payload: bytes) -> Optional[list]:
+    """Sample (frame) table of the FIRST video track:
+    ``[(offset, size, pts_ms), ...]`` from the stts/stsz/stsc/stco
+    boxes — the container-level frame index a sampling pipeline seeks
+    with, no codec required.  Returns ``None`` for non-BMFF payloads
+    or tracks without sample tables (e.g. metadata-only MP4s)."""
+    try:
+        return _mp4_sample_table(payload)
+    except Exception:
+        return None
+
+
+def _mp4_sample_table(payload: bytes) -> Optional[list]:
+    if payload is None or len(payload) < 16:
+        return None
+    n = len(payload)
+    moov = None
+    for t, b, e in _walk_boxes(payload, 0, n):
+        if t == b"moov":
+            moov = (b, e)
+    if moov is None:
+        return None
+    for t, b, e in _walk_boxes(payload, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find_box(payload, b, e, b"mdia")
+        if not mdia:
+            continue
+        hdlr = _find_box(payload, mdia[0], mdia[1], b"hdlr")
+        if not hdlr or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find_box(payload, mdia[0], mdia[1], b"mdhd")
+        ts = 1000
+        if mdhd:
+            vb = mdhd[0]
+            ver = payload[vb]
+            off = vb + 4 + (16 if ver == 1 else 8)
+            ts = struct.unpack_from(">I", payload, off)[0] or 1000
+        minf = _find_box(payload, mdia[0], mdia[1], b"minf")
+        if not minf:
+            continue
+        stbl = _find_box(payload, minf[0], minf[1], b"stbl")
+        if not stbl:
+            continue
+        sb, se = stbl
+
+        def full(btype):
+            box = _find_box(payload, sb, se, btype)
+            return None if box is None else box[0] + 4  # skip ver/flags
+
+        # sizes
+        p = full(b"stsz")
+        if p is None:
+            return None
+        uniform, cnt = struct.unpack_from(">II", payload, p)
+        if uniform:
+            sizes = [uniform] * cnt
+        else:
+            sizes = list(
+                struct.unpack_from(f">{cnt}I", payload, p + 8)
+            )
+        # chunk offsets
+        p = full(b"stco")
+        if p is None:
+            return None
+        (n_chunks,) = struct.unpack_from(">I", payload, p)
+        chunk_offs = list(struct.unpack_from(f">{n_chunks}I", payload, p + 4))
+        # samples per chunk (stsc runs)
+        p = full(b"stsc")
+        if p is None:
+            return None
+        (n_runs,) = struct.unpack_from(">I", payload, p)
+        runs = [
+            struct.unpack_from(">III", payload, p + 4 + 12 * r)
+            for r in range(n_runs)
+        ]
+        # durations (stts runs) -> cumulative pts
+        p = full(b"stts")
+        if p is None:
+            return None
+        (n_tt,) = struct.unpack_from(">I", payload, p)
+        deltas = []
+        for r in range(n_tt):
+            c, d = struct.unpack_from(">II", payload, p + 4 + 8 * r)
+            deltas += [d] * c
+        # walk chunks expanding stsc runs into per-sample offsets
+        out = []
+        si = 0
+        t_acc = 0
+        for ci in range(n_chunks):
+            spc = 1
+            for first, cnt_run, _desc in runs:
+                if ci + 1 >= first:
+                    spc = cnt_run
+            off = chunk_offs[ci]
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                pts = t_acc * 1000 // ts
+                out.append((off, sizes[si], pts))
+                t_acc += deltas[si] if si < len(deltas) else 0
+                off += sizes[si]
+                si += 1
+        return out
+    return None
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Container-level frame sampling: every ``every_n``-th video
+    frame's ``(media_id, frame_idx, pts_ms, nbytes, frame)`` — the
+    encoded sample BYTES sliced straight out of mdat by the
+    stts/stsz/stsc/stco index, no codec touched (frame DECODE remains
+    the stub tier).  Map-side mapInPandas like the other media paths;
+    only the sampled frames' bytes leave the scan."""
+    out_schema = (
+        "media_id long, frame_idx int, pts_ms long, nbytes int, "
+        "frame binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                payload = bytes(payload)
+                table = mp4_sample_table(payload)
+                if not table:
+                    continue
+                picked = table[::every_n]
+                if max_frames is not None:
+                    picked = picked[:max_frames]
+                for j, (off, size, pts) in enumerate(picked):
+                    rows.append((
+                        int(mid), j * every_n, pts, size,
+                        payload[off : off + size],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "pts_ms", "nbytes",
+                         "frame"],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def encode_mp4_video(
+    frames: list,
+    width: int = 0,
+    height: int = 0,
+    frame_ms: int = 40,
+    codec: bytes = b"avc1",
+    timescale: int = 1000,
+) -> bytes:
+    """MP4 with REAL sample tables: mdat holds the given encoded-frame
+    byte strings, moov carries stts/stsc/stsz/stco so
+    ``mp4_sample_table``/``sample_video_frames`` round-trip exactly —
+    the ffmpeg-free partner for synthesizing frame-sampling fixtures.
+    Layout: ftyp, mdat, moov (offsets computable in one pass)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    body = b"".join(frames)
+    mdat = _box(b"mdat", body)
+    data_off = len(ftyp) + 8  # first frame byte
+    dur = len(frames) * frame_ms * timescale // 1000
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _box(b"hdlr", struct.pack(">B3x4x", 0) + b"vide" + b"\x00" * 13)
+    entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+    stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    delta = frame_ms * timescale // 1000
+    stts = _box(
+        b"stts", struct.pack(">B3xIII", 0, 1, len(frames), delta)
+    )
+    stsc = _box(
+        b"stsc", struct.pack(">B3xIIII", 0, 1, 1, len(frames), 1)
+    )
+    stsz = _box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, len(frames))
+        + struct.pack(f">{len(frames)}I", *(len(f) for f in frames)),
+    )
+    stco = _box(b"stco", struct.pack(">B3xII", 0, 1, data_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    return ftyp + mdat + _box(b"moov", mvhd + trak)
+
+
 def extract_video_meta(df: DataFrame) -> DataFrame:
     """(media_id, major_brand, duration_ms, width, height, n_tracks,
     codecs) per video row — ISO-BMFF container parse in the same

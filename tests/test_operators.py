@@ -1275,3 +1275,38 @@ def test_keyword_hits_whole_word_and_phrases(spark):
 
     with pytest.raises(ValueError, match="empty"):
         keyword_hits(docs, [])
+
+
+def test_mp4_sample_table_and_frame_sampling(spark):
+    """MP4 sample-table round trip: encode_mp4_video writes real
+    stts/stsz/stsc/stco; mp4_sample_table recovers exact offsets,
+    sizes, and timestamps; sample_video_frames slices the exact
+    encoded frame bytes from mdat."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    frames = [bytes([(k + j) % 256 for j in range(80 + k % 9)])
+              for k in range(12)]
+    p = M.encode_mp4_video(frames, 64, 48, frame_ms=33)
+    tbl = M.mp4_sample_table(p)
+    assert len(tbl) == 12
+    for k, (off, size, pts) in enumerate(tbl):
+        assert size == len(frames[k])
+        assert pts == 33 * k
+        assert p[off:off + size] == frames[k]
+    # metadata-only MP4s (no sample tables) and non-BMFF -> None
+    assert M.mp4_sample_table(M.encode_mp4_meta(1000, 8, 8)) is None
+    assert M.mp4_sample_table(b"RIFF" + bytes(64)) is None
+
+    rows = [(7, "video", bytearray(p), None),
+            (8, "video", bytearray(b"junk that is not bmff"), None),
+            (9, "image", bytearray(b"not even video"), None)]
+    vdf = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    got = M.sample_video_frames(vdf, every_n=4).collect()
+    assert [(r["media_id"], r["frame_idx"], r["pts_ms"]) for r in got] == \
+        [(7, 0, 0), (7, 4, 132), (7, 8, 264)]
+    for r in got:
+        assert bytes(r["frame"]) == frames[r["frame_idx"]]
+    capped = M.sample_video_frames(vdf, every_n=4, max_frames=2).collect()
+    assert len(capped) == 2

@@ -1810,14 +1810,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 10: q_profile_orders + q_tfidf_terms re-enter (their modules
     # changed in r9 while they were parked — r9 verdict item 2); every
     # gate over an r10-touched module (pq, knn, contamination, dedup,
-    # cluster, kmeans, multimodal/jpeg incl. all media gates, streaming)
-    # is in-window, plus the SEVEN new never-certified gates
-    # (media_decode_jpeg/pjpeg, media_mp4_meta, ivf_pq_index,
-    # repeated_spans, span_dedup).  Parked to make room — all r6+r9
+    # cluster, kmeans, text, multimodal/jpeg incl. ALL media gates,
+    # streaming) is in-window, plus the TEN new never-certified gates
+    # (media_decode_jpeg/pjpeg, media_mp4_meta, media_frame_sample,
+    # ivf_pq_index, repeated_spans, span_dedup, bpe_tokens,
+    # keyword_filter).  Parked to make room — all r6+r9
     # double-certified with r10-untouched import closures:
-    # q_events_hourly, q_events_pivot, q_event_gaps, q_sessions,
-    # q_asof_events_orders, q_range_join, q_delta_time_travel,
-    # q_delta_column_mapping, q_delta_dv_scan.
+    # q_delta_restore/history/time_travel/column_mapping/dv_scan/
+    # optimize/changes, q_events_hourly/pivot, q_event_gaps,
+    # q_sessions, q_asof_events_orders, q_range_join,
+    # q_cosine_neardup.
     return {
         # -- r6-era gates re-certified in r9; kept while their delta/
         #    streaming import closure keeps changing --

@@ -250,3 +250,76 @@ def test_bm25_matches_numpy_replay(spark):
         )
     for qid in expect:
         assert sorted(got.get(qid, [])) == sorted(expect[qid]), qid
+
+
+# ------------------------------------------------------------------ JPEG
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 3).map(lambda k: [1, 3, 3][k - 1]),
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.booleans(),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_jpeg_roundtrip_property(ch, h, w, subsample, progressive, seed):
+    """Any small random image round-trips through the pure-numpy JPEG
+    codec: exact shape, bounded per-pixel error under the unit quant
+    table (luma-only error for unsubsampled; chroma interpolation adds
+    smoothing error under 4:2:0, bounded loosely)."""
+    import numpy as np
+
+    from deltalake2db_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    if ch == 1:
+        arr = arr[:, :, 0]
+    subsample = subsample and ch == 3
+    enc = encode_jpeg(arr, subsample=subsample, progressive=progressive)
+    dec = decode_jpeg(enc)
+    assert dec is not None
+    want_ch = 1 if ch == 1 else 3
+    assert dec.shape == (h, w, want_ch)
+    ref = arr if arr.ndim == 3 else arr[:, :, None]
+    err = np.abs(dec.astype(int) - ref.astype(int))
+    if not subsample:
+        assert err.max() <= 4  # IDCT + color-transform rounding only
+    # progressive must equal sequential EXACTLY on the same input
+    if progressive:
+        seq = decode_jpeg(encode_jpeg(arr, subsample=subsample))
+        assert np.array_equal(dec, seq)
+
+
+# ------------------------------------------------------- BPE encode parity
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8),
+                min_size=1, max_size=12),
+       st.integers(1, 20))
+def test_bpe_chain_equals_ranked_property(words, num_merges):
+    """For merges trained on any tiny corpus, the string replace-chain
+    encode (simulated exactly as the Catalyst/DuckDB chain computes
+    it) equals the rank-based reference encoder on every word."""
+    from deltalake2db_spark.operators.bpe import (
+        _MARK,
+        _train_on_vocab,
+        bpe_encode_word,
+    )
+
+    from collections import Counter
+
+    counts = Counter(words)
+    vocab = {tuple(w) + ("</w>",): c for w, c in counts.items()}
+    merges = _train_on_vocab(dict(vocab), num_merges)
+    for w in set(words):
+        sym = _MARK + (" " + _MARK).join(list(w)) + " " + _MARK + "</w> "
+        for a, b in merges:
+            sym = sym.replace(
+                _MARK + a + " " + _MARK + b + " ", _MARK + a + b + " "
+            )
+        chain = [t.lstrip(_MARK) for t in sym.rstrip().split(" ")]
+        assert chain == bpe_encode_word(w, merges), (w, merges)
+        # tokens reassemble the word exactly
+        assert "".join(chain) == w + "</w>"

@@ -1125,6 +1125,26 @@ def q_media_decode_pjpeg(spark, sf_dir):
     )
 
 
+def q_media_decode_webp(spark, sf_dir):
+    """WebP-LOSSLESS decode end-to-end (r10): the q_media_decode
+    closed-form pixels, VP8L-encoded distributed (subtract-green
+    transform + canonical prefix tables, pure numpy) and decoded by
+    the pure-numpy VP8L reader (LSB bitstream, prefix codes,
+    transform inversion).  Lossless codec -> the same exact closed-
+    form oracle as the BMP/PNG gates."""
+    from deltalake2db_spark.operators import multimodal as M
+
+    media = M.make_real_media(spark, 100, width=16, height=12, fmt="webp")
+    feats = M.extract_image_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_px") * F.col("n_px") * 3)
+        .cast("long")
+        .alias("px_sum"),
+        "n_px",
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH at its design point (j >= 0.5): the corpus has no
     natural near-dups, so plant one per doc (doc_id+10^6, first word
@@ -1829,12 +1849,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_terms": q_tfidf_terms,
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
+        "q_media_decode_webp": q_media_decode_webp,
         "q_media_mp4_meta": q_media_mp4_meta,
         "q_media_frame_sample": q_media_frame_sample,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
-        "q_delta_merge": q_delta_merge,
         "q_pii_redaction": q_pii_redaction,
         "q_media_features": q_media_features,
         # -- positions 23-50: round-9-touched families + r7/r8 fillers --
@@ -1876,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode_jpeg": q_media_decode_jpeg,
         # -- positions 51+: multi-round-certified gates whose import
         # closure is untouched this round (rotation rule above) --
+        "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
         "q_cosine_neardup": q_cosine_neardup,
@@ -3083,6 +3104,15 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
                        AS px_sum,
                    CAST(256 AS BIGINT) AS n_px
             FROM range(100) i(v), range(2) bx(v), range(2) by(v)
+            GROUP BY 1
+        """,
+        "q_media_decode_webp": """
+            SELECT i.v AS media_id,
+                   CAST(sum((i.v + x.v + y.v + c.v) % 256) AS BIGINT)
+                       AS px_sum,
+                   CAST(192 AS BIGINT) AS n_px
+            FROM range(100) i(v), range(16) x(v), range(12) y(v),
+                 range(3) c(v)
             GROUP BY 1
         """,
         "q_media_decode_pjpeg": """

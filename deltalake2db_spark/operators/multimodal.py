@@ -242,6 +242,10 @@ def decode_image_array(payload: bytes) -> Optional[np.ndarray]:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp_lossless
+
+        return decode_webp_lossless(payload)  # lossy VP8 -> None (stub)
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         hdr = _pnm_header(payload)
@@ -952,9 +956,10 @@ def make_real_media(
     external oracle can recompute decoded pixels from the closed form
     despite JPEG being a lossy codec.  ``width``/``height`` must be
     multiples of 8 for the JPEG formats."""
-    if fmt not in ("bmp", "png", "jpeg", "pjpeg"):
+    if fmt not in ("bmp", "png", "jpeg", "pjpeg", "webp"):
         raise ValueError(
-            f"fmt={fmt!r}: expected 'bmp', 'png', 'jpeg', or 'pjpeg'"
+            f"fmt={fmt!r}: expected 'bmp', 'png', 'jpeg', 'pjpeg', "
+            "or 'webp'"
         )
     if fmt in ("jpeg", "pjpeg") and (width % 8 or height % 8):
         raise ValueError("JPEG fmts need width/height multiples of 8")
@@ -971,6 +976,19 @@ def make_real_media(
             base = (x // 8 + y // 8).astype(np.int64)
             enc = functools.partial(
                 encode_jpeg, progressive=(fmt == "pjpeg")
+            )
+        elif fmt == "webp":
+            import functools
+
+            from .webp import encode_webp_lossless
+
+            y, x, c = np.meshgrid(
+                np.arange(height), np.arange(width), np.arange(3),
+                indexing="ij",
+            )
+            base = (x + y + c).astype(np.int64)
+            enc = functools.partial(
+                encode_webp_lossless, transform="subtract_green"
             )
         else:
             y, x, c = np.meshgrid(

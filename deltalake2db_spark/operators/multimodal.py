@@ -9,8 +9,8 @@ Decode support is tiered:
   progressive Huffman JPEG (pure-numpy — ``operators/jpeg.py``), and
   MP4/ISO-BMFF container metadata, all implemented from the public
   specs with ``struct`` + numpy.
-* **Stub fallback** for the remaining codec-tier formats (WebP /
-  MP4 video FRAME decode) that genuinely need libvips/ffmpeg,
+* **Stub fallback** for the remaining codec-tier formats (lossy-VP8
+  WebP / MP4 video FRAME decode) that genuinely need libvips/ffmpeg,
   which are not in this container: a clearly-marked
   ``NotImplementedError`` (strict mode) or a deterministic fake
   feature tuple (test mode).  Swap ``_decode_image``'s fallback
@@ -338,9 +338,10 @@ def decode_wav(payload: bytes) -> Optional[tuple[np.ndarray, int]]:
 def _decode_image(payload: bytes, width: int, height: int):
     """Feature tuple (mean_px, fill_ratio, n_px) for one image payload.
 
-    PNG (stdlib zlib)/baseline JPEG/BMP/PPM/PGM decode for real (see
-    ``decode_image_array``); the remaining formats (WebP/progressive
-    JPEG/video frames) hit the stub tier — ``NotImplementedError`` in
+    PNG (stdlib zlib) / sequential+progressive JPEG / lossless-VP8L
+    WebP / BMP / PPM / PGM decode for real (see
+    ``decode_image_array``); the remaining formats (lossy-VP8 WebP,
+    video frames) hit the stub tier — ``NotImplementedError`` in
     strict mode (swap for a Pillow/libvips/ffmpeg kernel in
     deployments that need them), or a deterministic fake derived from
     the payload bytes so tests have stable expectations.

@@ -1831,13 +1831,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changed in r9 while they were parked — r9 verdict item 2); every
     # gate over an r10-touched module (pq, knn, contamination, dedup,
     # cluster, kmeans, text, multimodal/jpeg incl. ALL media gates,
-    # streaming) is in-window, plus the TEN new never-certified gates
-    # (media_decode_jpeg/pjpeg, media_mp4_meta, media_frame_sample,
-    # ivf_pq_index, repeated_spans, span_dedup, bpe_tokens,
-    # keyword_filter).  Parked to make room — all r6+r9
+    # streaming) is in-window, plus the TWELVE new never-certified
+    # gates (media_decode_jpeg/pjpeg/webp, media_mp4_meta,
+    # media_frame_sample, ivf_pq_index, repeated_spans, span_dedup,
+    # bpe_tokens, keyword_filter).  Parked to make room — all r6+r9
     # double-certified with r10-untouched import closures:
     # q_delta_restore/history/time_travel/column_mapping/dv_scan/
-    # optimize/changes, q_events_hourly/pivot, q_event_gaps,
+    # optimize/changes/merge, q_events_hourly/pivot, q_event_gaps,
     # q_sessions, q_asof_events_orders, q_range_join,
     # q_cosine_neardup.
     return {

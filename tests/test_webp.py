@@ -139,3 +139,61 @@ def test_bad_args():
         encode_webp_lossless(
             np.zeros((4, 4, 3), np.uint8), transform="bogus"
         )
+
+
+def test_meta_prefix_codes_hand_built_stream():
+    """Decoder-only path (the encoder emits one code group): a
+    hand-built level-0 stream with an entropy image routing the left
+    tile to one code group and the right tile to another."""
+    import struct
+
+    from deltalake2db_spark.operators import webp as W
+
+    w, h, mbits = 8, 4, 2
+    bw = W._LSBWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix present
+    bw.write(mbits - 2, 3)
+    ent = np.array([[0xFF000000, 0xFF000100]], dtype=np.uint32)
+    W._encode_subimage(bw, ent)
+    A = (255, 10, 20, 30)
+    B = (255, 40, 50, 60)
+    groups = []
+    for (a, r, g, b) in (A, B):
+        gl = W._fixed_lengths(280, {g})
+        rl = W._fixed_lengths(256, {r})
+        bl = W._fixed_lengths(256, {b})
+        al = W._fixed_lengths(256, {a})
+        dl = W._fixed_lengths(40, {0})
+        for lengths in (gl, rl, bl, al, dl):
+            W._write_code_lengths(bw, lengths)
+        groups.append((
+            W._Enc(bw, gl), W._Enc(bw, rl), W._Enc(bw, bl), W._Enc(bw, al)
+        ))
+    for y in range(h):
+        for x in range(w):
+            gi = 0 if (x >> mbits) == 0 else 1
+            a, r, g, b = A if gi == 0 else B
+            ge, re_, be, ae = groups[gi]
+            ge.emit(g)
+            re_.emit(r)
+            be.emit(b)
+            ae.emit(a)
+    data = bw.tobytes()
+    vp8l = (
+        b"VP8L" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    payload = (
+        b"RIFF" + struct.pack("<I", len(b"WEBP" + vp8l)) + b"WEBP" + vp8l
+    )
+    dec = W.decode_webp_lossless(payload)
+    assert dec is not None and dec.shape == (4, 8, 3)
+    assert (dec[:, :4] == [10, 20, 30]).all()
+    assert (dec[:, 4:] == [40, 50, 60]).all()

@@ -245,6 +245,10 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or not h or not w:
                 return None
+            if h * w > 64_000_000:
+                # adversarial header guard: don't allocate coefficient
+                # stores for a claimed 16k x 16k frame inside a kernel
+                return None
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)

@@ -449,6 +449,8 @@ def _decode_webp_lossless(payload: bytes) -> Optional[np.ndarray]:
     alpha_hint = br.read(1)
     if br.read(3) != 0:
         return None  # version
+    if w * h > 64_000_000:
+        return None  # adversarial-header allocation guard
     # transforms (level 0 only), remembered in read order
     transforms = []
     cur_w = w

@@ -40,6 +40,10 @@ Spark-first design
 Words containing the ``\\x01`` marker byte are rejected (raise) — it
 cannot occur in text tokenized from any sane source, and silently
 mis-tokenizing would be worse.
+
+Reference scope note: the reference engine (bmsuisse/deltalake2db) has
+no text operators (SURVEY.md §2.5); this is a north-star extension for
+LLM training-data pipelines (token counting, vocabulary studies).
 """
 
 from __future__ import annotations

@@ -26,6 +26,10 @@ including the Annex K example tables) plus the JFIF conventions.
 Scale note: like the PNG/BMP tier, decode runs where the bytes live
 (inside ``mapInPandas`` kernels); nothing in this module touches Spark
 directly.
+
+Reference scope note: the reference engine (bmsuisse/deltalake2db) has
+no media handling of any kind (SURVEY.md §2.5); this is a north-star
+extension for multimodal training-data pipelines.
 """
 
 from __future__ import annotations

@@ -24,6 +24,9 @@ self-round-trip plus spec-derived constants; the 2-D distance-map
 table is generated from the spec's ordering rule (d² ascending, then
 y descending, then x descending) and exercised by encoder-emitted
 mapped distances.
+
+Reference scope note: the reference engine (bmsuisse/deltalake2db) has
+no media handling (SURVEY.md §2.5); north-star extension.
 """
 
 from __future__ import annotations

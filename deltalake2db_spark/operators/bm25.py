@@ -91,9 +91,6 @@ def bm25_topk(
         F.size(words).alias("__dl"),
         F.explode(words).alias("__ws"),
     ).select(id_col, "__dl", F.xxhash64("__ws").alias("__w"))
-    tf = toks.groupBy(id_col, "__w").agg(
-        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
-    )
     corpus = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.size(words).alias("__dl"))
@@ -109,9 +106,17 @@ def bm25_topk(
         .select(query_id_col, F.xxhash64("__ws").alias("__w"))
         .distinct()
     )
-    # prune to the query vocabulary FIRST; df(w) as a count window over
-    # the pruned postings exchanges only query-matched rows
-    pruned = tf.join(broadcast(qterms.select("__w").distinct()), "__w")
+    # prune to the query vocabulary BELOW the tf aggregate (r10): the
+    # broadcast hash join filters the raw TOKEN stream map-side, so
+    # the one corpus exchange carries only query-matched tokens — at a
+    # web-scale vocabulary that is the difference between shuffling
+    # every (doc, term) pair and shuffling the handful the queries
+    # name.  Per-(doc, term) tf is unaffected by dropping other terms,
+    # so scores are byte-identical to pruning after the aggregate.
+    toks = toks.join(broadcast(qterms.select("__w").distinct()), "__w")
+    pruned = toks.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+    )
     postings = pruned.withColumn(
         "__df", F.count(F.lit(1)).over(Window.partitionBy("__w"))
     )

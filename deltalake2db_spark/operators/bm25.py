@@ -81,30 +81,32 @@ def bm25_topk(
 
     docs = spread_scan(docs)  # tokenize must not run on one row group
     words = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT)
-    # posting keys are 64-bit word hashes, not strings: the tf shuffle,
-    # the query join, and the df window all move/compare 8 bytes
-    # (injective-in-practice at corpus vocabularies — the repo-wide
-    # dedup argument; measured 2.33 -> 1.90 s on the sf0.1 gate with
-    # byte-identical output)
-    toks = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.size(words).alias("__dl"),
-        F.explode(words).alias("__ws"),
-    ).select(id_col, "__dl", F.xxhash64("__ws").alias("__w"))
-    corpus = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.size(words).alias("__dl"))
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.avg("__dl").alias("__avgdl"),
-        )
-    )
     qwords = F.split(F.trim(F.col(query_text_col)), TOKEN_SPLIT)
     qterms = (
         queries.filter(F.col(query_text_col).isNotNull())
         .select(F.col(query_id_col), F.explode(qwords).alias("__ws"))
         .select(query_id_col, F.xxhash64("__ws").alias("__w"))
         .distinct()
+    )
+    # posting keys are 64-bit word hashes, not strings: the tf shuffle,
+    # the query join, and the df window all move/compare 8 bytes
+    # (injective-in-practice at corpus vocabularies — the repo-wide
+    # dedup argument; measured 2.33 -> 1.90 s on the sf0.1 gate with
+    # byte-identical output).  posexplode tags each doc's FIRST token
+    # (every non-NULL text has >= 1 split token, even ""), which lets
+    # the N/avgdl corpus stats ride the SAME scan: the text column is
+    # read once, not once for tf and again for stats (r11 — at corpus
+    # scale the second full read of the text column dwarfed the one
+    # extra row per doc this adds to the pruned shuffle).
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(words).alias("__dl"),
+        F.posexplode(words).alias("__pos", "__ws"),
+    ).select(
+        id_col,
+        "__dl",
+        (F.col("__pos") == 0).alias("__f0"),
+        F.xxhash64("__ws").alias("__w"),
     )
     # prune to the query vocabulary BELOW the tf aggregate (r10): the
     # broadcast hash join filters the raw TOKEN stream map-side, so
@@ -113,12 +115,38 @@ def bm25_topk(
     # every (doc, term) pair and shuffling the handful the queries
     # name.  Per-(doc, term) tf is unaffected by dropping other terms,
     # so scores are byte-identical to pruning after the aggregate.
-    toks = toks.join(broadcast(qterms.select("__w").distinct()), "__w")
-    pruned = toks.groupBy(id_col, "__w").agg(
-        F.count(F.lit(1)).alias("__tf"), F.max("__dl").alias("__dl")
+    # LEFT join + keep-first-token filter instead of inner join: each
+    # doc's first token survives even when unmatched, carrying (dl)
+    # for the stats branch.
+    qmark = broadcast(
+        qterms.select("__w").distinct().withColumn("__m", F.lit(True))
     )
-    postings = pruned.withColumn(
+    kept = toks.join(qmark, "__w", "left").filter(
+        F.col("__m").isNotNull() | F.col("__f0")
+    )
+    pruned = kept.groupBy(id_col, "__w").agg(
+        F.count("__m").alias("__tf"),  # matched occurrences only
+        F.max("__dl").alias("__dl"),
+        F.bool_or("__f0").alias("__first"),
+    )
+    # Both branches below consume ALL THREE aggregate values (dsir's
+    # load-bearing-column pattern): the `__first.isNotNull()` /
+    # `__tf >= 0` conjuncts are semantically always-true but reference
+    # nullable/unprovable aggregate outputs, so Catalyst cannot fold
+    # them away and column-prunes both branches IDENTICALLY — which is
+    # what lets ReuseExchange share the one tokenize+shuffle between
+    # scoring and the stats broadcast (without them the subtrees
+    # diverge and the corpus scans twice; observed in the plan).
+    postings = pruned.filter(
+        (F.col("__tf") > 0) & F.col("__first").isNotNull()
+    ).withColumn(
         "__df", F.count(F.lit(1)).over(Window.partitionBy("__w"))
+    )
+    corpus = pruned.filter(
+        F.col("__first") & (F.col("__tf") >= 0)
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
     )
     idf = F.log(
         F.lit(1.0)

@@ -212,6 +212,14 @@ def bpe_token_counts(
                 " ",
             )
         )
+        # same contract as the arrow path: a word containing the \x01
+        # symbol marker would be silently mis-symbolized — raise instead
+        nt = F.when(
+            F.contains(F.col("w"), F.lit(_MARK)),
+            F.raise_error(
+                F.lit("bpe_token_counts: text contains the \\x01 marker")
+            ).cast("int"),
+        ).otherwise(nt)
         per_word = words.select(id_col, nt.alias("nt"))
     else:
         rank = {p: i for i, p in enumerate(merges)}

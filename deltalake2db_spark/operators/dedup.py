@@ -61,7 +61,11 @@ def word_shingles(text_col, n: int = 3):
     """Array of word n-gram shingle strings (lowercased, ws-normalized)."""
     words = F.split(F.regexp_replace(F.lower(F.trim(text_col)), "\\s+", " "), " ")
     k = F.size(words) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    # sequence(0, -1) yields DESCENDING [0, -1] (default step -1), which
+    # would feed slice(start=0) and abort the job on docs shorter than n
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
     )

@@ -832,7 +832,15 @@ def encode_jpeg(
         for by in range(bh_c):
             for bx in range(bw_c):
                 zz = zzc[by, bx]
-                r, pending = 0, []
+                # pending correction bits are tagged with how many
+                # zero-history coefficients precede them in the current
+                # run: a ZRL covers exactly 16 zero-history positions,
+                # so only bits tagged < 16 ride with that ZRL — bits
+                # for already-significant coefficients BEYOND the span
+                # wait for the next code (spec G.1.2.3; flushing all
+                # pending after the first ZRL desynchronized the
+                # decoder on runs > 15 with trailing significants)
+                r, pending = 0, []  # pending: (zeros_before, bit)
                 for k in range(1, 64):
                     t = abs(int(zz[k]))
                     if t == 0:
@@ -840,25 +848,29 @@ def encode_jpeg(
                         continue
                     if (t >> al0) != 0:
                         # already significant: correction bit
-                        pending.append(t & 1)
+                        pending.append((r, t & 1))
                         continue
                     # newly significant (magnitude is exactly 1 here)
                     while r > 15:
                         bw.write(*act[0xF0])
-                        for bit in pending:
-                            bw.write(bit, 1)
-                        pending = []
+                        keep = []
+                        for rr, bit in pending:
+                            if rr < 16:
+                                bw.write(bit, 1)
+                            else:
+                                keep.append((rr - 16, bit))
+                        pending = keep
                         r -= 16
                     code, ln = act[(r << 4) | 1]
                     bw.write(code, ln)
                     bw.write(1 if zz[k] > 0 else 0, 1)
-                    for bit in pending:
+                    for _, bit in pending:
                         bw.write(bit, 1)
                     pending = []
                     r = 0
                 if r > 0 or pending:
                     bw.write(*act[0x00])  # EOB (EOBRUN = 1)
-                    for bit in pending:
+                    for _, bit in pending:
                         bw.write(bit, 1)
         bw.flush()
         out += sos_header(

@@ -697,11 +697,19 @@ def _mp4_sample_table(payload: bytes) -> Optional[list]:
             box = _find_box(payload, sb, se, btype)
             return None if box is None else box[0] + 4  # skip ver/flags
 
-        # sizes
+        # sizes.  Counts are untrusted 32-bit header fields: bound them
+        # by what the payload could possibly index BEFORE materializing
+        # python lists (a crafted cnt=0xFFFFFFFF would otherwise
+        # allocate a 4-billion-entry list — an executor memory blowout
+        # the try/except wrappers upstream cannot catch), mirroring the
+        # h*w caps in the jpeg/webp decoders.
+        max_samples = min(n, 1 << 24)
         p = full(b"stsz")
         if p is None:
             return None
         uniform, cnt = struct.unpack_from(">II", payload, p)
+        if cnt > max_samples:
+            return None
         if uniform:
             sizes = [uniform] * cnt
         else:
@@ -731,6 +739,8 @@ def _mp4_sample_table(payload: bytes) -> Optional[list]:
         deltas = []
         for r in range(n_tt):
             c, d = struct.unpack_from(">II", payload, p + 4 + 8 * r)
+            if c > max_samples or len(deltas) + c > max_samples:
+                return None
             deltas += [d] * c
         # walk chunks expanding stsc runs into per-sample offsets
         out = []

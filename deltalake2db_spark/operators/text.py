@@ -239,8 +239,14 @@ def keyword_hits(
     grams (native transform/slice — no UDF) and broadcast-joined
     against that length's terms.  One doc-keyed aggregate; the corpus
     text never shuffles.
+
+    Matching is whitespace-token EXACT: words are the document split on
+    whitespace, punctuation attached ("table." does not match "table").
+    Callers wanting punctuation-insensitive screens should
+    regexp_replace the text column first.
     """
-    norm = [" ".join(t.lower().split()) for t in terms]
+    norm = sorted({" ".join(t.lower().split()) for t in terms})
+    norm = [t for t in norm if t]
     if not norm:
         raise ValueError("keyword_hits: empty term list")
     by_len: dict[int, list[str]] = {}
@@ -254,7 +260,12 @@ def keyword_hits(
     hits = None
     for L, ts in sorted(by_len.items()):
         k = F.size("__ws") - (L - 1)
-        idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+        # sequence(0, -1) defaults step to -1 and yields [0, -1] (which
+        # would drive slice(start=0) into a runtime error on any doc
+        # shorter than the phrase) — gate the whole gram build on k > 0
+        idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
         grams = F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice("__ws", i + 1, L))
         )

@@ -1277,6 +1277,61 @@ def test_keyword_hits_whole_word_and_phrases(spark):
         keyword_hits(docs, [])
 
 
+def test_keyword_hits_short_docs_and_term_dedup(spark):
+    """Docs shorter than the longest phrase (incl. empty/whitespace
+    text) must screen cleanly as (0, 0, false) — the L-gram build used
+    to feed slice(start=0) and abort the job — and terms that collide
+    after normalization must not double-count n_hits."""
+    from deltalake2db_spark.operators.text import keyword_hits
+
+    docs = spark.createDataFrame(
+        [(1, "word"), (2, ""), (3, "   "), (4, "hash value here"),
+         (5, "Bad bad hash value")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           keyword_hits(docs, ["hash value", "Bad", "bad"]).collect()}
+    for short_id in (1, 2, 3):
+        assert (out[short_id]["n_hits"], out[short_id]["n_terms"],
+                out[short_id]["flagged"]) == (0, 0, False)
+    assert (out[4]["n_hits"], out[4]["n_terms"]) == (1, 1)
+    # 'Bad'+'bad' normalize to ONE term: 2 bad hits + 1 phrase hit
+    assert (out[5]["n_hits"], out[5]["n_terms"]) == (3, 2)
+
+
+def test_word_shingles_short_docs(spark):
+    """word_shingles on docs shorter than n returns an EMPTY array
+    (same sequence(0,-1) latent crash as keyword_hits)."""
+    import pyspark.sql.functions as F
+
+    from deltalake2db_spark.operators.dedup import word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["a b c", "b c d"]
+
+
+def test_bpe_column_path_rejects_marker(spark):
+    """Both impls reject text containing the \\x01 symbol marker (the
+    column path used to mis-tokenize it silently)."""
+    import pytest
+
+    from deltalake2db_spark.operators.bpe import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(1, "ok \x01bad")], "doc_id long, text string"
+    )
+    for impl in ("column", "arrow"):
+        with pytest.raises(Exception, match="marker"):
+            bpe_token_counts(df, [("a", "b")], impl=impl).collect()
+
+
 def test_mp4_sample_table_and_frame_sampling(spark):
     """MP4 sample-table round trip: encode_mp4_video writes real
     stts/stsz/stsc/stco; mp4_sample_table recovers exact offsets,
@@ -1310,3 +1365,37 @@ def test_mp4_sample_table_and_frame_sampling(spark):
         assert bytes(r["frame"]) == frames[r["frame_idx"]]
     capped = M.sample_video_frames(vdf, every_n=4, max_frames=2).collect()
     assert len(capped) == 2
+
+
+def test_mp4_adversarial_header_counts():
+    """Untrusted 32-bit counts in stsz/stts must be bounds-checked
+    BEFORE list materialization: a crafted uniform-stsz cnt=0xFFFFFFFF
+    (or an stts run count to match) would otherwise allocate a
+    ~4-billion-entry python list in the executor."""
+    import struct
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    frames = [bytes(range(64))] * 4
+    p = M.encode_mp4_video(frames, 16, 16, frame_ms=40)
+    assert len(M.mp4_sample_table(p)) == 4
+
+    def patched(box: bytes, off_in_box: int, value: int) -> bytes:
+        i = p.index(box)
+        at = i + len(box) + off_in_box
+        return p[:at] + struct.pack(">I", value) + p[at + 4:]
+
+    # stsz: ver/flags(4) + uniform(4) + cnt(4) — set uniform!=0 and a
+    # hostile cnt; the guard must reject, not allocate
+    evil = patched(b"stsz", 4, 64)            # uniform = 64
+    evil = evil[:evil.index(b"stsz") + 12] + struct.pack(
+        ">I", 0xFFFFFFFF
+    ) + evil[evil.index(b"stsz") + 16:]
+    assert M.mp4_sample_table(evil) is None
+
+    # stts: ver/flags(4) + n_runs(4) + (count, delta) — hostile count
+    evil2 = patched(b"stts", 8, 0xFFFFFFFF)
+    assert M.mp4_sample_table(evil2) is None
+
+    # the valid file still parses after the guards
+    assert len(M.mp4_sample_table(p)) == 4

@@ -42,8 +42,14 @@ def frame_signature(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -59,6 +65,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     n_pass = n_fail = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -69,11 +76,16 @@ def main():
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "FAIL", "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows, {spark_t:.1f}s")
+            results[name] = {
+                "status": "ROWS-ONLY", "rows": len(srows),
+                "spark_sec": round(spark_t, 2),
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -81,6 +93,7 @@ def main():
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            results[name] = {"status": "FAIL", "err": f"oracle: {e}"[:300]}
             n_fail += 1
             continue
         sc, ss = frame_signature(scols, [tuple(r) for r in srows])
@@ -101,7 +114,22 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
+        results[name] = {
+            "status": "PASS" if ok else "FAIL",
+            "rows": len(ss), "oracle_rows": len(os_),
+            "spark_sec": round(spark_t, 2),
+        }
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "n_gates": len(results), "gates": results},
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 

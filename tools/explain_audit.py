@@ -179,10 +179,11 @@ def main() -> int:
         failures.append("dsir_logweights lambda branch does not ReuseExchange")
     sections.append(("DSIR shared corpus exchange", formatted(df)))
 
-    # 10. BM25: one corpus tokenize pass (tf) + one pruned-column stats
-    # pass — never a third scan (the groupBy-df formulation re-tokenized
-    # the corpus when ReuseExchange failed on pruning), and every join
-    # is broadcast (query side is model-sized).
+    # 10. BM25: ONE corpus tokenize pass — N/avgdl stats ride the same
+    # scan via the first-token rows and consume the tf exchange through
+    # ReuseExchange (r11; the two-pass formulation paid a second full
+    # read of the text column), and every join is broadcast (query
+    # side is model-sized).
     from deltalake2db_spark.operators.bm25 import bm25_topk
 
     qdf = spark.createDataFrame(
@@ -191,14 +192,16 @@ def main() -> int:
     )
     df = bm25_topk(docs, qdf, k=3)
     p = plan_of(df)
-    if p.count("Scan parquet") > 2:
+    if p.count("Scan parquet") != 1:
         failures.append(
             f"bm25_topk scans the corpus {p.count('Scan parquet')}x "
-            "(tf + stats are the only two sanctioned passes)"
+            "(the tokenize pass is the only sanctioned scan)"
         )
+    if "ReusedExchange" not in p:
+        failures.append("bm25_topk stats branch does not ReuseExchange")
     if "SortMergeJoin" in p:
         failures.append("bm25_topk shuffles a join that must broadcast")
-    sections.append(("BM25 two-pass corpus, broadcast joins", formatted(df)))
+    sections.append(("BM25 one-pass corpus, broadcast joins", formatted(df)))
 
     # 11. persisted IVF-PQ index search: the pruned delta scan of the
     # codes flows into ONE MapInArrow (ADC) with no Exchange below it,

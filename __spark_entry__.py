@@ -1023,6 +1023,27 @@ def q_span_dedup(spark, sf_dir):
     return remove_repeated_spans(corpus, gram_len=12, rate=2)
 
 
+def q_span_dedup_exact(spark, sf_dir):
+    """Repeated-passage removal with the EXACT verify stage (r11):
+    each duplicated seed gram extends to the maximal passage its whole
+    duplicate group shares (group LCP of bounded context windows on
+    both sides, dedup._merged_dup_spans), so whole repeated passages
+    are cut, not sampled windows.  The oracle replays the extension
+    with the LCP(lexmin, lexmax) set identity in DuckDB and rebuilds
+    the cleaned strings — full string-level hash match."""
+    from deltalake2db_spark.operators.dedup import remove_repeated_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("XYZPREFIX "), F.col("text")).alias("text"),
+    )
+    corpus = d.unionByName(planted)
+    return remove_repeated_spans(
+        corpus, gram_len=12, rate=2, max_extend=48
+    )
+
+
 _BPE_MERGES = [
     ("t", "h"), ("th", "e"), ("the", "</w>"), ("e", "</w>"),
     ("s", "</w>"), ("i", "n"), ("a", "n"), ("e", "r"),
@@ -1845,7 +1866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    streaming import closure keeps changing --
         "q_delta_clone": q_delta_clone,
         "q_delta_schema_ddl": q_delta_schema_ddl,
-        "q_profile_orders": q_profile_orders,
         "q_tfidf_terms": q_tfidf_terms,
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
@@ -1870,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_repeated_spans": q_repeated_spans,
         "q_span_dedup": q_span_dedup,
+        "q_span_dedup_exact": q_span_dedup_exact,
         "q_bpe_tokens": q_bpe_tokens,
         "q_keyword_filter": q_keyword_filter,
         "q_text_stats": q_text_stats,
@@ -1896,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode_jpeg": q_media_decode_jpeg,
         # -- positions 51+: multi-round-certified gates whose import
         # closure is untouched this round (rotation rule above) --
+        "q_profile_orders": q_profile_orders,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -2079,7 +2101,7 @@ FROM enc GROUP BY 1
 """
 
 
-_SPAN_CTE_PREFIX = f"""
+_SPAN_FRONT_CTE = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -2106,9 +2128,9 @@ WITH corpus AS (
   SELECT * FROM (
     SELECT *, count(*) OVER (PARTITION BY hm) AS n FROM sel
   ) WHERE n >= 2
-), spans AS (
-  SELECT doc_id, p AS s, p + {_SPAN_G} AS e, n_chars FROM dup
-), marked AS (
+)"""
+
+_SPAN_MERGE_CTE = """, marked AS (
   SELECT *, CASE WHEN s > coalesce(max(e) OVER (
       PARTITION BY doc_id ORDER BY s
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
@@ -2124,6 +2146,56 @@ WITH corpus AS (
   FROM isl GROUP BY 1, 2
 )"""
 
+# seed spans (the sampled grams themselves)
+_SPAN_CTE_PREFIX = (
+    _SPAN_FRONT_CTE
+    + f""", spans AS (
+  SELECT doc_id, p AS s, p + {_SPAN_G} AS e, n_chars FROM dup
+)"""
+    + _SPAN_MERGE_CTE
+)
+
+# exact verify stage: each seed extends by its duplicate group's
+# longest common context (set-LCP == LCP(lexmin, lexmax)), capped at
+# _SPAN_W chars per side and truncated at document boundaries — the
+# same semantics as operators/dedup._merged_dup_spans(max_extend)
+_SPAN_W = 48
+_SPAN_EXACT_PREFIX = (
+    _SPAN_FRONT_CTE
+    + f""", ctx AS (
+  SELECT d.doc_id, d.p, d.hm, d.n_chars,
+         reverse(substr(c.text,
+                        CAST(greatest(d.p - {_SPAN_W}, 0) + 1 AS INT),
+                        CAST(least(d.p, {_SPAN_W}) AS INT))) AS lc,
+         substr(c.text, CAST(d.p + {_SPAN_G} + 1 AS INT),
+                {_SPAN_W}) AS rc
+  FROM dup d JOIN corpus c USING (doc_id)
+), grp AS (
+  SELECT hm, min(lc) AS lmin, max(lc) AS lmax,
+         min(rc) AS rmin, max(rc) AS rmax
+  FROM ctx GROUP BY hm
+), ext AS (
+  -- prefix equality is downward-closed, so max matching k == LCP;
+  -- the least() caps handle fully-equal (truncated) pairs
+  SELECT hm,
+         least(max(CASE WHEN substr(lmin, 1, CAST(k.v AS INT))
+                           = substr(lmax, 1, CAST(k.v AS INT))
+                   THEN k.v ELSE 0 END),
+               min(length(lmin)), min(length(lmax))) AS l_ext,
+         least(max(CASE WHEN substr(rmin, 1, CAST(k.v AS INT))
+                           = substr(rmax, 1, CAST(k.v AS INT))
+                   THEN k.v ELSE 0 END),
+               min(length(rmin)), min(length(rmax))) AS r_ext
+  FROM grp, range(0, {_SPAN_W} + 1) k(v)
+  GROUP BY hm
+), spans AS (
+  SELECT c.doc_id, c.p - e.l_ext AS s,
+         c.p + {_SPAN_G} + e.r_ext AS e, c.n_chars
+  FROM ctx c JOIN ext e USING (hm)
+)"""
+    + _SPAN_MERGE_CTE
+)
+
 _REPEATED_SPANS_SQL = f"""{_SPAN_CTE_PREFIX}
 SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
        CAST(sum(e - s) AS BIGINT) AS dup_chars,
@@ -2132,7 +2204,7 @@ SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
 FROM merged GROUP BY 1
 """
 
-_SPAN_DEDUP_SQL = f"""{_SPAN_CTE_PREFIX},
+_SPAN_REBUILD_SUFFIX = """,
 cuts AS (
   SELECT m.doc_id, m.s, m.e, c.text,
          substr(
@@ -2151,6 +2223,10 @@ cuts AS (
 SELECT c.doc_id, coalesce(r.text, c.text) AS text
 FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
 """
+
+_SPAN_DEDUP_SQL = _SPAN_CTE_PREFIX + _SPAN_REBUILD_SUFFIX
+
+_SPAN_EXACT_DEDUP_SQL = _SPAN_EXACT_PREFIX + _SPAN_REBUILD_SUFFIX
 
 _PQ_ENCODE_SQL = f"""
 WITH {_PQ_CTE}
@@ -3024,6 +3100,7 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_pairs": _JACCARD_SQL,
         "q_repeated_spans": _REPEATED_SPANS_SQL,
         "q_span_dedup": _SPAN_DEDUP_SQL,
+        "q_span_dedup_exact": _SPAN_EXACT_DEDUP_SQL,
         "q_bpe_tokens": _bpe_sql(),
         "q_keyword_filter": """
 WITH w AS (

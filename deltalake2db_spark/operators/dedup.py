@@ -1357,48 +1357,100 @@ def span_fingerprints(
     return df.select(id_col, text_col).mapInArrow(scan, out_schema)
 
 
-def repeated_span_stats(
+def _lcp_len(a, b):
+    """Longest-common-prefix length of two string Columns (pure
+    Catalyst): null-safe char-array zip, first mismatch index; equal
+    prefixes fall through to the shorter length.  Inputs are bounded
+    context windows (<= max_extend chars), so the char arrays are
+    tiny."""
+    eq = F.zip_with(
+        F.split(a, ""), F.split(b, ""), lambda x, y: x.eqNullSafe(y)
+    )
+    pos = F.array_position(eq, F.lit(False))
+    return F.when(pos > 0, pos - 1).otherwise(
+        F.least(F.length(a), F.length(b))
+    ).cast("long")
+
+
+def _merged_dup_spans(
     df: DataFrame,
-    gram_len: int = 20,
-    rate: int = 8,
-    min_count: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Per-document repeated-passage report:
-    ``(id, n_dup_spans, dup_chars, n_chars, dup_frac)``.
+    gram_len: int,
+    rate: int,
+    min_count: int,
+    id_col: str,
+    text_col: str,
+    max_extend: int = 0,
+):
+    """Merged duplicated-span islands ``(id, island, s, e)`` shared by
+    ``repeated_span_stats`` and ``remove_repeated_spans``.
 
-    A fingerprint (see ``span_fingerprints``) is DUPLICATED when its
-    hash occurs >= ``min_count`` times corpus-wide; each duplicated
-    fingerprint marks the span ``[p, p + gram_len)`` and overlapping /
-    touching spans merge (gaps-and-islands window).  Documents with no
-    duplicated fingerprint are absent — same contract as
-    ``contamination_check``.  The spans are SEED spans (the sampled
-    grams), the passage-dedup analogue of LSH candidates; exact
-    extension is a verify-stage concern.
+    ``max_extend > 0`` adds the exact verify stage: each duplicated
+    fingerprint (a SEED gram) is extended left/right to the maximal
+    passage shared EXACTLY by its whole duplicate group, capped at
+    ``max_extend`` chars per side.  Group agreement is the longest
+    common extension over all occurrences, computed as
+    ``LCP(lexmin, lexmax)`` of the per-occurrence context windows (the
+    set-LCP identity) — so the extended span is guaranteed to occur as
+    many times as the seed did.  Extension never crosses a document
+    boundary (the context window is truncated there).
 
-    Shuffles: one fingerprint exchange keyed by the 8-byte hash (the
-    duplicate count window) and one keyed by ``id_col`` (the island
-    merge) — both over the sampled ~chars/rate rows, never the corpus
-    text.
+    Scale shape: contexts are sliced by a doc-keyed join of the
+    (small) anchor list against the text — only duplicated docs' text
+    moves, and only ``2 * max_extend`` chars ride per anchor into the
+    hash-keyed group reduce.  Everything stays proportional to the
+    sampled fingerprints, never the corpus.
     """
     fps = span_fingerprints(df, gram_len, rate, id_col, text_col)
     wcnt = Window.partitionBy("h")
     dup = fps.withColumn("__n", F.count(F.lit(1)).over(wcnt)).filter(
         F.col("__n") >= min_count
     )
+    if max_extend > 0:
+        w = max_extend
+        perdoc = dup.groupBy(id_col).agg(
+            F.collect_list(F.struct("p", "h")).alias("__as")
+        )
+        t = F.col("__t")
+        p = F.col("__a.p")
+        ctx = (
+            df.select(id_col, F.col(text_col).alias("__t"))
+            .join(perdoc, id_col)
+            .select(id_col, "__t", F.explode("__as").alias("__a"))
+            .select(
+                F.col("__a.h").alias("h"),
+                F.reverse(
+                    t.substr(
+                        (F.greatest(p - w, F.lit(0)) + 1).cast("int"),
+                        F.least(p, F.lit(w)).cast("int"),
+                    )
+                ).alias("__lc"),
+                t.substr((p + gram_len + 1).cast("int"), F.lit(w)).alias(
+                    "__rc"
+                ),
+            )
+        )
+        ext = ctx.groupBy("h").agg(
+            _lcp_len(F.min("__lc"), F.max("__lc")).alias("__L"),
+            _lcp_len(F.min("__rc"), F.max("__rc")).alias("__R"),
+        )
+        seeds = dup.join(ext, "h").select(
+            id_col,
+            (F.col("p") - F.col("__L")).alias("s"),
+            (F.col("p") + F.lit(gram_len) + F.col("__R")).alias("e"),
+        )
+    else:
+        seeds = dup.select(
+            id_col,
+            F.col("p").alias("s"),
+            (F.col("p") + F.lit(gram_len)).alias("e"),
+        )
     wdoc = (
         Window.partitionBy(id_col)
         .orderBy("s")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    spans = (
-        dup.select(
-            id_col,
-            F.col("p").alias("s"),
-            (F.col("p") + F.lit(gram_len)).alias("e"),
-        )
-        .withColumn(
+    return (
+        seeds.withColumn(
             "__brk",
             F.when(
                 F.col("s")
@@ -1416,6 +1468,39 @@ def repeated_span_stats(
         )
         .groupBy(id_col, "island")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    gram_len: int = 20,
+    rate: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_extend: int = 0,
+) -> DataFrame:
+    """Per-document repeated-passage report:
+    ``(id, n_dup_spans, dup_chars, n_chars, dup_frac)``.
+
+    A fingerprint (see ``span_fingerprints``) is DUPLICATED when its
+    hash occurs >= ``min_count`` times corpus-wide; each duplicated
+    fingerprint marks the span ``[p, p + gram_len)`` and overlapping /
+    touching spans merge (gaps-and-islands window).  Documents with no
+    duplicated fingerprint are absent — same contract as
+    ``contamination_check``.  With ``max_extend=0`` the spans are SEED
+    spans (the sampled grams); ``max_extend > 0`` runs the exact
+    verify stage (see ``_merged_dup_spans``), extending each seed to
+    the maximal passage its whole duplicate group shares.
+
+    Shuffles: one fingerprint exchange keyed by the 8-byte hash (the
+    duplicate count window) and one keyed by ``id_col`` (the island
+    merge) — both over the sampled ~chars/rate rows, never the corpus
+    text (extension adds a bounded-context slice join over duplicated
+    docs only).
+    """
+    spans = _merged_dup_spans(
+        df, gram_len, rate, min_count, id_col, text_col, max_extend
     )
     lens = df.select(id_col, F.length(text_col).alias("n_chars"))
     return (
@@ -1444,50 +1529,24 @@ def remove_repeated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_extend: int = 0,
 ) -> DataFrame:
     """Cut every duplicated span (see ``repeated_span_stats``) out of
     the text: ``(id, text)`` with the merged spans removed and the
     surviving segments concatenated in order.  Documents without
-    duplicated fingerprints pass through unchanged.
+    duplicated fingerprints pass through unchanged.  ``max_extend > 0``
+    cuts the exactly-extended passages (whole repeated passages, not
+    sampled windows — see ``_merged_dup_spans``).
 
     The cut itself is a pure-Catalyst ``aggregate`` fold over the
     doc's sorted span array (no Python in the corpus-sized path): the
     accumulator carries (chars consumed, output so far) and each span
     appends the clean segment before it.
     """
-    fps = span_fingerprints(df, gram_len, rate, id_col, text_col)
-    wcnt = Window.partitionBy("h")
-    dup = fps.withColumn("__n", F.count(F.lit(1)).over(wcnt)).filter(
-        F.col("__n") >= min_count
-    )
-    wdoc = (
-        Window.partitionBy(id_col)
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     spans = (
-        dup.select(
-            id_col,
-            F.col("p").alias("s"),
-            (F.col("p") + F.lit(gram_len)).alias("e"),
+        _merged_dup_spans(
+            df, gram_len, rate, min_count, id_col, text_col, max_extend
         )
-        .withColumn(
-            "__brk",
-            F.when(
-                F.col("s") > F.coalesce(F.max("e").over(wdoc), F.lit(-1)),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn(
-            "island",
-            F.sum("__brk").over(
-                Window.partitionBy(id_col)
-                .orderBy("s")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .groupBy(id_col, "island")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
         .groupBy(id_col)
         .agg(
             F.array_sort(

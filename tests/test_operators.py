@@ -1251,6 +1251,92 @@ def test_remove_repeated_spans_cuts_and_passes_through(spark):
         assert "unique tail one" in out[1] and "other tail" in out[2]
 
 
+def test_exact_span_extension_maximal_passages(spark):
+    """max_extend>0 extends each seed gram to the maximal passage the
+    whole duplicate group shares exactly — verified against a brute
+    Python replay of the group-LCP semantics on both sides of every
+    duplicated fingerprint."""
+    import numpy as np
+
+    from deltalake2db_spark.operators.dedup import (
+        _span_coeffs,
+        remove_repeated_spans,
+        repeated_span_stats,
+    )
+
+    passage = ("0123 shared middle section with many characters to span "
+               "several grams 9876")
+    docs = [
+        (1, "head A! " + passage + " tail A."),
+        (2, "other B? " + passage + " tail Bx"),
+        (3, "third C: " + passage + " zzz C"),
+        (4, "nothing shared with anyone in this row at all truly"),
+    ]
+    G, RATE, W = 12, 2, 48
+
+    # ---- brute replay: fingerprints -> dup groups -> group LCP ----
+    coeffs = _span_coeffs(G)
+    fps = {}  # h -> list[(doc, p)]
+    for did, t in docs:
+        cps = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+        if len(cps) < G:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(cps, G)
+        with np.errstate(over="ignore"):
+            h = (win * coeffs[None, :]).sum(axis=1, dtype=np.uint64)
+        for p in np.flatnonzero(h % np.uint64(RATE) == 0):
+            fps.setdefault(int(h[p]), []).append((did, int(p)))
+    text = dict(docs)
+
+    def lcp(strs):
+        m = min(len(s) for s in strs)
+        for i in range(m):
+            if len({s[i] for s in strs}) > 1:
+                return i
+        return m
+
+    spans = {}  # doc -> list[(s, e)]
+    for h, occ in fps.items():
+        if len(occ) < 2:
+            continue
+        lefts = [text[d][max(0, p - W):p][::-1] for d, p in occ]
+        rights = [text[d][p + G:p + G + W] for d, p in occ]
+        L, R = lcp(lefts), lcp(rights)
+        for d, p in occ:
+            spans.setdefault(d, []).append((p - L, p + G + R))
+
+    def merge(sp):
+        out = []
+        for s, e in sorted(sp):
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return out
+
+    expect_cut, expect_dup = {}, {}
+    for did, t in docs:
+        isl = merge(spans.get(did, []))
+        expect_dup[did] = sum(e - s for s, e in isl)
+        kept, pos = [], 0
+        for s, e in isl:
+            kept.append(t[pos:s])
+            pos = e
+        kept.append(t[pos:])
+        expect_cut[did] = "".join(kept)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in remove_repeated_spans(
+        df, gram_len=G, rate=RATE, max_extend=W).collect()}
+    assert got == expect_cut
+    # the passage itself must be fully excised from every carrier
+    for i in (1, 2, 3):
+        assert passage not in got[i]
+    stats = {r["doc_id"]: r["dup_chars"] for r in repeated_span_stats(
+        df, gram_len=G, rate=RATE, max_extend=W).collect()}
+    assert stats == {d: c for d, c in expect_dup.items() if c > 0}
+
+
 def test_keyword_hits_whole_word_and_phrases(spark):
     from deltalake2db_spark.operators.text import keyword_hits
 

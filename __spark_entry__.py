@@ -1126,6 +1126,52 @@ def q_media_frame_sample(spark, sf_dir):
     )
 
 
+def q_media_video_decode(spark, sf_dir):
+    """Video-frame PIXEL decode end-to-end (r11): MP4s with a ``vp08``
+    (VP8-in-ISO-BMFF) video track are synthesized distributed — each
+    of 8 frames per video is a real VP8 key frame over MB-constant
+    16x16 planes (y = (i + 29k) % 256, u = (2i + 13k) % 256, v =
+    (3i + 5k) % 256, frame_ms=33) — then every 2nd frame is sliced
+    from mdat by the sample tables and its PIXELS decoded by the
+    pure-numpy VP8 decoder (bit-exact vs libwebp, tests/test_vp8.py).
+    MB-constant planes at qi=0 make the lossy codec exact, so the
+    oracle replays the YUV plane sums from the generation law.  This
+    closes the former video-frame-decode stub for VP8 tracks; other
+    codec fourccs (avc1/hvc1) still need ffmpeg and are skipped."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        import numpy as _np
+
+        from deltalake2db_spark.operators.vp8 import encode_vp8
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = []
+                for k in range(8):
+                    y = _np.full((16, 16), (i + 29 * k) % 256, _np.uint8)
+                    u = _np.full((8, 8), (2 * i + 13 * k) % 256, _np.uint8)
+                    v = _np.full((8, 8), (3 * i + 5 * k) % 256, _np.uint8)
+                    frames.append(encode_vp8(y, u, v, qi=0))
+                rows.append((
+                    i, "video",
+                    M.encode_mp4_video(frames, 16, 16, frame_ms=33,
+                                       codec=b"vp08"),
+                    {"mime": "video/mp4", "width": 16, "height": 16,
+                     "duration_ms": 264},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return M.decode_video_frames(media, every_n=2)
+
+
 def q_media_decode_pjpeg(spark, sf_dir):
     """PROGRESSIVE-JPEG decode end-to-end (r10): same block-constant
     closed form as q_media_decode_jpeg, but encoded as SOF2 with the
@@ -1867,15 +1913,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 11: the two NEW never-certified gates (q_span_dedup_exact,
-    # q_media_decode_webp_lossy) enter, and every gate over an
+    # Round 11: the three NEW never-certified gates (q_span_dedup_exact,
+    # q_media_decode_webp_lossy, q_media_video_decode) enter, and every
+    # gate over an
     # r11-touched module stays/returns in-window: dedup.py (span
     # extension + word_shingles guard -> all dedup/span/jaccard/
     # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
     # keyword/text_stats/lang_id/pii), bpe.py (marker check), bm25.py
     # (single-scan), multimodal.py + jpeg.py + vp8.py (-> ALL media
-    # gates).  Parked to make room: q_profile_orders + q_tfidf_terms
-    # (r9+r10 certified; profile.py/tfidf.py untouched in r11).  The
+    # gates).  Parked to make room: q_profile_orders + q_tfidf_terms +
+    # q_unimax (r9+r10 certified; profile.py/tfidf.py/sampling.py
+    # untouched in r11).  The
     # r10 parked set (delta restore/history/time_travel/column_mapping/
     # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
     # cosine_neardup) stays parked — their closures are r11-untouched
@@ -1893,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode_webp_lossy": q_media_decode_webp_lossy,
         "q_media_mp4_meta": q_media_mp4_meta,
         "q_media_frame_sample": q_media_frame_sample,
+        "q_media_video_decode": q_media_video_decode,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
@@ -1907,7 +1956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_doc_entropy": q_doc_entropy,
         "q_knn_classify": q_knn_classify,
-        "q_unimax": q_unimax,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_repeated_spans": q_repeated_spans,
         "q_span_dedup": q_span_dedup,
@@ -1940,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closure is untouched this round (rotation rule above) --
         "q_profile_orders": q_profile_orders,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_unimax": q_unimax,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -3213,6 +3262,18 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
             FROM range(100) i(v), range(16) x(v), range(12) y(v),
                  range(3) c(v)
             GROUP BY 1
+        """,
+        "q_media_video_decode": """
+            SELECT i.v AS media_id, CAST(k.v * 2 AS INT) AS frame_idx,
+                   CAST(k.v * 2 * 33 AS BIGINT) AS pts_ms,
+                   CAST(16 AS INT) AS height, CAST(16 AS INT) AS width,
+                   CAST(((i.v + 29 * k.v * 2) % 256) * 256 AS BIGINT)
+                       AS y_sum,
+                   CAST(((2 * i.v + 13 * k.v * 2) % 256) * 64 AS BIGINT)
+                       AS u_sum,
+                   CAST(((3 * i.v + 5 * k.v * 2) % 256) * 64 AS BIGINT)
+                       AS v_sum
+            FROM range(50) i(v), range(4) k(v)
         """,
         "q_media_decode_webp_lossy": """
             SELECT i.v AS media_id,

@@ -12,10 +12,13 @@ Decode support is tiered:
   ``operators/vp8.py`` — bit-exact against the system libwebp), and
   MP4/ISO-BMFF container metadata, all implemented from the public
   specs with ``struct`` + numpy.
-* **Stub fallback** for the one remaining codec-tier format (MP4
-  video FRAME pixel decode) that genuinely needs ffmpeg, which is
-  not in this container: a clearly-marked ``NotImplementedError``
-  (strict mode) or a deterministic fake feature tuple (test mode).
+* **Video frame PIXEL decode** (r11): real for ``vp08`` (VP8-in-
+  ISO-BMFF) tracks via ``decode_video_frames`` — sample-table slice +
+  the pure-numpy VP8 decoder.  Other codec fourccs (avc1/hvc1)
+  genuinely need ffmpeg, absent here: those rows are skipped, and the
+  image-side ``_decode_image`` stub fallback (``NotImplementedError``
+  in strict mode / deterministic fake in test mode) now only fires
+  for formats outside the real-decoder set above.
 
 Everything Spark-side — the schema, the Arrow batch shapes, the
 partition sizing, and the UDF signatures — is identical for both
@@ -849,6 +852,76 @@ def sample_video_frames(
                 rows,
                 columns=["media_id", "frame_idx", "pts_ms", "nbytes",
                          "frame"],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+def decode_video_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """REAL video-frame PIXEL decode (r11) for VP8-coded MP4 tracks
+    (``vp08`` sample entry — the standardized VP8-in-ISO-BMFF
+    mapping): every ``every_n``-th frame is sliced out of mdat by the
+    sample tables and decoded by the pure-numpy VP8 key-frame decoder
+    (operators/vp8.py), yielding ``(media_id, frame_idx, pts_ms,
+    height, width, y_sum, u_sum, v_sum)`` — the YUV plane sums the
+    frame-quality screens aggregate.  Tracks with any other codec
+    fourcc (avc1/hvc1 need ffmpeg, absent here) are skipped, which is
+    the one remaining stub surface.  Map-side mapInPandas; only the
+    tiny per-frame feature rows leave the scan."""
+    out_schema = (
+        "media_id long, frame_idx int, pts_ms long, height int, "
+        "width int, y_sum long, u_sum long, v_sum long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .vp8 import decode_vp8
+
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                payload = bytes(payload)
+                meta = parse_mp4_meta(payload)
+                if not meta or not meta.get("tracks"):
+                    continue
+                codecs = {
+                    t.get("codec")
+                    for t in meta["tracks"]
+                    if t.get("handler") == "vide"
+                }
+                if "vp08" not in codecs:
+                    continue  # non-VP8 codecs stay stubbed (ffmpeg)
+                table = mp4_sample_table(payload)
+                if not table:
+                    continue
+                picked = table[::every_n]
+                if max_frames is not None:
+                    picked = picked[:max_frames]
+                for j, (off, size, pts) in enumerate(picked):
+                    planes = decode_vp8(payload[off : off + size])
+                    if planes is None:
+                        continue
+                    y, u, v = planes
+                    rows.append((
+                        int(mid), j * every_n, pts,
+                        y.shape[0], y.shape[1],
+                        int(y.sum(dtype=np.int64)),
+                        int(u.sum(dtype=np.int64)),
+                        int(v.sum(dtype=np.int64)),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "pts_ms", "height",
+                         "width", "y_sum", "u_sum", "v_sum"],
             )
 
     return df.select("media_id", "kind", "payload").mapInPandas(

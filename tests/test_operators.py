@@ -1453,6 +1453,41 @@ def test_mp4_sample_table_and_frame_sampling(spark):
     assert len(capped) == 2
 
 
+def test_decode_video_frames_vp8_track(spark):
+    """REAL frame-pixel decode for vp08 MP4 tracks: sampled frames'
+    VP8 key frames decode to exact plane sums (MB-constant, qi=0);
+    non-VP8 tracks are skipped, not crashed."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators.vp8 import encode_vp8
+
+    frames = []
+    for k in range(6):
+        y = np.full((16, 16), (40 + 20 * k) % 256, np.uint8)
+        u = np.full((8, 8), (90 + k) % 256, np.uint8)
+        v = np.full((8, 8), (200 - k) % 256, np.uint8)
+        frames.append(encode_vp8(y, u, v, qi=0))
+    p = M.encode_mp4_video(frames, 16, 16, frame_ms=33, codec=b"vp08")
+    rows = [
+        (1, "video", bytearray(p), None),
+        (2, "video",
+         bytearray(M.encode_mp4_video([b"raw-not-vp8"], 8, 8)), None),
+        (3, "image", bytearray(b"not video"), None),
+    ]
+    vdf = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = M.decode_video_frames(vdf, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 2, 4]
+    for r in out:
+        k = r["frame_idx"]
+        assert r["media_id"] == 1  # avc1/non-video rows skipped
+        assert (r["height"], r["width"]) == (16, 16)
+        assert r["pts_ms"] == 33 * k
+        assert r["y_sum"] == ((40 + 20 * k) % 256) * 256
+        assert r["u_sum"] == (90 + k) * 64
+        assert r["v_sum"] == (200 - k) * 64
+
+
 def test_mp4_adversarial_header_counts():
     """Untrusted 32-bit counts in stsz/stts must be bounds-checked
     BEFORE list materialization: a crafted uniform-stsz cnt=0xFFFFFFFF

@@ -88,6 +88,16 @@ def bm25_topk(
         .select(query_id_col, F.xxhash64("__ws").alias("__w"))
         .distinct()
     )
+    # the query side is consumed TWICE (vocabulary prune + scoring
+    # join); materialize it once into a LocalRelation when it fits the
+    # model-size contract (bounded probe: limit N+1, 16-byte rows), so
+    # neither broadcast re-evaluates the query subplan — when queries
+    # derive from a corpus scan, that is two whole text scans saved.
+    # Oversized query sets (contract violation) keep the lazy plan.
+    _QMAX = 200_000
+    probe = qterms.limit(_QMAX + 1).toArrow()
+    if probe.num_rows <= _QMAX:
+        qterms = queries.sparkSession.createDataFrame(probe)
     # posting keys are 64-bit word hashes, not strings: the tf shuffle,
     # the query join, and the df window all move/compare 8 bytes
     # (injective-in-practice at corpus vocabularies — the repo-wide

@@ -254,6 +254,58 @@ def test_bm25_matches_numpy_replay(spark):
 
 # ------------------------------------------------------------------ JPEG
 
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 48),
+    st.integers(1, 48),
+    st.integers(0, 127),
+    st.integers(0, 2**32 - 1),
+)
+def test_vp8_roundtrip_property(h, w, qi, seed):
+    """Any random YUV420 planes encode to a VP8 key frame whose decode
+    (a) matches the encoder's own reconstruction contract — exact for
+    MB-constant planes at qi=0 — and (b) matches the system libwebp
+    decoder bit-for-bit when it is available (the conforming-stream
+    property)."""
+    import numpy as np
+
+    from deltalake2db_spark.operators.vp8 import decode_vp8, encode_vp8
+
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    u = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8)
+    v = rng.integers(0, 256, ((h + 1) // 2, (w + 1) // 2)).astype(np.uint8)
+    stream = encode_vp8(y, u, v, qi=qi)
+    got = decode_vp8(stream)
+    assert got is not None
+    assert got[0].shape == y.shape
+    assert got[1].shape == u.shape and got[2].shape == v.shape
+    try:
+        from tests.test_vp8 import LIB, lib_yuv
+    except ImportError:
+        from test_vp8 import LIB, lib_yuv  # pytest rootdir import
+    if LIB is not None:
+        ref = lib_yuv(stream)
+        for mine, theirs in zip(got, ref):
+            assert np.array_equal(mine, theirs)
+    # the exact-roundtrip contract the gates rely on
+    mbh, mbw = (h + 15) // 16, (w + 15) // 16
+    yc = np.kron(
+        rng.integers(0, 256, (mbh, mbw)), np.ones((16, 16), np.int64)
+    )[:h, :w].astype(np.uint8)
+    uc = np.kron(
+        rng.integers(0, 256, (mbh, mbw)), np.ones((8, 8), np.int64)
+    )[: (h + 1) // 2, : (w + 1) // 2].astype(np.uint8)
+    vc = np.kron(
+        rng.integers(0, 256, (mbh, mbw)), np.ones((8, 8), np.int64)
+    )[: (h + 1) // 2, : (w + 1) // 2].astype(np.uint8)
+    back = decode_vp8(encode_vp8(yc, uc, vc, qi=0))
+    assert np.array_equal(back[0], yc)
+    assert np.array_equal(back[1], uc)
+    assert np.array_equal(back[2], vc)
+
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.integers(1, 3).map(lambda k: [1, 3, 3][k - 1]),

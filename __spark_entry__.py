@@ -1763,6 +1763,54 @@ def q_ivf_pq_index(spark, sf_dir):
     )
 
 
+def q_ivf_pq_upsert(spark, sf_dir):
+    """Incremental IVF-PQ index maintenance (r11): the index is FIRST
+    built from a corrupted corpus — vectors with vec_id < 10 carry the
+    WRONG embedding (their vec_id+50 neighbor's) and vectors with
+    vec_id % 97 == 0 are missing — then ONE ``upsert_ivf_pq_index``
+    batch (encode + Delta MERGE keyed on vec_id) repairs it: updates
+    move vectors between cell partitions, inserts add the missing
+    ids.  The search result must then match the ORACLE OF A FRESH
+    BUILD over the true corpus exactly (same SQL as q_ivf_pq_index) —
+    proving upsert converges to rebuild without rewriting untouched
+    cells' files."""
+    from deltalake2db_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_index_topk,
+        upsert_ivf_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir, k=8)
+    cb = _fixed_codebooks(spark, sf_dir)
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_ivfpq{tag}/index_upsert"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        wrong = emb.alias("a").join(
+            emb.alias("b"),
+            F.col("a.vec_id") + 50 == F.col("b.vec_id"),
+        ).filter(F.col("a.vec_id") < 10).select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.embedding").alias("embedding"),
+        )
+        stale = (
+            emb.filter(
+                (F.col("vec_id") >= 10) & (F.col("vec_id") % 97 != 0)
+            )
+            .select("vec_id", "embedding")
+            .unionByName(wrong)
+        )
+        build_ivf_pq_index(stale, cents, cb, path)
+        fixes = emb.filter(
+            (F.col("vec_id") < 10) | (F.col("vec_id") % 97 == 0)
+        ).select("vec_id", "embedding")
+        upsert_ivf_pq_index(spark, path, fixes, cents, cb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_pq_index_topk(
+        spark, path, queries, cb, cents, k=5, nprobe=2
+    )
+
+
 def q_prototype_prune(spark, sf_dir):
     """SSL-prototypes pruning: keep the hardest (farthest-from-centroid)
     half of every k-means cell.  Ranks on the 6-decimal-ROUNDED
@@ -1980,8 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_topk": q_pq_topk,
         "q_ivf_pq_topk": q_ivf_pq_topk,
         "q_ivf_pq_index": q_ivf_pq_index,
+        "q_ivf_pq_upsert": q_ivf_pq_upsert,
         "q_quality_rules": q_quality_rules,
-        "q_perplexity": q_perplexity,
         "q_media_decode_pjpeg": q_media_decode_pjpeg,
         "q_media_decode_jpeg": q_media_decode_jpeg,
         # -- positions 51+: multi-round-certified gates whose import
@@ -1989,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_profile_orders": q_profile_orders,
         "q_tfidf_terms": q_tfidf_terms,
         "q_unimax": q_unimax,
+        "q_perplexity": q_perplexity,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -3813,6 +3862,8 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_ivf_pq_topk": _IVF_PQ_TOPK_SQL,
         # the at-rest index path must agree with the single-pass oracle
         "q_ivf_pq_index": _IVF_PQ_TOPK_SQL,
+        # upsert must converge to the fresh-build oracle exactly
+        "q_ivf_pq_upsert": _IVF_PQ_TOPK_SQL,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "q_d4_prune": _D4_PRUNE_SQL,
         "q_semantic_decontam": _SEMANTIC_DECONTAM_SQL,

@@ -314,6 +314,23 @@ def build_ivf_pq_index(
     approximate for single-pass use.  Index bytes: ``m`` codes + one
     id per vector (the raw vectors stay behind); at 10⁹ vectors × m=8
     that is a ~16 GB index for a ~4 TB float corpus."""
+    from ..sources.delta_sink import write_delta
+
+    encoded = ivf_pq_encode(df, centroids, codebooks, id_col, vec_col)
+    write_delta(encoded, path, partition_by=["cell"], mode=mode)
+
+
+def ivf_pq_encode(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, cell, pq_code)`` rows: ONE fused Arrow pass assigns each
+    vector to its squared-L2-closest coarse cell (ties to the lowest
+    cell) and PQ-encodes it — the shared encoder behind the index
+    build and the incremental upsert."""
     import numpy as np
 
     cb = _as_codebooks(codebooks)
@@ -351,14 +368,37 @@ def build_ivf_pq_index(
                 names=[id_col, "cell", "pq_code"],
             )
 
-    from ..sources.delta_sink import write_delta
-
-    encoded = (
+    return (
         df.filter(F.col(vec_col).isNotNull())
         .select(id_col, vec_col)
         .mapInArrow(encode, out_schema)
     )
-    write_delta(encoded, path, partition_by=["cell"], mode=mode)
+
+
+def upsert_ivf_pq_index(
+    spark,
+    path: str,
+    df: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance — NO rebuild: encode only the
+    given new/changed vectors (same fused Arrow pass as the build) and
+    MERGE them into the cell-partitioned Delta index keyed on
+    ``id_col``: changed vectors update in place (moving cells
+    atomically when their nearest centroid changed), new ids insert,
+    and cells untouched by the batch keep their files — so the
+    search's log-level ``cell IN probes`` pruning stays effective as
+    the index grows.  After the upsert the index is byte-equivalent to
+    a fresh build over the updated corpus (the q_ivf_pq_upsert gate
+    proves it by matching the rebuild oracle).  Returns the merge
+    stats dict."""
+    from ..sources.maintenance import merge_into
+
+    encoded = ivf_pq_encode(df, centroids, codebooks, id_col, vec_col)
+    return merge_into(spark, path, encoded, on=[id_col])
 
 
 def ivf_pq_index_topk(

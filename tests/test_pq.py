@@ -254,6 +254,60 @@ def test_ivf_pq_index_matches_single_pass(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ivf_pq_index_upsert_converges_and_is_incremental(spark, tmp_path):
+    """upsert_ivf_pq_index == fresh rebuild on the updated corpus, and
+    the merge rewrites ONLY the files of cells the batch touches —
+    untouched cells keep their exact parquet files."""
+    import os
+
+    from deltalake2db_spark.plans.meta import get_meta
+
+    dim, m, ksub = 16, 4, 8
+    rows = _vecs(80, dim, seed=3)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = P.pq_train(df.orderBy("vec_id"), m=m, ksub=ksub, iters=3)
+    cents = [v for _, v in rows[:6]]
+    queries = df.filter(F.col("vec_id") < 3)
+
+    # corrupted start state: ids < 5 carry a neighbor's embedding,
+    # ids 70+ missing entirely
+    wrong = spark.createDataFrame(
+        [(i, rows[i + 20][1]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    stale = df.filter(
+        (F.col("vec_id") >= 5) & (F.col("vec_id") < 70)
+    ).unionByName(wrong)
+    path = str(tmp_path / "ivfpq_up")
+    P.build_ivf_pq_index(stale, cents, cb, path)
+    files_before = set(get_meta(path).add_actions)
+
+    fixes = df.filter((F.col("vec_id") < 5) | (F.col("vec_id") >= 70))
+    stats = P.upsert_ivf_pq_index(spark, path, fixes, cents, cb)
+    assert stats  # merge commit happened
+
+    got = sorted(map(tuple, P.ivf_pq_index_topk(
+        spark, path, queries, cb, cents, k=4, nprobe=3).collect()))
+    fresh = str(tmp_path / "ivfpq_fresh")
+    P.build_ivf_pq_index(df, cents, cb, fresh)
+    want = sorted(map(tuple, P.ivf_pq_index_topk(
+        spark, fresh, queries, cb, cents, k=4, nprobe=3).collect()))
+    assert got == want and len(got) > 0
+
+    # incrementality: cells untouched by the batch keep their files
+    touched_cells = {
+        r["cell"] for r in P.ivf_pq_encode(fixes, cents, cb)
+        .select("cell").distinct().collect()
+    }
+    files_after = set(get_meta(path).add_actions)
+    survivors = files_before & files_after
+    assert survivors, "merge rewrote every file — not incremental"
+    from urllib.parse import unquote
+
+    for f in files_before - files_after:  # rewritten ones
+        cell = int(unquote(f).split("cell=")[1].split("/")[0])
+        assert cell in touched_cells, (f, touched_cells)
+
+
 def test_ivf_pq_index_prunes_unprobed_cells(spark, tmp_path):
     """Files of unprobed cells are NEVER opened: corrupting every
     parquet under an unprobed cell's partition directory leaves the

@@ -1172,6 +1172,51 @@ def q_media_video_decode(spark, sf_dir):
     return M.decode_video_frames(media, every_n=2)
 
 
+def q_media_anim_frames(spark, sf_dir):
+    """Animated-WebP frame extraction + PIXEL decode (r11): VP8X/ANIM/
+    ANMF containers with 4 lossy-VP8 frames each (MB-constant 16x16
+    planes: y = (i + 19k) % 256, u = (2i + 7k) % 256, v = (i + 11k)
+    % 256; offset x = 2k, y = 4k; duration 40 + 10k ms) are
+    synthesized distributed and every frame decoded map-side by the
+    pure-numpy VP8 decoder.  The qi=0 MB-constant construction is
+    exact, so the oracle replays placement, timing, and all three
+    plane sums from the generation law."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        import numpy as _np
+
+        from deltalake2db_spark.operators.vp8 import encode_vp8
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = []
+                for k in range(4):
+                    y = _np.full((16, 16), (i + 19 * k) % 256, _np.uint8)
+                    u = _np.full((8, 8), (2 * i + 7 * k) % 256, _np.uint8)
+                    v = _np.full((8, 8), (i + 11 * k) % 256, _np.uint8)
+                    frames.append((
+                        2 * k, 4 * k, 40 + 10 * k, b"VP8 ",
+                        encode_vp8(y, u, v, qi=0),
+                    ))
+                rows.append((
+                    i, "image",
+                    M.encode_webp_anim(frames, 16, 16, loop=0),
+                    {"mime": "image/webp", "width": 16, "height": 16,
+                     "duration_ms": 220},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return M.webp_anim_frame_stats(media)
+
+
 def q_media_decode_pjpeg(spark, sf_dir):
     """PROGRESSIVE-JPEG decode end-to-end (r10): same block-constant
     closed form as q_media_decode_jpeg, but encoded as SOF2 with the
@@ -1961,17 +2006,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 11: the three NEW never-certified gates (q_span_dedup_exact,
-    # q_media_decode_webp_lossy, q_media_video_decode) enter, and every
-    # gate over an
+    # Round 11: the five NEW never-certified gates (q_span_dedup_exact,
+    # q_media_decode_webp_lossy, q_media_video_decode, q_ivf_pq_upsert,
+    # q_media_anim_frames) enter, and every gate over an
     # r11-touched module stays/returns in-window: dedup.py (span
     # extension + word_shingles guard -> all dedup/span/jaccard/
     # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
     # keyword/text_stats/lang_id/pii), bpe.py (marker check), bm25.py
     # (single-scan), multimodal.py + jpeg.py + vp8.py (-> ALL media
-    # gates).  Parked to make room: q_profile_orders + q_tfidf_terms +
-    # q_unimax (r9+r10 certified; profile.py/tfidf.py/sampling.py
-    # untouched in r11).  The
+    # gates).  Parked to make room: q_profile_orders, q_tfidf_terms,
+    # q_unimax, q_perplexity, q_ppl_buckets (all r9+r10 certified;
+    # profile.py/tfidf.py/sampling.py/lm.py untouched in r11 — lm.py
+    # has zero internal imports).  The
     # r10 parked set (delta restore/history/time_travel/column_mapping/
     # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
     # cosine_neardup) stays parked — their closures are r11-untouched
@@ -1990,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_mp4_meta": q_media_mp4_meta,
         "q_media_frame_sample": q_media_frame_sample,
         "q_media_video_decode": q_media_video_decode,
+        "q_media_anim_frames": q_media_anim_frames,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
@@ -2000,7 +2047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_decontam": q_bloom_decontam,
         "q_dsir_weights": q_dsir_weights,
         "q_classifier_score": q_classifier_score,
-        "q_ppl_buckets": q_ppl_buckets,
         "q_bm25_topk": q_bm25_topk,
         "q_doc_entropy": q_doc_entropy,
         "q_knn_classify": q_knn_classify,
@@ -2038,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_terms": q_tfidf_terms,
         "q_unimax": q_unimax,
         "q_perplexity": q_perplexity,
+        "q_ppl_buckets": q_ppl_buckets,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -3864,6 +3911,19 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_ivf_pq_index": _IVF_PQ_TOPK_SQL,
         # upsert must converge to the fresh-build oracle exactly
         "q_ivf_pq_upsert": _IVF_PQ_TOPK_SQL,
+        "q_media_anim_frames": """
+            SELECT i.v AS media_id, CAST(k.v AS INT) AS frame_idx,
+                   CAST(2 * k.v AS INT) AS x, CAST(4 * k.v AS INT) AS y,
+                   CAST(40 + 10 * k.v AS INT) AS dur_ms,
+                   CAST(16 AS INT) AS height, CAST(16 AS INT) AS width,
+                   CAST(((i.v + 19 * k.v) % 256) * 256 AS BIGINT)
+                       AS y_sum,
+                   CAST(((2 * i.v + 7 * k.v) % 256) * 64 AS BIGINT)
+                       AS u_sum,
+                   CAST(((i.v + 11 * k.v) % 256) * 64 AS BIGINT)
+                       AS v_sum
+            FROM range(50) i(v), range(4) k(v)
+        """,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "q_d4_prune": _D4_PRUNE_SQL,
         "q_semantic_decontam": _SEMANTIC_DECONTAM_SQL,

@@ -416,6 +416,187 @@ def extract_image_features(df: DataFrame, batch_hint: int | None = None) -> Data
     )
 
 
+def parse_webp_anim(payload: bytes) -> Optional[dict]:
+    """Animated-WebP (VP8X + ANIM/ANMF, the public container spec)
+    metadata + per-frame sub-payloads: ``{canvas_w, canvas_h,
+    loop_count, frames: [{x, y, w, h, dur_ms, payload}]}`` — frame
+    payloads are the raw ``VP8 ``/``VP8L`` sub-chunk streams, ready
+    for ``vp8.decode_vp8`` / ``webp.decode_webp_lossless``.  Returns
+    None for non-animated or malformed containers.  Canvas
+    COMPOSITING (blend/dispose) is the caller's concern — frame
+    extraction is the training-pipeline primitive (every frame is an
+    image sample with placement + timing metadata)."""
+    if (
+        payload is None
+        or len(payload) < 30
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WEBP"
+    ):
+        return None
+    pos = 12
+    n = len(payload)
+    canvas_w = canvas_h = None
+    loop = 0
+    frames = []
+    animated = False
+    try:
+        while pos + 8 <= n:
+            tag = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body = payload[pos + 8 : pos + 8 + size]
+            if tag == b"VP8X" and len(body) >= 10:
+                animated = bool(body[0] & 0x02)
+                canvas_w = int.from_bytes(body[4:7], "little") + 1
+                canvas_h = int.from_bytes(body[7:10], "little") + 1
+            elif tag == b"ANIM" and len(body) >= 6:
+                loop = int.from_bytes(body[4:6], "little")
+            elif tag == b"ANMF" and len(body) >= 16:
+                fx = int.from_bytes(body[0:3], "little") * 2
+                fy = int.from_bytes(body[3:6], "little") * 2
+                fw = int.from_bytes(body[6:9], "little") + 1
+                fh = int.from_bytes(body[9:12], "little") + 1
+                dur = int.from_bytes(body[12:15], "little")
+                # sub-chunks: ALPH? then VP8 /VP8L
+                sub = 16
+                fpay = None
+                while sub + 8 <= len(body):
+                    st = body[sub : sub + 4]
+                    ss = int.from_bytes(body[sub + 4 : sub + 8], "little")
+                    if st in (b"VP8 ", b"VP8L"):
+                        fpay = (st, body[sub + 8 : sub + 8 + ss])
+                        break
+                    sub += 8 + ss + (ss & 1)
+                if fpay is not None:
+                    frames.append({
+                        "x": fx, "y": fy, "w": fw, "h": fh,
+                        "dur_ms": dur, "fourcc": fpay[0],
+                        "payload": fpay[1],
+                    })
+            pos += 8 + size + (size & 1)
+    except (IndexError, ValueError):
+        return None
+    if not animated or not frames:
+        return None
+    return {
+        "canvas_w": canvas_w, "canvas_h": canvas_h,
+        "loop_count": loop, "frames": frames,
+    }
+
+
+def encode_webp_anim(
+    frames: list, canvas_w: int, canvas_h: int, loop: int = 0
+) -> bytes:
+    """Animated-WebP writer (the parse_webp_anim partner for fixtures
+    and gates): ``frames`` is ``[(x, y, dur_ms, fourcc, payload)]``
+    where payload is a raw ``VP8 `` or ``VP8L`` stream (e.g. from
+    ``vp8.encode_vp8``)."""
+    body = bytearray()
+    vp8x = bytes([0x02, 0, 0, 0]) + (canvas_w - 1).to_bytes(
+        3, "little"
+    ) + (canvas_h - 1).to_bytes(3, "little")
+    body += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+    anim = b"\x00\x00\x00\x00" + loop.to_bytes(2, "little")
+    body += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for x, y, dur, fourcc, payload in frames:
+        sub = fourcc + len(payload).to_bytes(4, "little") + payload
+        if len(payload) & 1:
+            sub += b"\x00"
+        anmf = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + bytes(6)  # w-1 / h-1 patched below
+            + dur.to_bytes(3, "little")
+            + b"\x00"
+            + sub
+        )
+        # frame dims from the sub-stream are unknown here; callers
+        # pass canvas-sized frames in the gates — record canvas dims
+        anmf = (
+            anmf[:6]
+            + (canvas_w - 1).to_bytes(3, "little")
+            + (canvas_h - 1).to_bytes(3, "little")
+            + anmf[12:]
+        )
+        body += b"ANMF" + len(anmf).to_bytes(4, "little") + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return (
+        b"RIFF"
+        + (4 + len(body)).to_bytes(4, "little")
+        + b"WEBP"
+        + bytes(body)
+    )
+
+
+def webp_anim_frame_stats(df: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, x, y, dur_ms, height, width, y_sum,
+    u_sum, v_sum) for animated-WebP rows: every frame's sub-stream is
+    decoded map-side — lossy VP8 frames by the pure-numpy VP8 decoder
+    (YUV plane sums), VP8L frames by the lossless decoder (RGB summed
+    into y_sum with u_sum/v_sum NULL).  Non-animated rows are
+    skipped."""
+    out_schema = (
+        "media_id long, frame_idx int, x int, y int, dur_ms int, "
+        "height int, width int, y_sum long, u_sum long, v_sum long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .vp8 import decode_vp8
+        from .webp import decode_webp_lossless
+
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                meta = parse_webp_anim(bytes(payload))
+                if meta is None:
+                    continue
+                for j, fr in enumerate(meta["frames"]):
+                    if fr["fourcc"] == b"VP8 ":
+                        planes = decode_vp8(fr["payload"])
+                        if planes is None:
+                            continue
+                        y, u, v = planes
+                        rows.append((
+                            int(mid), j, fr["x"], fr["y"], fr["dur_ms"],
+                            y.shape[0], y.shape[1],
+                            int(y.sum(dtype=np.int64)),
+                            int(u.sum(dtype=np.int64)),
+                            int(v.sum(dtype=np.int64)),
+                        ))
+                    else:
+                        riff = (
+                            b"RIFF"
+                            + (4 + 8 + len(fr["payload"])).to_bytes(
+                                4, "little"
+                            )
+                            + b"WEBP"
+                            + b"VP8L"
+                            + len(fr["payload"]).to_bytes(4, "little")
+                            + fr["payload"]
+                        )
+                        arr = decode_webp_lossless(riff)
+                        if arr is None:
+                            continue
+                        rows.append((
+                            int(mid), j, fr["x"], fr["y"], fr["dur_ms"],
+                            arr.shape[0], arr.shape[1],
+                            int(arr.sum(dtype=np.int64)), None, None,
+                        ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "x", "y", "dur_ms",
+                         "height", "width", "y_sum", "u_sum", "v_sum"],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
 def webp_lossy_plane_sums(df: DataFrame) -> DataFrame:
     """(media_id, y_sum, u_sum, v_sum) for lossy-WebP rows: decode the
     VP8 key frame map-side (pure-numpy ``operators/vp8.py``) and sum

@@ -1488,6 +1488,56 @@ def test_decode_video_frames_vp8_track(spark):
         assert r["v_sum"] == (200 - k) * 64
 
 
+def test_webp_anim_frames(spark):
+    """Animated-WebP (VP8X/ANIM/ANMF) round trip: placement, timing,
+    loop count, and per-frame pixel decode for BOTH lossy-VP8 and
+    lossless-VP8L sub-streams; non-animated payloads skipped."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators.vp8 import encode_vp8
+    from deltalake2db_spark.operators.webp import encode_webp_lossless
+
+    frames = []
+    for k in range(3):
+        y = np.full((16, 16), (30 + 40 * k) % 256, np.uint8)
+        u = np.full((8, 8), (100 + k) % 256, np.uint8)
+        v = np.full((8, 8), (50 + 3 * k) % 256, np.uint8)
+        frames.append((2 * k, 4 * k, 100 + 10 * k, b"VP8 ",
+                       encode_vp8(y, u, v, qi=0)))
+    # one lossless frame
+    arr = np.full((16, 16, 3), 77, np.uint8)
+    riff = encode_webp_lossless(arr)
+    pos, vp8l = 12, None
+    while pos + 8 <= len(riff):
+        tag = riff[pos:pos + 4]
+        size = int.from_bytes(riff[pos + 4:pos + 8], "little")
+        if tag == b"VP8L":
+            vp8l = riff[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    frames.append((8, 8, 250, b"VP8L", vp8l))
+    anim = M.encode_webp_anim(frames, 16, 16, loop=3)
+    meta = M.parse_webp_anim(anim)
+    assert meta["loop_count"] == 3 and len(meta["frames"]) == 4
+    assert (meta["canvas_w"], meta["canvas_h"]) == (16, 16)
+    # a plain (non-animated) webp parses to None
+    assert M.parse_webp_anim(riff) is None
+
+    rows = [(1, "image", bytearray(anim), None),
+            (2, "image", bytearray(b"junk"), None)]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    out = sorted(M.webp_anim_frame_stats(df).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert len(out) == 4 and all(r["media_id"] == 1 for r in out)
+    for k in range(3):
+        r = out[k]
+        assert (r["x"], r["y"], r["dur_ms"]) == (2 * k, 4 * k, 100 + 10 * k)
+        assert r["y_sum"] == ((30 + 40 * k) % 256) * 256
+        assert r["u_sum"] == (100 + k) * 64
+        assert r["v_sum"] == (50 + 3 * k) * 64
+    assert out[3]["y_sum"] == 77 * 3 * 256 and out[3]["u_sum"] is None
+
+
 def test_mp4_adversarial_header_counts():
     """Untrusted 32-bit counts in stsz/stts must be bounds-checked
     BEFORE list materialization: a crafted uniform-stsz cnt=0xFFFFFFFF

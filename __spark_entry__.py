@@ -1217,6 +1217,50 @@ def q_media_anim_frames(spark, sf_dir):
     return M.webp_anim_frame_stats(media)
 
 
+def q_media_webm_frames(spark, sf_dir):
+    """WebM (Matroska/EBML) end-to-end (r11): containers with a V_VP8
+    video track — EBML header, Info, TrackEntry, one Cluster +
+    keyframe SimpleBlock per frame, written by the pure-struct EBML
+    writer — are synthesized distributed (6 frames each, MB-constant
+    16x16 planes: y = (i + 23k) % 256, u = (2i + 9k) % 256, v =
+    (3i + 4k) % 256, 40 ms cadence), then every 2nd SimpleBlock is
+    decoded map-side by the pure-numpy VP8 decoder.  The qi=0
+    MB-constant construction is exact, so the oracle replays pts,
+    keyframe flags, and plane sums from the generation law."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators import webm as W
+
+    def gen(it):
+        import numpy as _np
+
+        from deltalake2db_spark.operators.vp8 import encode_vp8
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = []
+                for k in range(6):
+                    y = _np.full((16, 16), (i + 23 * k) % 256, _np.uint8)
+                    u = _np.full((8, 8), (2 * i + 9 * k) % 256, _np.uint8)
+                    v = _np.full((8, 8), (3 * i + 4 * k) % 256, _np.uint8)
+                    frames.append(encode_vp8(y, u, v, qi=0))
+                rows.append((
+                    i, "video",
+                    W.encode_webm_video(frames, 16, 16, frame_ms=40),
+                    {"mime": "video/webm", "width": 16, "height": 16,
+                     "duration_ms": 240},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return W.webm_frame_stats(media, every_n=2)
+
+
 def q_media_decode_pjpeg(spark, sf_dir):
     """PROGRESSIVE-JPEG decode end-to-end (r10): same block-constant
     closed form as q_media_decode_jpeg, but encoded as SOF2 with the
@@ -2006,18 +2050,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 11: the five NEW never-certified gates (q_span_dedup_exact,
+    # Round 11: the six NEW never-certified gates (q_span_dedup_exact,
     # q_media_decode_webp_lossy, q_media_video_decode, q_ivf_pq_upsert,
-    # q_media_anim_frames) enter, and every gate over an
+    # q_media_anim_frames, q_media_webm_frames) enter, and every gate
+    # over an
     # r11-touched module stays/returns in-window: dedup.py (span
     # extension + word_shingles guard -> all dedup/span/jaccard/
     # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
     # keyword/text_stats/lang_id/pii), bpe.py (marker check), bm25.py
     # (single-scan), multimodal.py + jpeg.py + vp8.py (-> ALL media
     # gates).  Parked to make room: q_profile_orders, q_tfidf_terms,
-    # q_unimax, q_perplexity, q_ppl_buckets (all r9+r10 certified;
-    # profile.py/tfidf.py/sampling.py/lm.py untouched in r11 — lm.py
-    # has zero internal imports).  The
+    # q_unimax, q_perplexity, q_ppl_buckets, q_quality_rules (all
+    # r9+r10 certified; profile.py/tfidf.py/sampling.py/lm.py/
+    # quality.py + their closures untouched in r11).  The
     # r10 parked set (delta restore/history/time_travel/column_mapping/
     # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
     # cosine_neardup) stays parked — their closures are r11-untouched
@@ -2037,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_frame_sample": q_media_frame_sample,
         "q_media_video_decode": q_media_video_decode,
         "q_media_anim_frames": q_media_anim_frames,
+        "q_media_webm_frames": q_media_webm_frames,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
@@ -2075,7 +2121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_pq_topk": q_ivf_pq_topk,
         "q_ivf_pq_index": q_ivf_pq_index,
         "q_ivf_pq_upsert": q_ivf_pq_upsert,
-        "q_quality_rules": q_quality_rules,
         "q_media_decode_pjpeg": q_media_decode_pjpeg,
         "q_media_decode_jpeg": q_media_decode_jpeg,
         # -- positions 51+: multi-round-certified gates whose import
@@ -2085,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unimax": q_unimax,
         "q_perplexity": q_perplexity,
         "q_ppl_buckets": q_ppl_buckets,
+        "q_quality_rules": q_quality_rules,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -3911,6 +3957,19 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_ivf_pq_index": _IVF_PQ_TOPK_SQL,
         # upsert must converge to the fresh-build oracle exactly
         "q_ivf_pq_upsert": _IVF_PQ_TOPK_SQL,
+        "q_media_webm_frames": """
+            SELECT i.v AS media_id, CAST(k.v * 2 AS INT) AS frame_idx,
+                   CAST(k.v * 2 * 40 AS BIGINT) AS pts_ms,
+                   TRUE AS keyframe,
+                   CAST(16 AS INT) AS height, CAST(16 AS INT) AS width,
+                   CAST(((i.v + 23 * k.v * 2) % 256) * 256 AS BIGINT)
+                       AS y_sum,
+                   CAST(((2 * i.v + 9 * k.v * 2) % 256) * 64 AS BIGINT)
+                       AS u_sum,
+                   CAST(((3 * i.v + 4 * k.v * 2) % 256) * 64 AS BIGINT)
+                       AS v_sum
+            FROM range(50) i(v), range(3) k(v)
+        """,
         "q_media_anim_frames": """
             SELECT i.v AS media_id, CAST(k.v AS INT) AS frame_idx,
                    CAST(2 * k.v AS INT) AS x, CAST(4 * k.v AS INT) AS y,

@@ -1538,6 +1538,52 @@ def test_webp_anim_frames(spark):
     assert out[3]["y_sum"] == 77 * 3 * 256 and out[3]["u_sum"] is None
 
 
+def test_webm_container_roundtrip(spark):
+    """EBML writer -> parser round trip: doctype/duration/track
+    metadata, SimpleBlock sample table (pts from cluster+relative
+    timestamps, keyframe flags), and V_VP8 frame pixel decode; V_VP9
+    tracks and non-EBML payloads are skipped cleanly."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import webm as W
+    from deltalake2db_spark.operators.multimodal import MEDIA_SCHEMA
+    from deltalake2db_spark.operators.vp8 import encode_vp8
+
+    frames = []
+    for k in range(5):
+        y = np.full((16, 16), (20 + 30 * k) % 256, np.uint8)
+        u = np.full((8, 8), (80 + 2 * k) % 256, np.uint8)
+        v = np.full((8, 8), (60 + 5 * k) % 256, np.uint8)
+        frames.append(encode_vp8(y, u, v, qi=0))
+    p = W.encode_webm_video(frames, 16, 16, frame_ms=40)
+    meta = W.parse_webm_meta(p)
+    assert meta["doctype"] == "webm" and meta["duration_ms"] == 200
+    assert meta["tracks"] == [{"number": 1, "type": 1, "codec": "V_VP8",
+                               "width": 16, "height": 16}]
+    tbl = W.webm_sample_table(p)
+    assert [(t, pts, key) for t, pts, key, _, _ in tbl] == [
+        (1, 40 * k, True) for k in range(5)]
+    for k, (_, _, _, off, size) in enumerate(tbl):
+        assert p[off:off + size] == frames[k]
+    assert W.parse_webm_meta(b"not ebml at all") is None
+    assert W.webm_sample_table(b"\x00" * 40) is None
+
+    rows = [(1, "video", bytearray(p), None),
+            (2, "video", bytearray(
+                W.encode_webm_video([b"x"], 8, 8, codec="V_VP9")), None),
+            (3, "video", bytearray(b"garbage"), None)]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = sorted(W.webm_frame_stats(df, every_n=2).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    for r in out:
+        k = r["frame_idx"]
+        assert r["media_id"] == 1 and r["pts_ms"] == 40 * k
+        assert r["y_sum"] == ((20 + 30 * k) % 256) * 256
+        assert r["u_sum"] == (80 + 2 * k) * 64
+        assert r["v_sum"] == (60 + 5 * k) * 64
+
+
 def test_mp4_adversarial_header_counts():
     """Untrusted 32-bit counts in stsz/stts must be bounds-checked
     BEFORE list materialization: a crafted uniform-stsz cnt=0xFFFFFFFF

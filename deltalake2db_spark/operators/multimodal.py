@@ -1177,15 +1177,18 @@ def encode_mp4_video(
 
 def extract_video_meta(df: DataFrame) -> DataFrame:
     """(media_id, major_brand, duration_ms, width, height, n_tracks,
-    codecs) per video row — ISO-BMFF container parse in the same
-    map-side mapInPandas tier as the image/audio paths; non-BMFF
-    payloads are skipped (frame decode itself stays in the stub tier)."""
+    codecs) per video row — container parse (ISO-BMFF boxes OR
+    Matroska/WebM EBML, r11) in the same map-side mapInPandas tier as
+    the image/audio paths; unrecognized payloads are skipped.  For
+    WebM, ``major_brand`` carries the EBML doctype."""
     out_schema = (
         "media_id long, major_brand string, duration_ms long, "
         "width int, height int, n_tracks int, codecs string"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .webm import parse_webm_meta
+
         for pdf in it:
             rows = []
             for mid, kind, payload in zip(
@@ -1194,13 +1197,29 @@ def extract_video_meta(df: DataFrame) -> DataFrame:
                 if kind != "video":
                     continue
                 meta = parse_mp4_meta(payload)
-                if meta is None:
+                if meta is not None:
+                    rows.append((
+                        int(mid), meta["major_brand"],
+                        meta["duration_ms"], meta["width"],
+                        meta["height"], meta["n_tracks"],
+                        ",".join(
+                            t["codec"] or "?" for t in meta["tracks"]
+                        ),
+                    ))
                     continue
+                wm = parse_webm_meta(bytes(payload))
+                if wm is None:
+                    continue
+                vids = [
+                    t for t in wm["tracks"] if t.get("type") == 1
+                ]
                 rows.append((
-                    int(mid), meta["major_brand"], meta["duration_ms"],
-                    meta["width"], meta["height"], meta["n_tracks"],
+                    int(mid), wm["doctype"], wm["duration_ms"],
+                    vids[0]["width"] if vids else None,
+                    vids[0]["height"] if vids else None,
+                    len(wm["tracks"]),
                     ",".join(
-                        t["codec"] or "?" for t in meta["tracks"]
+                        t["codec"] or "?" for t in wm["tracks"]
                     ),
                 ))
             yield pd.DataFrame(

@@ -121,9 +121,11 @@ def parse_webm_meta(payload: bytes) -> Optional[dict]:
                                 import struct as _s
 
                                 raw = payload[b3:e3]
-                                duration_raw = _s.unpack(
-                                    ">f" if len(raw) == 4 else ">d", raw
-                                )[0]
+                                if len(raw) in (4, 8):  # else: malformed
+                                    duration_raw = _s.unpack(
+                                        ">f" if len(raw) == 4 else ">d",
+                                        raw,
+                                    )[0]
                     elif i2 == _TRACKS:
                         for i3, b3, e3 in _walk(payload, b2, e2):
                             if i3 != _TRACK_ENTRY:

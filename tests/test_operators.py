@@ -1584,6 +1584,60 @@ def test_webm_container_roundtrip(spark):
         assert r["v_sum"] == (60 + 5 * k) * 64
 
 
+def test_exif_parse_and_gps_scrub(spark):
+    """EXIF writer -> parser round trip (both byte orders on parse),
+    GPS scrub leaves pixels bit-identical and every non-GPS field
+    intact; no-EXIF JPEGs pass through byte-identical."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import exif as E
+    from deltalake2db_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from deltalake2db_spark.operators.multimodal import MEDIA_SCHEMA
+
+    arr = (np.arange(16 * 16 * 3).reshape(16, 16, 3) % 256).astype(
+        np.uint8
+    )
+    base = encode_jpeg(arr)
+    app1 = E.encode_exif_app1(
+        make="ACME", model="Cam 3000",
+        datetime_str="2024:05:01 10:11:12", orientation=6,
+        gps=(48.8584, -2.2945),
+    )
+    tagged = base[:2] + app1 + base[2:]
+    meta = E.parse_exif(tagged)
+    assert meta["make"] == "ACME" and meta["model"] == "Cam 3000"
+    assert meta["orientation"] == 6 and meta["has_gps"]
+    assert abs(meta["gps_lat"] - 48.8584) < 1e-4
+    assert abs(meta["gps_lon"] + 2.2945) < 1e-4
+    clean = E.strip_gps(tagged)
+    m2 = E.parse_exif(clean)
+    assert m2["has_gps"] is False and m2["gps_lat"] is None
+    assert m2["make"] == "ACME" and m2["datetime"] == meta["datetime"]
+    assert np.array_equal(decode_jpeg(clean), decode_jpeg(tagged))
+    assert E.strip_gps(base) == base  # no EXIF -> byte-identical
+    assert E.parse_exif(base) is None
+    # fuzz: truncated/corrupt APP1 -> None, never a crash
+    rng = np.random.default_rng(5)
+    for _ in range(150):
+        cut = tagged[: int(rng.integers(2, len(tagged)))]
+        E.parse_exif(cut)
+        E.strip_gps(cut)
+        b = bytearray(tagged)
+        b[int(rng.integers(2, len(app1)))] ^= 0xFF
+        E.parse_exif(bytes(b))
+        E.strip_gps(bytes(b))
+
+    rows = [(1, "image", bytearray(tagged), None),
+            (2, "image", bytearray(base), None)]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    stats = {r["media_id"]: r for r in E.exif_stats(df).collect()}
+    assert 1 in stats and 2 not in stats
+    scrubbed = {r["media_id"]: bytes(r["payload"])
+                for r in E.scrub_gps(df).collect()}
+    assert E.parse_exif(scrubbed[1])["has_gps"] is False
+    assert scrubbed[2] == base
+
+
 def test_container_parsers_fuzz_clean():
     """Random/truncated/bit-flipped containers never crash the
     parsers — every malformed input is a clean None/empty skip (the

@@ -1217,6 +1217,50 @@ def q_media_anim_frames(spark, sf_dir):
     return M.webp_anim_frame_stats(media)
 
 
+def q_media_flac(spark, sf_dir):
+    """FLAC lossless-audio decode end-to-end (r11): mono int16 PCM
+    with the closed-form waveform x[j] = ((13i + 7j) % 2001) - 1000
+    (n = 600 + i%50 samples at 8 kHz) is FLAC-encoded distributed
+    (fixed predictors + rice coding, operators/flac.py) and decoded
+    back by the pure-numpy decoder inside extract_audio_features.
+    FLAC is lossless, so the oracle recomputes every feature —
+    n_samples, duration, mean|x|, rms — from the generation law
+    exactly (the WAV gate's trick, now through a real compressed
+    codec)."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        import numpy as _np
+
+        from deltalake2db_spark.operators.flac import encode_flac
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n = 600 + i % 50
+                j = _np.arange(n, dtype=_np.int64)
+                x = ((13 * i + 7 * j) % 2001) - 1000
+                rows.append((
+                    i, "audio", encode_flac(x, 8000, 16),
+                    {"mime": "audio/flac", "width": None,
+                     "height": None, "duration_ms": n * 1000 // 8000},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    feats = M.extract_audio_features(media)
+    return feats.select(
+        "media_id", "n_samples", "sample_rate", "duration_ms",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def q_media_exif(spark, sf_dir):
     """EXIF extraction + GPS-PII scrub end-to-end (r11): JPEGs tagged
     with a closed-form APP1 Exif segment (make = 'Cam<i%5>',
@@ -2115,10 +2159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 11: the seven NEW never-certified gates (q_span_dedup_exact,
+    # Round 11: the eight NEW never-certified gates (q_span_dedup_exact,
     # q_media_decode_webp_lossy, q_media_video_decode, q_ivf_pq_upsert,
-    # q_media_anim_frames, q_media_webm_frames, q_media_exif) enter,
-    # and every gate over an
+    # q_media_anim_frames, q_media_webm_frames, q_media_exif,
+    # q_media_flac) enter, and every gate over an
     # r11-touched module stays/returns in-window: dedup.py (span
     # extension + word_shingles guard -> all dedup/span/jaccard/
     # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
@@ -2126,8 +2170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (single-scan), multimodal.py + jpeg.py + vp8.py (-> ALL media
     # gates).  Parked to make room: q_profile_orders, q_tfidf_terms,
     # q_unimax, q_perplexity, q_ppl_buckets, q_quality_rules,
-    # q_classifier_score (all r9+r10 certified; profile/tfidf/sampling/
-    # lm/quality/dsir modules + their closures untouched in r11).  The
+    # q_classifier_score, q_doc_entropy (all r9+r10 certified;
+    # profile/tfidf/sampling/lm/quality/dsir modules + their closures
+    # untouched in r11).  The
     # r10 parked set (delta restore/history/time_travel/column_mapping/
     # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
     # cosine_neardup) stays parked — their closures are r11-untouched
@@ -2149,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_anim_frames": q_media_anim_frames,
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
+        "q_media_flac": q_media_flac,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
@@ -2159,7 +2205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_decontam": q_bloom_decontam,
         "q_dsir_weights": q_dsir_weights,
         "q_bm25_topk": q_bm25_topk,
-        "q_doc_entropy": q_doc_entropy,
         "q_knn_classify": q_knn_classify,
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_repeated_spans": q_repeated_spans,
@@ -2197,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppl_buckets": q_ppl_buckets,
         "q_quality_rules": q_quality_rules,
         "q_classifier_score": q_classifier_score,
+        "q_doc_entropy": q_doc_entropy,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -4023,6 +4069,22 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_ivf_pq_index": _IVF_PQ_TOPK_SQL,
         # upsert must converge to the fresh-build oracle exactly
         "q_ivf_pq_upsert": _IVF_PQ_TOPK_SQL,
+        "q_media_flac": """
+            WITH s AS (
+              SELECT i.v AS media_id, j.v AS j,
+                     ((13 * i.v + 7 * j.v) % 2001) - 1000 AS x
+              FROM range(60) i(v), range(650) j(v)
+              WHERE j.v < 600 + i.v % 50
+            )
+            SELECT media_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(count(*) * 1000 // 8000 AS BIGINT)
+                       AS duration_ms,
+                   round(avg(abs(x)), 6) AS mean_abs,
+                   round(sqrt(avg(CAST(x AS DOUBLE) * x)), 6) AS rms
+            FROM s GROUP BY 1
+        """,
         "q_media_exif": """
             SELECT i.v AS media_id,
                    'Cam' || CAST(i.v % 5 AS VARCHAR) AS make,

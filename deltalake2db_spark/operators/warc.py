@@ -1,0 +1,220 @@
+"""WARC (ISO 28500 web-archive) ingestion — the Common Crawl entry
+point of a training-data pipeline.
+
+Web-scale text corpora START as WARC: crawlers emit request/response
+records with WARC named headers, an HTTP message payload, and
+(usually) per-record gzip members concatenated into ``.warc.gz``
+files.  This module parses that format with the stdlib only:
+
+* ``parse_warc(payload)``: every record's WARC headers + HTTP status/
+  content-type + body bytes, from plain or multi-member-gzip input.
+* ``warc_records(df)``: the Spark tier — one row per response record
+  ``(media_id, record_idx, url, warc_date, status, content_type,
+  body_len, text)`` with the body decoded to text for text/* payloads
+  (the downstream dedup/quality/lang-id operators take it from
+  there).  Map-side mapInPandas over the binary column; only the
+  extracted rows leave the scan.
+* ``encode_warc(records, gzip_members=...)``: the writer partner
+  (fixtures/gates) emitting spec-shaped WARC/1.0 records, optionally
+  as concatenated gzip members like real crawlers do.
+
+Scale shape: a 100 TB crawl is millions of ~1 GB .warc.gz shards; a
+binary-file DataFrame over them runs this parser embarrassingly
+parallel, and everything downstream is the existing text pipeline.
+Reference scope: the reference engine has no ingestion tier
+(SURVEY.md §2.5); north-star extension.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_MAX_RECORDS = 1 << 20
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Concatenated gzip members -> concatenated plaintext (the
+    .warc.gz layout: one member per record)."""
+    out = bytearray()
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(payload[pos:])
+        out += d.flush()
+        used = n - pos - len(d.unused_data)
+        if used <= 0:
+            break
+        pos += used
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> Optional[list]:
+    """WARC bytes (plain or .warc.gz) -> list of records
+    ``{headers: {name_lower: value}, http_status, content_type,
+    body: bytes}``.  Returns None for non-WARC payloads."""
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:2] == b"\x1f\x8b":
+        try:
+            payload = _gunzip_members(payload)
+        except zlib.error:
+            return None
+    if not payload.startswith(b"WARC/"):
+        return None
+    records = []
+    pos = 0
+    n = len(payload)
+    try:
+        while pos < n and len(records) < _MAX_RECORDS:
+            # skip inter-record blank lines
+            while pos < n and payload[pos : pos + 2] in (b"\r\n", b"\n\n"):
+                pos += 2
+            while pos < n and payload[pos : pos + 1] in (b"\r", b"\n"):
+                pos += 1
+            if pos >= n:
+                break
+            if not payload.startswith(b"WARC/", pos):
+                return records or None
+            hdr_end = payload.find(b"\r\n\r\n", pos)
+            sep = 4
+            if hdr_end < 0:
+                hdr_end = payload.find(b"\n\n", pos)
+                sep = 2
+            if hdr_end < 0:
+                break
+            headers = {}
+            for line in payload[pos:hdr_end].splitlines()[1:]:
+                if b":" not in line:
+                    continue
+                k, v = line.split(b":", 1)
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+            clen = int(headers.get("content-length", "0"))
+            body_start = hdr_end + sep
+            body = payload[body_start : body_start + clen]
+            pos = body_start + clen
+            http_status = None
+            content_type = headers.get("content-type", "")
+            http_body = body
+            if content_type.startswith("application/http"):
+                # payload is an HTTP message: parse its status + headers
+                he = body.find(b"\r\n\r\n")
+                hsep = 4
+                if he < 0:
+                    he = body.find(b"\n\n")
+                    hsep = 2
+                if he >= 0:
+                    lines = body[:he].splitlines()
+                    if lines and lines[0][:5] in (b"HTTP/",):
+                        parts = lines[0].split()
+                        if len(parts) >= 2 and parts[1].isdigit():
+                            http_status = int(parts[1])
+                    for line in lines[1:]:
+                        if line.lower().startswith(b"content-type:"):
+                            content_type = (
+                                line.split(b":", 1)[1]
+                                .strip()
+                                .decode("ascii", "replace")
+                            )
+                    http_body = body[he + hsep :]
+            records.append({
+                "headers": headers,
+                "http_status": http_status,
+                "content_type": content_type,
+                "body": http_body,
+            })
+    except (ValueError, IndexError):
+        return records or None
+    return records or None
+
+
+def warc_records(df: DataFrame, text_only: bool = True) -> DataFrame:
+    """(media_id, record_idx, url, warc_date, status, content_type,
+    body_len, text) for response records in WARC payloads.  ``text``
+    is the UTF-8-decoded body for text/* content types (NULL
+    otherwise); ``text_only=True`` keeps only records with text —
+    the corpus-ingestion default."""
+    out_schema = (
+        "media_id long, record_idx int, url string, warc_date string, "
+        "status int, content_type string, body_len long, text string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                recs = parse_warc(bytes(payload))
+                if not recs:
+                    continue
+                for j, r in enumerate(recs):
+                    h = r["headers"]
+                    if h.get("warc-type") != "response":
+                        continue
+                    is_text = r["content_type"].split(";")[0].strip() \
+                        .startswith("text/")
+                    text = (
+                        r["body"].decode("utf-8", "replace")
+                        if is_text
+                        else None
+                    )
+                    if text_only and text is None:
+                        continue
+                    rows.append((
+                        int(mid), j, h.get("warc-target-uri"),
+                        h.get("warc-date"), r["http_status"],
+                        r["content_type"], len(r["body"]), text,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "record_idx", "url", "warc_date",
+                         "status", "content_type", "body_len", "text"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+# ------------------------------------------------------------- writer
+
+
+def encode_warc(records: list, gzip_members: bool = True) -> bytes:
+    """``[(warc_type, url, date, http_status, content_type, body)]``
+    -> WARC/1.0 bytes; ``gzip_members=True`` emits one gzip member
+    per record (the real .warc.gz layout)."""
+    out = bytearray()
+    for i, (wtype, url, date, status, ctype, body) in enumerate(records):
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        if wtype == "response":
+            http = (
+                f"HTTP/1.1 {status} OK\r\n"
+                f"Content-Type: {ctype}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("ascii") + body
+            payload_ct = "application/http; msgtype=response"
+        else:
+            http = body
+            payload_ct = ctype
+        hdr = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n"
+            f"Content-Type: {payload_ct}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode("ascii")
+        rec = hdr + http + b"\r\n\r\n"
+        if gzip_members:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(rec) + co.flush()
+        else:
+            out += rec
+    return bytes(out)

@@ -1584,6 +1584,45 @@ def test_webm_container_roundtrip(spark):
         assert r["v_sum"] == (60 + 5 * k) * 64
 
 
+def test_warc_parse_and_ingest(spark):
+    """WARC writer -> parser round trip, plain AND per-record-gzip
+    (.warc.gz), HTTP payload unwrap (status + inner content-type),
+    text-only filtering, and clean skips for non-WARC payloads."""
+    from deltalake2db_spark.operators import warc as W
+    from deltalake2db_spark.operators.multimodal import MEDIA_SCHEMA
+
+    recs = [
+        ("warcinfo", "urn:info", "2024-01-01T00:00:00Z", None,
+         "application/warc-fields", b"software: t\r\n"),
+        ("request", "http://a.example/x", "2024-01-01T00:00:01Z", None,
+         "application/http; msgtype=request", b"GET /x HTTP/1.1\r\n\r\n"),
+        ("response", "http://a.example/x", "2024-01-01T00:00:01Z", 200,
+         "text/html; charset=utf-8", "<html>héllo</html>"),
+        ("response", "http://a.example/img", "2024-01-01T00:00:02Z",
+         200, "image/png", b"\x89PNG bin"),
+        ("response", "http://a.example/y", "2024-01-01T00:00:03Z", 404,
+         "text/plain", "not found"),
+    ]
+    for gz in (False, True):
+        parsed = W.parse_warc(W.encode_warc(recs, gzip_members=gz))
+        assert [r["headers"]["warc-type"] for r in parsed] == [
+            "warcinfo", "request", "response", "response", "response"]
+        assert parsed[2]["http_status"] == 200
+        assert parsed[2]["body"].decode() == "<html>héllo</html>"
+        assert parsed[3]["content_type"] == "image/png"
+    assert W.parse_warc(b"not a warc") is None
+    assert W.parse_warc(b"\x1f\x8bgarbage") is None
+
+    rows = [(1, "document", bytearray(W.encode_warc(recs)), None),
+            (2, "document", bytearray(b"junk"), None)]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = sorted(W.warc_records(df).collect(),
+                 key=lambda r: r["record_idx"])
+    assert [(r["url"], r["status"]) for r in out] == [
+        ("http://a.example/x", 200), ("http://a.example/y", 404)]
+    assert len(W.warc_records(df, text_only=False).collect()) == 3
+
+
 def test_exif_parse_and_gps_scrub(spark):
     """EXIF writer -> parser round trip (both byte orders on parse),
     GPS scrub leaves pixels bit-identical and every non-GPS field

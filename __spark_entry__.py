@@ -1217,6 +1217,49 @@ def q_media_anim_frames(spark, sf_dir):
     return M.webp_anim_frame_stats(media)
 
 
+def q_url_filter(spark, sf_dir):
+    """URL curation stage (r11): 80 closed-form URLs across five
+    shapes (uppercased scheme/host + default port + fragment, ccTLD
+    multi-label host, bare host with no path, ftp scheme, IP host
+    with explicit port) are normalized, domain/site-extracted, and
+    screened (scheme whitelist + suffix-anchored domain blocklist) by
+    the pure-Column operators.  The oracle reproduces every surviving
+    row's normalized form, host, and approximate registrable domain
+    straight from the generation law."""
+    from deltalake2db_spark.operators import urls as U
+
+    df = spark.range(80).select(
+        F.col("id"),
+        F.when(
+            F.col("id") % 5 == 0,
+            F.concat(F.lit("HTTP://WWW.Site"), F.col("id"),
+                     F.lit(".COM:80/a?x="), F.col("id"), F.lit("#f")),
+        ).when(
+            F.col("id") % 5 == 1,
+            F.concat(F.lit("https://sub.site"), F.col("id"),
+                     F.lit(".co.uk/path")),
+        ).when(
+            F.col("id") % 5 == 2,
+            F.concat(F.lit("https://site"), F.col("id"), F.lit(".org")),
+        ).when(
+            F.col("id") % 5 == 3,
+            F.concat(F.lit("ftp://site"), F.col("id"), F.lit(".net/x")),
+        ).otherwise(
+            F.concat(F.lit("https://10.0.0."), F.col("id") % 250,
+                     F.lit(":8080/p")),
+        ).alias("url"),
+    )
+    kept = U.filter_urls(
+        df, block_domains=["site10.com", "sub.site11.co.uk"]
+    )
+    return kept.select(
+        "id",
+        U.normalize_url("url").alias("norm"),
+        U.url_domain("url").alias("host"),
+        U.url_site("url").alias("site"),
+    )
+
+
 def q_warc_ingest(spark, sf_dir):
     """WARC (Common Crawl) ingestion end-to-end (r11): .warc.gz
     payloads — one gzip member per record, the real crawler layout —
@@ -2207,10 +2250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 11: the nine NEW never-certified gates (q_span_dedup_exact,
+    # Round 11: the TEN NEW never-certified gates (q_span_dedup_exact,
     # q_media_decode_webp_lossy, q_media_video_decode, q_ivf_pq_upsert,
     # q_media_anim_frames, q_media_webm_frames, q_media_exif,
-    # q_media_flac, q_warc_ingest) enter, and every gate over an
+    # q_media_flac, q_warc_ingest, q_url_filter) enter, and every gate
+    # over an
     # r11-touched module stays/returns in-window: dedup.py (span
     # extension + word_shingles guard -> all dedup/span/jaccard/
     # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
@@ -2218,9 +2262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (single-scan), multimodal.py + jpeg.py + vp8.py (-> ALL media
     # gates).  Parked to make room: q_profile_orders, q_tfidf_terms,
     # q_unimax, q_perplexity, q_ppl_buckets, q_quality_rules,
-    # q_classifier_score, q_doc_entropy, q_dsir_weights (all r9+r10
-    # certified; profile/tfidf/sampling/lm/quality/dsir modules +
-    # their closures untouched in r11).  The
+    # q_classifier_score, q_doc_entropy, q_dsir_weights,
+    # q_delta_schema_ddl (all r6/r9+r10 multi-certified; profile/
+    # tfidf/sampling/lm/quality/dsir/schema_ddl modules + their
+    # closures untouched in r11).  The
     # r10 parked set (delta restore/history/time_travel/column_mapping/
     # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
     # cosine_neardup) stays parked — their closures are r11-untouched
@@ -2231,7 +2276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r6-era gates re-certified in r9; kept while their delta/
         #    streaming import closure keeps changing --
         "q_delta_clone": q_delta_clone,
-        "q_delta_schema_ddl": q_delta_schema_ddl,
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_decode_webp": q_media_decode_webp,
@@ -2244,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_exif": q_media_exif,
         "q_media_flac": q_media_flac,
         "q_warc_ingest": q_warc_ingest,
+        "q_url_filter": q_url_filter,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
@@ -2292,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_classifier_score": q_classifier_score,
         "q_doc_entropy": q_doc_entropy,
         "q_dsir_weights": q_dsir_weights,
+        "q_delta_schema_ddl": q_delta_schema_ddl,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -4118,6 +4164,42 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_ivf_pq_index": _IVF_PQ_TOPK_SQL,
         # upsert must converge to the fresh-build oracle exactly
         "q_ivf_pq_upsert": _IVF_PQ_TOPK_SQL,
+        "q_url_filter": """
+            SELECT i.v AS id,
+                   CASE
+                     WHEN i.v % 5 = 0 THEN
+                       'http://www.site' || CAST(i.v AS VARCHAR)
+                         || '.com/a?x=' || CAST(i.v AS VARCHAR)
+                     WHEN i.v % 5 = 1 THEN
+                       'https://sub.site' || CAST(i.v AS VARCHAR)
+                         || '.co.uk/path'
+                     WHEN i.v % 5 = 2 THEN
+                       'https://site' || CAST(i.v AS VARCHAR)
+                         || '.org/'
+                     ELSE 'https://10.0.0.'
+                          || CAST(i.v % 250 AS VARCHAR) || ':8080/p'
+                   END AS norm,
+                   CASE
+                     WHEN i.v % 5 = 0 THEN
+                       'www.site' || CAST(i.v AS VARCHAR) || '.com'
+                     WHEN i.v % 5 = 1 THEN
+                       'sub.site' || CAST(i.v AS VARCHAR) || '.co.uk'
+                     WHEN i.v % 5 = 2 THEN
+                       'site' || CAST(i.v AS VARCHAR) || '.org'
+                     ELSE '10.0.0.' || CAST(i.v % 250 AS VARCHAR)
+                   END AS host,
+                   CASE
+                     WHEN i.v % 5 = 0 THEN
+                       'site' || CAST(i.v AS VARCHAR) || '.com'
+                     WHEN i.v % 5 = 1 THEN
+                       'site' || CAST(i.v AS VARCHAR) || '.co.uk'
+                     WHEN i.v % 5 = 2 THEN
+                       'site' || CAST(i.v AS VARCHAR) || '.org'
+                     ELSE '10.0.0.' || CAST(i.v % 250 AS VARCHAR)
+                   END AS site
+            FROM range(80) i(v)
+            WHERE i.v % 5 != 3 AND i.v NOT IN (10, 11)
+        """,
         "q_warc_ingest": """
             SELECT i.v AS media_id, CAST(k.v + 2 AS INT) AS record_idx,
                    'http://ex' || CAST(i.v AS VARCHAR) || '.test/'

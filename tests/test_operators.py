@@ -1584,6 +1584,45 @@ def test_webm_container_roundtrip(spark):
         assert r["v_sum"] == (60 + 5 * k) * 64
 
 
+def test_url_ops(spark):
+    """URL normalization/domain/site extraction + suffix-anchored
+    domain screens (blocking example.com must not catch
+    evil-example.com), IPs and ccTLD registries handled."""
+    from deltalake2db_spark.operators import urls as U
+
+    rows = [
+        (1, "HTTP://News.BBC.co.uk:80/story?id=3#frag"),
+        (2, "https://a.b.example.com/x/y"),
+        (3, "https://evil-example.com/"),
+        (4, "ftp://files.example.org/pub"),
+        (5, "https://93.184.216.34:8443/path"),
+        (6, "not a url"),
+        (7, "https://example.com"),
+        (8, "https://example.com:443/q?a=1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r["id"]: r for r in df.select(
+        "id", U.normalize_url("url").alias("norm"),
+        U.url_domain("url").alias("host"),
+        U.url_site("url").alias("site"),
+    ).collect()}
+    assert out[1]["norm"] == "http://news.bbc.co.uk/story?id=3"
+    assert out[1]["site"] == "bbc.co.uk"
+    assert out[2]["site"] == "example.com"
+    assert out[5]["norm"] == "https://93.184.216.34:8443/path"
+    assert out[5]["site"] == "93.184.216.34"
+    assert out[6]["norm"] is None
+    assert out[7]["norm"] == "https://example.com/"
+    assert out[8]["norm"] == "https://example.com/q?a=1"  # default 443
+    kept = sorted(r["id"] for r in U.filter_urls(
+        df, block_domains=["example.com"]).collect())
+    # subdomains + exact blocked; ftp AND non-URLs fail the scheme test
+    assert kept == [1, 3, 5]
+    allowed = sorted(r["id"] for r in U.filter_urls(
+        df, allow_domains=["bbc.co.uk"]).collect())
+    assert allowed == [1]
+
+
 def test_warc_parse_and_ingest(spark):
     """WARC writer -> parser round trip, plain AND per-record-gzip
     (.warc.gz), HTTP payload unwrap (status + inner content-type),

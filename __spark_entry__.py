@@ -1217,6 +1217,45 @@ def q_media_anim_frames(spark, sf_dir):
     return M.webp_anim_frame_stats(media)
 
 
+def q_media_mp3_meta(spark, sf_dir):
+    """MP3 metadata end-to-end (r11): ID3v2.3-tagged CBR MP3s with
+    closed-form fields (title 'Track <i>', artist 'Artist <i%7>',
+    album 'Album <i%4>', bitrate cycling [128, 192, 320, 64],
+    sample rate cycling [44100, 48000], 40 + i%30 frames) are
+    synthesized distributed and parsed back map-side — ID3 text
+    frames plus the MPEG-1 Layer III frame-header walk for exact
+    frame counts and duration.  Pure generation-law oracle."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import mp3 as M3
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        brs = [128, 192, 320, 64]
+        srs = [44100, 48000]
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                p = M3.encode_mp3_meta(
+                    f"Track {i}", f"Artist {i % 7}", f"Album {i % 4}",
+                    n_frames=40 + i % 30,
+                    bitrate_kbps=brs[i % 4],
+                    sample_rate=srs[i % 2],
+                )
+                rows.append((
+                    i, "audio", p,
+                    {"mime": "audio/mpeg", "width": None,
+                     "height": None, "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return M3.mp3_meta_stats(media)
+
+
 def q_url_filter(spark, sf_dir):
     """URL curation stage (r11): 80 closed-form URLs across five
     shapes (uppercased scheme/host + default port + fragment, ccTLD
@@ -2250,11 +2289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 11: the TEN NEW never-certified gates (q_span_dedup_exact,
+    # Round 11: the ELEVEN NEW never-certified gates (q_span_dedup_exact,
     # q_media_decode_webp_lossy, q_media_video_decode, q_ivf_pq_upsert,
     # q_media_anim_frames, q_media_webm_frames, q_media_exif,
-    # q_media_flac, q_warc_ingest, q_url_filter) enter, and every gate
-    # over an
+    # q_media_flac, q_warc_ingest, q_url_filter, q_media_mp3_meta)
+    # enter, and every gate over an
     # r11-touched module stays/returns in-window: dedup.py (span
     # extension + word_shingles guard -> all dedup/span/jaccard/
     # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
@@ -2263,9 +2302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gates).  Parked to make room: q_profile_orders, q_tfidf_terms,
     # q_unimax, q_perplexity, q_ppl_buckets, q_quality_rules,
     # q_classifier_score, q_doc_entropy, q_dsir_weights,
-    # q_delta_schema_ddl (all r6/r9+r10 multi-certified; profile/
-    # tfidf/sampling/lm/quality/dsir/schema_ddl modules + their
-    # closures untouched in r11).  The
+    # q_delta_schema_ddl, q_delta_clone (all r6/r9+r10 multi-certified;
+    # profile/tfidf/sampling/lm/quality/dsir/schema_ddl/maintenance
+    # modules + their closures untouched in r11).  The
     # r10 parked set (delta restore/history/time_travel/column_mapping/
     # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
     # cosine_neardup) stays parked — their closures are r11-untouched
@@ -2275,7 +2314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r6-era gates re-certified in r9; kept while their delta/
         #    streaming import closure keeps changing --
-        "q_delta_clone": q_delta_clone,
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_decode_webp": q_media_decode_webp,
@@ -2289,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_flac": q_media_flac,
         "q_warc_ingest": q_warc_ingest,
         "q_url_filter": q_url_filter,
+        "q_media_mp3_meta": q_media_mp3_meta,
         "q_delta_cdf": q_delta_cdf,
         "q_delta_stream": q_delta_stream,
         "q_delta_update": q_delta_update,
@@ -2338,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_entropy": q_doc_entropy,
         "q_dsir_weights": q_dsir_weights,
         "q_delta_schema_ddl": q_delta_schema_ddl,
+        "q_delta_clone": q_delta_clone,
         "q_delta_merge": q_delta_merge,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -4164,6 +4204,22 @@ SELECT query_id, vec_id, sim, rank FROM (
         "q_ivf_pq_index": _IVF_PQ_TOPK_SQL,
         # upsert must converge to the fresh-build oracle exactly
         "q_ivf_pq_upsert": _IVF_PQ_TOPK_SQL,
+        "q_media_mp3_meta": """
+            SELECT i.v AS media_id,
+                   'Track ' || CAST(i.v AS VARCHAR) AS title,
+                   'Artist ' || CAST(i.v % 7 AS VARCHAR) AS artist,
+                   'Album ' || CAST(i.v % 4 AS VARCHAR) AS album,
+                   CAST(CASE i.v % 4 WHEN 0 THEN 128 WHEN 1 THEN 192
+                        WHEN 2 THEN 320 ELSE 64 END AS INT)
+                       AS bitrate_kbps,
+                   CAST(CASE i.v % 2 WHEN 0 THEN 44100 ELSE 48000 END
+                        AS INT) AS sample_rate,
+                   CAST(40 + i.v % 30 AS INT) AS n_frames,
+                   CAST((40 + i.v % 30) * 1152 * 1000
+                        // (CASE i.v % 2 WHEN 0 THEN 44100
+                            ELSE 48000 END) AS BIGINT) AS duration_ms
+            FROM range(60) i(v)
+        """,
         "q_url_filter": """
             SELECT i.v AS id,
                    CASE

@@ -1584,6 +1584,37 @@ def test_webm_container_roundtrip(spark):
         assert r["v_sum"] == (60 + 5 * k) * 64
 
 
+def test_mp3_meta(spark):
+    """ID3v2 + MPEG frame-header round trip; corrupt/non-MP3 payloads
+    skip cleanly."""
+    import numpy as np
+
+    from deltalake2db_spark.operators import mp3 as M3
+    from deltalake2db_spark.operators.multimodal import MEDIA_SCHEMA
+
+    p = M3.encode_mp3_meta("Söng", "Bänd", "Albüm", n_frames=55,
+                           bitrate_kbps=320, sample_rate=44100)
+    m = M3.parse_mp3_meta(p)
+    assert (m["title"], m["artist"], m["album"]) == ("Söng", "Bänd",
+                                                     "Albüm")
+    assert m["n_frames"] == 55 and m["bitrate_kbps"] == 320
+    assert m["duration_ms"] == 55 * 1152 * 1000 // 44100
+    assert M3.parse_mp3_meta(b"RIFF not mp3" + bytes(30)) is None
+    rng = np.random.default_rng(3)
+    for _ in range(150):
+        cut = p[: int(rng.integers(1, len(p)))]
+        M3.parse_mp3_meta(cut)
+        b = bytearray(p)
+        b[int(rng.integers(0, min(len(p), 400)))] ^= 0xFF
+        M3.parse_mp3_meta(bytes(b))
+
+    rows = [(1, "audio", bytearray(p), None),
+            (2, "audio", bytearray(b"x"), None)]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = M3.mp3_meta_stats(df).collect()
+    assert len(out) == 1 and out[0]["n_frames"] == 55
+
+
 def test_url_ops(spark):
     """URL normalization/domain/site extraction + suffix-anchored
     domain screens (blocking example.com must not catch

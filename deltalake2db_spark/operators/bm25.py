@@ -30,15 +30,17 @@ Spark-first design
 * The QUERY side is small by construction (an eval set, a seed set):
   its distinct word set **broadcasts**, and the inner join prunes the
   posting table to the query vocabulary BEFORE anything else — df(w)
-  is then a count WINDOW over the PRUNED postings (exact: pruning
-  drops whole words, never a word's doc rows), so the exchange it
-  needs moves only query-matched postings, never the full-vocabulary
-  table.  A separate ``pruned.groupBy(word)`` aggregate broadcast back
-  was tried first and rejected from the executed plan: Catalyst
-  column-prunes the two consumers differently (df needs only the word,
-  scoring needs tf/dl/doc), the subtrees stop being identical,
-  ReuseExchange fails, and the corpus was tokenized and tf-aggregated
-  TWICE — the same failure mode ``dsir.dsir_logweights`` documents.
+  is then a per-word COUNT AGGREGATE over the PRUNED postings (exact:
+  pruning drops whole words, never a word's doc rows), partial-combined
+  map-side over the reused tf exchange and broadcast back — it shuffles
+  |query vocabulary| rows, never re-sorts the posting table (the
+  count-window formulation it replaced did).  ReuseExchange only fires
+  because every consumer references ALL of tf/dl/first through
+  unprovable conjuncts (dsir's load-bearing-column pattern); without
+  that, Catalyst column-prunes the consumers differently, the subtrees
+  stop being identical, and the corpus is tokenized and tf-aggregated
+  once per branch — the failure mode ``dsir.dsir_logweights``
+  documents.
 * The scoring shuffle aggregates only matched (query, doc) postings.
 * N/avgdl ride in as a broadcast one-row aggregate over a pruned
   two-column scan; the plan stays lazy (no driver collect).
@@ -139,18 +141,28 @@ def bm25_topk(
         F.max("__dl").alias("__dl"),
         F.bool_or("__f0").alias("__first"),
     )
-    # Both branches below consume ALL THREE aggregate values (dsir's
-    # load-bearing-column pattern): the `__first.isNotNull()` /
-    # `__tf >= 0` conjuncts are semantically always-true but reference
-    # nullable/unprovable aggregate outputs, so Catalyst cannot fold
-    # them away and column-prunes both branches IDENTICALLY — which is
-    # what lets ReuseExchange share the one tokenize+shuffle between
-    # scoring and the stats broadcast (without them the subtrees
-    # diverge and the corpus scans twice; observed in the plan).
+    # ALL THREE branches below consume ALL THREE aggregate values
+    # (dsir's load-bearing-column pattern): the `__first.isNotNull()` /
+    # `__tf >= 0` / `__dl >= 0` conjuncts are semantically always-true
+    # but reference nullable/unprovable aggregate outputs, so Catalyst
+    # cannot fold them away and column-prunes every branch IDENTICALLY
+    # — which is what lets ReuseExchange share the one tokenize+shuffle
+    # between scoring, document frequency, and the stats broadcast
+    # (without them the subtrees diverge and the corpus scans thrice;
+    # observed in the plan).
     postings = pruned.filter(
         (F.col("__tf") > 0) & F.col("__first").isNotNull()
-    ).withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("__w"))
+    )
+    # df(w) as a tiny per-word aggregate broadcast back, NOT a
+    # count-window over the postings (r12): the window formulation
+    # re-exchanged and SORTED the whole posting table on __w just to
+    # attach one count; this aggregate partial-combines map-side over
+    # the ReusedExchange output, shuffles only |query vocabulary| rows
+    # (bounded by the model-size contract), and joins back as a
+    # broadcast.  Exact by the same pruning argument as tf: the prune
+    # drops whole words, never a word's doc rows.
+    dfreq = postings.groupBy("__w").agg(
+        F.count(F.when(F.col("__dl") >= 0, True)).alias("__df")
     )
     corpus = pruned.filter(
         F.col("__first") & (F.col("__tf") >= 0)
@@ -169,7 +181,8 @@ def bm25_topk(
         * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
     )
     scored = (
-        postings.join(broadcast(qterms), "__w")
+        postings.join(broadcast(dfreq), "__w")
+        .join(broadcast(qterms), "__w")
         .crossJoin(broadcast(corpus))
         .groupBy(query_id_col, id_col)
         .agg(F.round(F.sum(idf * norm), 6).alias("score"))

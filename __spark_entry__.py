@@ -1456,6 +1456,95 @@ def q_media_exif(spark, sf_dir):
     )
 
 
+def q_media_exif_scrub(spark, sf_dir):
+    """GPS-PII scrub end-to-end (r12): JPEGs carrying a closed-form
+    EXIF block — make/model/datetime/orientation PLUS a Software tag
+    ('Gen <i%4>') and GPS DMS coordinates — go through ``scrub_gps``;
+    the gate re-parses the REWRITTEN payload and additionally decodes
+    the pre- and post-scrub pixels and compares them bit-for-bit.
+    The oracle asserts from the generation law that GPS is gone
+    (has_gps false, coordinates NULL), every non-GPS field survived
+    (including Software, which a rebuild-from-parsed-fields scrub
+    would drop — the surgical in-place edit keeps it), and
+    ``pixels_same`` is TRUE for every row."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import exif as E
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        from deltalake2db_spark.operators.exif import encode_exif_app1
+        from deltalake2db_spark.operators.jpeg import encode_jpeg
+
+        import numpy as _np
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                base = encode_jpeg(
+                    (_np.arange(64).reshape(8, 8) * (1 + i % 3))
+                    .astype(_np.uint8)
+                )
+                lat = (1 if i % 2 == 0 else -1) * (
+                    (i % 90) + ((7 * i) % 60) / 60
+                )
+                lon = (1 if i % 3 == 0 else -1) * (
+                    (i % 180) + ((11 * i) % 60) / 60
+                )
+                app1 = encode_exif_app1(
+                    make=f"Cam{i % 5}",
+                    model=f"Model {i % 3}",
+                    datetime_str=f"2024:01:{1 + i % 28:02d} 12:00:00",
+                    orientation=1 + i % 8,
+                    software=f"Gen {i % 4}",
+                    gps=(lat, lon),
+                )
+                rows.append((
+                    i, "image", base[:2] + app1 + base[2:],
+                    {"mime": "image/jpeg", "width": 8, "height": 8,
+                     "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    scrubbed = E.scrub_gps(media)
+    post = E.exif_stats(scrubbed)
+
+    def pixcmp(it):
+        import numpy as _np
+
+        from deltalake2db_spark.operators.jpeg import decode_jpeg
+
+        for pdf in it:
+            rows = [
+                (int(m), bool(_np.array_equal(
+                    decode_jpeg(bytes(a)), decode_jpeg(bytes(b))
+                )))
+                for m, a, b in zip(
+                    pdf["media_id"], pdf["p0"], pdf["p1"]
+                )
+            ]
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "pixels_same"]
+            )
+
+    pix = (
+        media.select("media_id", F.col("payload").alias("p0"))
+        .join(
+            scrubbed.select("media_id", F.col("payload").alias("p1")),
+            "media_id",
+        )
+        .mapInPandas(pixcmp, "media_id long, pixels_same boolean")
+    )
+    return post.join(pix, "media_id").select(
+        "media_id", "make", "model", "datetime", "orientation",
+        "software", "has_gps", "gps_lat", "gps_lon", "pixels_same",
+    )
+
+
 def q_media_webm_frames(spark, sf_dir):
     """WebM (Matroska/EBML) end-to-end (r11): containers with a V_VP8
     video track — EBML header, Info, TrackEntry, one Cluster +
@@ -2324,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_anim_frames": q_media_anim_frames,
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
+        "q_media_exif_scrub": q_media_exif_scrub,
         "q_media_flac": q_media_flac,
         "q_warc_ingest": q_warc_ingest,
         "q_url_filter": q_url_filter,
@@ -4310,6 +4400,21 @@ SELECT query_id, vec_id, sim, rank FROM (
                             + ((11 * i.v) % 60) / 60.0), 4) AS gps_lon,
                    FALSE AS has_gps_after,
                    'Cam' || CAST(i.v % 5 AS VARCHAR) AS make_after
+            FROM range(50) i(v)
+        """,
+        "q_media_exif_scrub": """
+            SELECT i.v AS media_id,
+                   'Cam' || CAST(i.v % 5 AS VARCHAR) AS make,
+                   'Model ' || CAST(i.v % 3 AS VARCHAR) AS model,
+                   '2024:01:' || lpad(CAST(1 + i.v % 28 AS VARCHAR),
+                                      2, '0')
+                       || ' 12:00:00' AS datetime,
+                   CAST(1 + i.v % 8 AS INT) AS orientation,
+                   'Gen ' || CAST(i.v % 4 AS VARCHAR) AS software,
+                   FALSE AS has_gps,
+                   CAST(NULL AS DOUBLE) AS gps_lat,
+                   CAST(NULL AS DOUBLE) AS gps_lon,
+                   TRUE AS pixels_same
             FROM range(50) i(v)
         """,
         "q_media_webm_frames": """

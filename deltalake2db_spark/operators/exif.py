@@ -9,12 +9,14 @@ layout): no codec touched, so both operators run on the compressed
 bytes without decoding a single pixel.
 
 * ``parse_exif(payload)``: ``{make, model, datetime, orientation,
-  has_gps, gps_lat, gps_lon}`` from the APP1 "Exif" segment (TIFF
-  byte order II/MM both handled, IFD0 + GPS IFD walked, rational
-  lat/lon resolved to signed degrees).
-* ``strip_gps(payload)``: the SAME JPEG with the APP1 Exif segment
-  rewritten without its GPS IFD (other tags intact) — entropy-coded
-  data untouched, so decoded pixels are bit-identical.
+  software, has_gps, gps_lat, gps_lon}`` from the APP1 "Exif"
+  segment (TIFF byte order II/MM both handled, IFD0 + GPS IFD
+  walked, rational lat/lon resolved to signed degrees).
+* ``strip_gps(payload)``: the SAME JPEG with the GPS-IFD pointer
+  deleted from IFD0 and the GPS IFD bytes zeroed IN PLACE — every
+  other tag (parsed or not: Exif sub-IFD, exposure, maker notes)
+  survives byte-intact, and entropy-coded data is untouched, so
+  decoded pixels are bit-identical.
 * ``encode_exif_app1(...)``: the writer partner for fixtures/gates.
 * ``exif_stats(df)`` / ``scrub_gps(df)``: the Spark map-side tier.
 
@@ -33,6 +35,7 @@ from pyspark.sql import DataFrame
 _TAG_MAKE = 0x010F
 _TAG_MODEL = 0x0110
 _TAG_ORIENT = 0x0112
+_TAG_SOFTWARE = 0x0131
 _TAG_DATETIME = 0x0132
 _TAG_GPS_IFD = 0x8825
 _GPS_LAT_REF = 0x0001
@@ -121,7 +124,7 @@ def parse_exif(payload: bytes) -> Optional[dict]:
         (ifd0,) = struct.unpack_from(bo + "I", tiff, 4)
         out = {
             "make": None, "model": None, "datetime": None,
-            "orientation": None, "has_gps": False,
+            "orientation": None, "software": None, "has_gps": False,
             "gps_lat": None, "gps_lon": None,
         }
         gps_off = None
@@ -130,6 +133,8 @@ def parse_exif(payload: bytes) -> Optional[dict]:
                 out["make"] = _ascii(raw)
             elif tag == _TAG_MODEL:
                 out["model"] = _ascii(raw)
+            elif tag == _TAG_SOFTWARE:
+                out["software"] = _ascii(raw)
             elif tag == _TAG_DATETIME:
                 out["datetime"] = _ascii(raw)
             elif tag == _TAG_ORIENT:
@@ -163,22 +168,70 @@ def parse_exif(payload: bytes) -> Optional[dict]:
 
 
 def strip_gps(payload: bytes) -> bytes:
-    """The same JPEG with GPS data removed: the APP1 Exif segment is
-    re-WRITTEN from its parsed non-GPS fields (make/model/datetime/
-    orientation), so no dangling GPS IFD bytes survive anywhere in
-    the segment.  Entropy-coded data is untouched — decoded pixels
-    are bit-identical.  JPEGs without EXIF pass through unchanged."""
+    """The same JPEG with GPS data removed by SURGICAL in-place edit
+    of the APP1 Exif segment: the GPS-IFD pointer entry is deleted
+    from IFD0 (remaining entries shift up, the freed 12 bytes are
+    zeroed, the entry count decrements) and the GPS IFD itself — its
+    entry table and every value blob its entries reference — is
+    zeroed.  Nothing else moves, so every OTHER tag (Exif sub-IFD,
+    exposure, thumbnail pointers, maker notes) survives byte-intact
+    and no dangling GPS bytes remain anywhere in the segment.
+    Entropy-coded data is untouched — decoded pixels are
+    bit-identical.  JPEGs without EXIF/GPS pass through unchanged."""
     seg = _app1_segment(payload)
     if seg is None:
         return payload
-    meta = parse_exif(payload)
-    if meta is None or not meta["has_gps"]:
+    s0, s1, tiff_ro = seg
+    tiff = bytearray(tiff_ro)
+    try:
+        if tiff[:2] == b"II":
+            bo = "<"
+        elif tiff[:2] == b"MM":
+            bo = ">"
+        else:
+            return payload
+        (magic,) = struct.unpack_from(bo + "H", tiff, 2)
+        if magic != 42:
+            return payload
+        (ifd0,) = struct.unpack_from(bo + "I", tiff, 4)
+        if ifd0 + 2 > len(tiff):
+            return payload
+        (n0,) = struct.unpack_from(bo + "H", tiff, ifd0)
+        if n0 > _MAX_ENTRIES:
+            return payload
+        gps_idx = gps_off = None
+        for i in range(n0):
+            e = ifd0 + 2 + 12 * i
+            if e + 12 > len(tiff):
+                return payload
+            (tag,) = struct.unpack_from(bo + "H", tiff, e)
+            if tag == _TAG_GPS_IFD:
+                gps_idx = i
+                (gps_off,) = struct.unpack_from(bo + "I", tiff, e + 8)
+                break
+        if gps_idx is None:
+            return payload
+        # zero the GPS IFD: its entry table (+ next-IFD pointer slot)
+        # and each entry's out-of-line value span
+        if gps_off + 2 <= len(tiff):
+            (gn,) = struct.unpack_from(bo + "H", tiff, gps_off)
+            if gn <= _MAX_ENTRIES:
+                for _tag, _typ, cnt, raw, voff in list(_ifd_entries(
+                    bytes(tiff), gps_off, bo
+                )):
+                    tiff[voff : voff + len(raw)] = b"\x00" * len(raw)
+                tbl_end = min(gps_off + 2 + 12 * gn + 4, len(tiff))
+                tiff[gps_off:tbl_end] = b"\x00" * (tbl_end - gps_off)
+        # delete the pointer entry from IFD0: shift the entries after
+        # it plus the next-IFD pointer up 12 bytes, zero the tail gap
+        ek = ifd0 + 2 + 12 * gps_idx
+        blk_end = min(ifd0 + 2 + 12 * n0 + 4, len(tiff))
+        tiff[ek : blk_end - 12] = tiff[ek + 12 : blk_end]
+        tiff[blk_end - 12 : blk_end] = b"\x00" * 12
+        struct.pack_into(bo + "H", tiff, ifd0, n0 - 1)
+    except (struct.error, IndexError, ValueError):
         return payload
-    clean = encode_exif_app1(
-        make=meta["make"], model=meta["model"],
-        datetime_str=meta["datetime"], orientation=meta["orientation"],
-    )
-    return payload[: seg[0]] + clean + payload[seg[1] :]
+    return payload[: s0 + 10] + bytes(tiff) + payload[s1:]
 
 
 def encode_exif_app1(
@@ -187,6 +240,7 @@ def encode_exif_app1(
     datetime_str: str | None = None,
     orientation: int | None = None,
     gps: tuple | None = None,
+    software: str | None = None,
 ) -> bytes:
     """A complete APP1 Exif segment (big-endian TIFF) with the given
     IFD0 fields and optional ``gps=(lat, lon)`` in signed degrees —
@@ -216,6 +270,8 @@ def encode_exif_app1(
         ascii_field(_TAG_MODEL, model)
     if orientation:
         add(_TAG_ORIENT, 3, 1, struct.pack(">HH", orientation, 0))
+    if software:
+        ascii_field(_TAG_SOFTWARE, software)
     if datetime_str:
         ascii_field(_TAG_DATETIME, datetime_str)
     gps_ifd = b""
@@ -287,13 +343,13 @@ def encode_exif_app1(
 
 
 def exif_stats(df: DataFrame) -> DataFrame:
-    """(media_id, make, model, datetime, orientation, has_gps,
-    gps_lat, gps_lon) for JPEG rows carrying EXIF — map-side, bytes
-    never decoded."""
+    """(media_id, make, model, datetime, orientation, software,
+    has_gps, gps_lat, gps_lon) for JPEG rows carrying EXIF —
+    map-side, bytes never decoded."""
     out_schema = (
         "media_id long, make string, model string, datetime string, "
-        "orientation int, has_gps boolean, gps_lat double, "
-        "gps_lon double"
+        "orientation int, software string, has_gps boolean, "
+        "gps_lat double, gps_lon double"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -310,13 +366,14 @@ def exif_stats(df: DataFrame) -> DataFrame:
                 rows.append((
                     int(mid), meta["make"], meta["model"],
                     meta["datetime"], meta["orientation"],
-                    meta["has_gps"], meta["gps_lat"], meta["gps_lon"],
+                    meta["software"], meta["has_gps"],
+                    meta["gps_lat"], meta["gps_lon"],
                 ))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "make", "model", "datetime",
-                         "orientation", "has_gps", "gps_lat",
-                         "gps_lon"],
+                         "orientation", "software", "has_gps",
+                         "gps_lat", "gps_lon"],
             )
 
     return df.select("media_id", "kind", "payload").mapInPandas(

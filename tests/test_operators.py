@@ -1710,19 +1710,58 @@ def test_exif_parse_and_gps_scrub(spark):
     app1 = E.encode_exif_app1(
         make="ACME", model="Cam 3000",
         datetime_str="2024:05:01 10:11:12", orientation=6,
-        gps=(48.8584, -2.2945),
+        software="Pipeline 1.0", gps=(48.8584, -2.2945),
     )
     tagged = base[:2] + app1 + base[2:]
     meta = E.parse_exif(tagged)
     assert meta["make"] == "ACME" and meta["model"] == "Cam 3000"
     assert meta["orientation"] == 6 and meta["has_gps"]
+    assert meta["software"] == "Pipeline 1.0"
     assert abs(meta["gps_lat"] - 48.8584) < 1e-4
     assert abs(meta["gps_lon"] + 2.2945) < 1e-4
     clean = E.strip_gps(tagged)
     m2 = E.parse_exif(clean)
     assert m2["has_gps"] is False and m2["gps_lat"] is None
     assert m2["make"] == "ACME" and m2["datetime"] == meta["datetime"]
+    assert m2["software"] == "Pipeline 1.0"
+    assert len(clean) == len(tagged)  # surgical edit: nothing moves
+    assert E.strip_gps(clean) == clean  # idempotent
     assert np.array_equal(decode_jpeg(clean), decode_jpeg(tagged))
+    # GPS rational bytes are gone, not merely unreferenced
+    import struct as _struct
+
+    lat_blob = _struct.pack(">II", 48, 1)
+    assert lat_blob in tagged and lat_blob not in clean
+
+    # an UNPARSED tag (UserComment blob) must survive byte-intact:
+    # hand-built little-endian TIFF — IFD0 = [Make inline,
+    # UserComment blob, GPS pointer], GPS IFD with one entry
+    secret = b"SECRET-KEEP-ME\x00"
+    ifd0_off, n0 = 8, 3
+    blob_off = ifd0_off + 2 + 12 * n0 + 4
+    gps_off = blob_off + len(secret)
+    gps_blob_off = gps_off + 2 + 12 * 1 + 4
+    tiff = (
+        b"II" + _struct.pack("<HI", 42, ifd0_off)
+        + _struct.pack("<H", n0)
+        + _struct.pack("<HHI4s", 0x010F, 2, 3, b"AB\x00\x00")
+        + _struct.pack("<HHII", 0x9286, 7, len(secret), blob_off)
+        + _struct.pack("<HHII", 0x8825, 4, 1, gps_off)
+        + b"\x00" * 4
+        + secret
+        + _struct.pack("<H", 1)
+        + _struct.pack("<HHII", 0x0002, 5, 1, gps_blob_off)
+        + b"\x00" * 4
+        + _struct.pack("<II", 48, 1)
+    )
+    body = b"Exif\x00\x00" + tiff
+    jpg = (base[:2] + b"\xff\xe1"
+           + _struct.pack(">H", len(body) + 2) + body + base[2:])
+    out = E.strip_gps(jpg)
+    assert secret in out  # unparsed blob survived
+    assert _struct.pack("<II", 48, 1) not in out  # GPS blob zeroed
+    mo = E.parse_exif(out)
+    assert mo["make"] == "AB" and mo["has_gps"] is False
     assert E.strip_gps(base) == base  # no EXIF -> byte-identical
     assert E.parse_exif(base) is None
     # fuzz: truncated/corrupt APP1 -> None, never a crash

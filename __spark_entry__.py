@@ -1347,6 +1347,69 @@ def q_warc_ingest(spark, sf_dir):
     return W.warc_records(media)
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> clean-text extraction end-to-end (r12): every document
+    is wrapped in a closed-form HTML page — title 'Doc <id>', a styled
+    head with a DECOY script, a 3-item nav menu (pure link blocks), the
+    doc text re-chunked into <p> paragraphs of 10 words each
+    (&/</> -escaped), one fixed entity-bearing paragraph, and a
+    link-heavy footer — then ``extract_html`` must recover EXACTLY the
+    paragraph text: boilerplate dies by link density (nav, footer) or
+    the min-length screen (short remainder chunks die on BOTH sides of
+    the law), entities decode back, and the head/script text never
+    leaks.  The oracle replays the whole law in SQL: paragraphs =
+    10-word chunks with length >= 30, joined by newline, plus the
+    fixed entity block; n_blocks_total = 3 nav items + non-empty
+    paragraphs + entity block + footer."""
+    from deltalake2db_spark.operators import html as H
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), nch - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * F.lit(10) + F.lit(1), F.lit(10)), " "
+        ),
+    )
+
+    def esc(c):
+        c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+        c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+        return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+    body = F.array_join(
+        F.transform(
+            paras,
+            lambda p: F.concat(F.lit("<p>"), esc(p), F.lit("</p>")),
+        ),
+        "",
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style>p{margin:0}</style>'
+            '<script>var nav="DECOY MENU SHOULD NOT LEAK";</script>'
+            '</head><body><nav><ul><li><a href="/">home</a></li>'
+            '<li><a href="/about">about</a></li>'
+            '<li><a href="/contact">contact us now</a></li></ul></nav>'
+        ),
+        body,
+        F.lit(
+            "<p>Tom &amp; Jerry &lt;3 &quot;quotes&quot; "
+            "AB&nbsp;end of entity block</p>"
+            '<footer>&copy; 2026 <a href="/p">privacy policy</a> '
+            '&middot; <a href="/t">terms of use</a></footer>'
+            "</body></html>"
+        ),
+    )
+    gen = docs.select("doc_id", page.alias("html"))
+    return H.extract_html(gen)
+
+
 def q_media_flac(spark, sf_dir):
     """FLAC lossless-audio decode end-to-end (r11): mono int16 PCM
     with the closed-form waveform x[j] = ((13i + 7j) % 2001) - 1000
@@ -2416,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_exif_scrub": q_media_exif_scrub,
         "q_media_flac": q_media_flac,
         "q_warc_ingest": q_warc_ingest,
+        "q_html_extract": q_html_extract,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
         "q_delta_cdf": q_delta_cdf,
@@ -4345,6 +4409,40 @@ SELECT query_id, vec_id, sim, rank FROM (
                    END AS site
             FROM range(80) i(v)
             WHERE i.v % 5 != 3 AND i.v NOT IN (10, 11)
+        """,
+        "q_html_extract": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), pi AS (
+                SELECT doc_id, w,
+                       unnest(range(0,
+                           CAST(ceil(len(w)/10.0) AS BIGINT))) AS pi
+                FROM d
+            ), paras AS (
+                SELECT doc_id, pi,
+                       array_to_string(
+                           w[CAST(pi*10+1 AS BIGINT)
+                             :CAST(pi*10+10 AS BIGINT)], ' ') AS p
+                FROM pi
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(p, chr(10) ORDER BY pi)
+                           FILTER (length(p) >= 30) AS body,
+                       count(*) FILTER (length(p) >= 30) AS nk,
+                       count(*) FILTER (length(p) >= 1) AS nonempty
+                FROM paras GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
+                   coalesce(a.body || chr(10), '')
+                       || 'Tom & Jerry <3 "quotes" AB end of entity block'
+                       AS text,
+                   CAST(coalesce(a.nk, 0) + 1 AS INT) AS n_blocks,
+                   CAST(3 + coalesce(a.nonempty, 0) + 2 AS INT)
+                       AS n_blocks_total
+            FROM d LEFT JOIN agg a USING (doc_id)
         """,
         "q_warc_ingest": """
             SELECT i.v AS media_id, CAST(k.v + 2 AS INT) AS record_idx,

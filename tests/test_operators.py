@@ -1654,6 +1654,98 @@ def test_url_ops(spark):
     assert allowed == [1]
 
 
+def test_html_extract_kernel():
+    """Block heuristic: boilerplate (nav/footer/script/style/head)
+    dies, prose survives with entities decoded and whitespace
+    normalized; malformed input never crashes."""
+    from deltalake2db_spark.operators.html import extract_text
+
+    h = (
+        "<html><head><title>A &amp; B</title><style>p{}</style>"
+        "<script>var x='DECOY';</script></head><body>"
+        '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+        "<p>the quick brown fox jumps over the lazy dog tonight</p>"
+        "<p>tiny</p>"
+        "<p>Tom &amp; Jerry &lt;3 &#65;&#x42;&nbsp;forever and ever "
+        "and ever</p>"
+        "<div>second prose block long enough to clear the threshold "
+        "with <b>bold</b> inline markup kept as text</div>"
+        '<footer><a href="/p">privacy</a> <a href="/t">terms</a> '
+        "&copy; now</footer></body></html>"
+    )
+    r = extract_text(h)
+    assert r["title"] == "A & B"
+    assert "DECOY" not in r["text"] and "home" not in r["text"]
+    assert "privacy" not in r["text"] and "tiny" not in r["text"]
+    assert r["text"].splitlines()[0].startswith("the quick brown fox")
+    assert 'Tom & Jerry <3 AB forever' in r["text"]
+    assert "bold inline markup" in r["text"]
+    assert r["n_blocks"] == 3
+    # entities cannot re-form tags: &lt;script&gt; stays literal text
+    r2 = extract_text(
+        "<p>content saying &lt;script&gt;alert(1)&lt;/script&gt; "
+        "is just text here</p>"
+    )
+    assert "<script>alert(1)</script> is just text" in r2["text"]
+    # inline link under the density threshold survives inside prose
+    r3 = extract_text(
+        '<p>long prose with a single <a href="x">small link</a> that '
+        "must not kill the whole paragraph</p>"
+    )
+    assert r3["n_blocks"] == 1
+    # degenerate inputs: None / empty / unclosed / binary-ish
+    assert extract_text(None) is None
+    assert extract_text("")["n_blocks"] == 0
+    assert extract_text("<p>no closing tag but plenty of prose to "
+                        "keep around here")["n_blocks"] == 1
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        junk = "".join(
+            chr(int(c)) for c in rng.integers(1, 1000, size=80)
+        )
+        extract_text(junk)
+        extract_text("<" + junk)
+        extract_text(h[: int(rng.integers(1, len(h)))])
+
+
+def test_warc_html_texts(spark):
+    """WARC -> clean training text end-to-end: html records are
+    extracted (boilerplate stripped), non-html text records are
+    skipped, and the output carries the WARC provenance columns."""
+    from deltalake2db_spark.operators.html import warc_html_texts
+    from deltalake2db_spark.operators.multimodal import MEDIA_SCHEMA
+    from deltalake2db_spark.operators.warc import encode_warc
+
+    page = (
+        "<html><head><title>T1</title></head><body>"
+        '<nav><a href="/">home</a> <a href="/x">links</a></nav>'
+        "<p>real page content long enough to pass the block screen"
+        "</p></body></html>"
+    )
+    payload = encode_warc([
+        ("warcinfo", "urn:x", "2024-01-01T00:00:00Z", None,
+         "application/warc-fields", b"a: b\r\n"),
+        ("response", "http://h.test/page", "2024-01-01T00:00:01Z",
+         200, "text/html; charset=utf-8", page),
+        ("response", "http://h.test/robots.txt",
+         "2024-01-01T00:00:02Z", 200, "text/plain", "User-agent: *"),
+    ], gzip_members=True)
+    df = spark.createDataFrame(
+        [(1, "document", bytearray(payload), None)],
+        schema=MEDIA_SCHEMA,
+    )
+    out = warc_html_texts(df).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["url"] == "http://h.test/page"
+    assert row["title"] == "T1"
+    assert row["text"].startswith("real page content")
+    assert "home" not in row["text"]
+    assert row["n_blocks"] == 1
+
+
 def test_warc_parse_and_ingest(spark):
     """WARC writer -> parser round trip, plain AND per-record-gzip
     (.warc.gz), HTTP payload unwrap (status + inner content-type),

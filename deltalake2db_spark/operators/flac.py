@@ -233,6 +233,13 @@ def _decode_flac(payload: bytes):
         return None
     if total > 1 << 32:
         return None
+    # untrusted-header allocation guard (the mp4 max_samples shape):
+    # a frame yields at most 65535 samples and costs >= ~9 bytes, so
+    # total > 65536 * len(payload) is impossible for any real stream;
+    # the 2 GiB cap bounds the zeros() a crafted 30-byte header can
+    # request regardless of claimed channel count.
+    if total > 65536 * len(payload) or total * channels * 8 > 1 << 31:
+        return None
 
     out = np.zeros((total, channels), np.int64)
     got = 0
@@ -266,7 +273,11 @@ def _decode_flac(payload: bytes):
             br.read(8)
         elif sr_code in (13, 14):
             br.read(16)
-        br.read(8)  # crc-8 (verified via recompute below if desired)
+        # the frame header is whole bytes up to here (32 header bits +
+        # UTF-8 coded number + optional 8/16-bit fields), so br.pos IS
+        # the CRC-8 byte offset; verify over [sync .. crc8)
+        if _crc8(payload[frame_start : br.pos]) != br.read(8):
+            return None
         if ch_code < 8:
             nch = ch_code + 1
             mode = "indep"
@@ -292,7 +303,10 @@ def _decode_flac(payload: bytes):
                 b += 1
             chans.append(_decode_subframe(br, bsize, b))
         br.align()
-        br.read(16)  # crc-16
+        # frame CRC-16 covers [sync .. last subframe byte] inclusive
+        # of the CRC-8; corrupt-but-parseable frames fail to None
+        if _crc16(payload[frame_start : br.pos]) != br.read(16):
+            return None
         pos = br.pos
         if mode == "indep":
             blk = np.stack(chans, axis=1)
@@ -308,7 +322,6 @@ def _decode_flac(payload: bytes):
             blk = np.stack([(mid2 + side) >> 1, (mid2 - side) >> 1], axis=1)
         out[got : got + bsize] = blk
         got += bsize
-        del frame_start
     if got < total:
         return None
     return out.astype(np.int32), sample_rate, bits

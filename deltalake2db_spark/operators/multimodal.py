@@ -348,11 +348,12 @@ def _decode_image(payload: bytes, width: int, height: int):
 
     PNG (stdlib zlib) / sequential+progressive JPEG / lossless-VP8L
     and lossy-VP8 WebP (r11) / BMP / PPM / PGM decode for real (see
-    ``decode_image_array``); the one remaining format (video frame
-    pixels) hits the stub tier — ``NotImplementedError`` in
-    strict mode (swap for an ffmpeg kernel in deployments that need
-    it), or a deterministic fake derived from the payload bytes so
-    tests have stable expectations.
+    ``decode_image_array``), and VP8-coded video tracks decode for
+    real too (``decode_video_frames``); ONLY codecs that need ffmpeg
+    (avc1/hvc1 video, unrecognized image formats) hit the stub tier —
+    ``NotImplementedError`` in strict mode (swap for an ffmpeg/Pillow
+    kernel in deployments that need it), or a deterministic fake
+    derived from the payload bytes so tests have stable expectations.
     """
     if payload is None:
         return None
@@ -691,7 +692,9 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # MP4 / ISO-BMFF container metadata (ISO 14496-12 box walk — pure
-# struct parsing, no codec).  Frame DECODE stays in the stub tier; the
+# struct parsing, no codec).  VP8-coded tracks (vp08) get REAL frame
+# pixel decode via decode_video_frames + operators/vp8.py (r11); only
+# avc1/hvc1 frame pixels stay env-stubbed (ffmpeg absent).  The
 # container layer (duration, dimensions, track types, codec fourccs)
 # is what a corpus-curation pipeline filters on before any decode.
 # --------------------------------------------------------------------------

@@ -288,6 +288,13 @@ def test_flac_lossless_roundtrip_property(n, nch, style, seed):
     # corrupt/truncated streams are clean Nones
     assert decode_flac(enc[: len(enc) // 2]) is None or True
     assert decode_flac(b"not flac") is None
+    # frame CRC catches a single flipped payload byte (r12): corrupt-
+    # but-parseable frames must fail to None, never decode silently
+    flip = int(rng.integers(0, 8))
+    bad = (enc[: len(enc) - 3 - flip]
+           + bytes([enc[len(enc) - 3 - flip] ^ 0xFF])
+           + enc[len(enc) - 2 - flip:])
+    assert decode_flac(bad) is None
 
 
 @settings(max_examples=20, deadline=None)

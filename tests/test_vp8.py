@@ -127,9 +127,10 @@ def test_libwebp_encoded_streams_bit_exact():
 
     rng = np.random.default_rng(7)
     n_checked = 0
-    for (w, h) in [(16, 16), (5, 7), (33, 17), (64, 48), (80, 80)]:
-        for q in (10, 50, 95):
-            style = rng.integers(0, 3)
+    for (w, h) in [(16, 16), (5, 7), (33, 17), (64, 48), (80, 80),
+                   (31, 64), (96, 32), (15, 15)]:
+        for q in (10, 35, 50, 75, 95):
+            style = (w + h + q) % 3
             if style == 0:
                 base = rng.integers(
                     0, 256, (max(1, h // 8) + 1, max(1, w // 8) + 1, 3)
@@ -152,7 +153,7 @@ def test_libwebp_encoded_streams_bit_exact():
             for mine, theirs in zip(my, ref):
                 assert np.array_equal(mine, theirs), (w, h, q, style)
             n_checked += 1
-    assert n_checked == 15
+    assert n_checked == 40
 
 
 def test_own_encoder_conforms_and_roundtrips():

@@ -1217,6 +1217,60 @@ def q_media_anim_frames(spark, sf_dir):
     return M.webp_anim_frame_stats(media)
 
 
+def q_media_gif_frames(spark, sf_dir):
+    """GIF decode end-to-end (r12): animated GIF89a files with a
+    closed-form law — 16-color palette pal[c] = ((7c+3i)%256,
+    (11c+5i)%256, (13c+i)%256), canvas (8+i%5) x (6+i%4), 2+i%3
+    full-canvas frames with gradient rasters idx[r,c] =
+    (r+2c+i+3j)%16 (a shape LZW actually has to compress), delay
+    4+j cs, loop i%4 — are synthesized distributed by the repo's own
+    encoder and decoded back map-side by the pure-numpy LZW decoder
+    (proven bit-exact against system giflib in tests/test_gif.py).
+    Frames are opaque and full-canvas, so every composited pixel sum
+    replays exactly from the law."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import gif as G
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        import numpy as _np
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                c = _np.arange(16)
+                pal = _np.stack([
+                    (7 * c + 3 * i) % 256,
+                    (11 * c + 5 * i) % 256,
+                    (13 * c + i) % 256,
+                ], axis=1).astype(_np.uint8)
+                w, h = 8 + i % 5, 6 + i % 4
+                r = _np.arange(h)[:, None]
+                cc = _np.arange(w)[None, :]
+                frames = [
+                    ((r + 2 * cc + i + 3 * j) % 16).astype(_np.uint8)
+                    for j in range(2 + i % 3)
+                ]
+                payload = G.encode_gif(
+                    frames, pal,
+                    delays_cs=[4 + j for j in range(len(frames))],
+                    loop=i % 4,
+                )
+                rows.append((
+                    i, "image", payload,
+                    {"mime": "image/gif", "width": w, "height": h,
+                     "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return G.gif_frame_stats(media)
+
+
 def q_media_mp3_meta(spark, sf_dir):
     """MP3 metadata end-to-end (r11): ID3v2.3-tagged CBR MP3s with
     closed-form fields (title 'Track <i>', artist 'Artist <i%7>',
@@ -2474,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_frame_sample": q_media_frame_sample,
         "q_media_video_decode": q_media_video_decode,
         "q_media_anim_frames": q_media_anim_frames,
+        "q_media_gif_frames": q_media_gif_frames,
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
         "q_media_exif_scrub": q_media_exif_scrub,
@@ -4540,6 +4595,25 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CAST(((i.v + 11 * k.v) % 256) * 64 AS BIGINT)
                        AS v_sum
             FROM range(50) i(v), range(4) k(v)
+        """,
+        "q_media_gif_frames": """
+            SELECT i.v AS media_id, CAST(j.v AS INT) AS frame_idx,
+                   CAST(2 + i.v % 3 AS INT) AS n_frames,
+                   CAST(i.v % 4 AS INT) AS loop_count,
+                   CAST(4 + j.v AS INT) AS delay_cs,
+                   CAST(6 + i.v % 4 AS INT) AS height,
+                   CAST(8 + i.v % 5 AS INT) AS width,
+                   CAST(sum((7 * ((r.v + 2 * c.v + i.v + 3 * j.v) % 16)
+                             + 3 * i.v) % 256) AS BIGINT) AS r_sum,
+                   CAST(sum((11 * ((r.v + 2 * c.v + i.v + 3 * j.v) % 16)
+                             + 5 * i.v) % 256) AS BIGINT) AS g_sum,
+                   CAST(sum((13 * ((r.v + 2 * c.v + i.v + 3 * j.v) % 16)
+                             + i.v) % 256) AS BIGINT) AS b_sum
+            FROM range(50) i(v), range(4) j(v), range(9) r(v),
+                 range(12) c(v)
+            WHERE j.v < 2 + i.v % 3
+              AND r.v < 6 + i.v % 4 AND c.v < 8 + i.v % 5
+            GROUP BY i.v, j.v
         """,
         "q_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "q_d4_prune": _D4_PRUNE_SQL,

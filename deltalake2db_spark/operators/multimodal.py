@@ -232,11 +232,12 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 def decode_image_array(payload: bytes) -> Optional[np.ndarray]:
     """Decode PNG (8-bit gray/GA/RGB/RGBA, stdlib zlib inflate),
     baseline JPEG (pure-numpy Huffman + IDCT, gray or YCbCr with any
-    sampling factors), BMP (24/32-bit uncompressed), PPM ``P6`` or
-    PGM ``P5`` bytes to an ``(H, W, C) uint8`` array (RGB channel
-    order for BMP's stored BGR).  Returns None when the payload is not
-    one of these formats or is malformed — callers fall back to the
-    stub tier."""
+    sampling factors), WebP (lossless VP8L + lossy VP8), GIF (LZW,
+    first composited frame — ``operators/gif.py``), BMP (24/32-bit
+    uncompressed), PPM ``P6`` or PGM ``P5`` bytes to an ``(H, W, C)
+    uint8`` array (RGB channel order for BMP's stored BGR).  Returns
+    None when the payload is not one of these formats or is malformed
+    — callers fall back to the stub tier."""
     if payload is None or len(payload) < 16:
         return None
     if payload.startswith(_PNG_SIG):
@@ -254,6 +255,10 @@ def decode_image_array(payload: bytes) -> Optional[np.ndarray]:
         from .vp8 import decode_webp_lossy
 
         return decode_webp_lossy(payload)  # r11: lossy VP8 is real now
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(payload)  # r12: first composited frame
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         hdr = _pnm_header(payload)

@@ -1464,6 +1464,47 @@ def q_html_extract(spark, sf_dir):
     return H.extract_html(gen)
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF -> text extraction end-to-end (r12): every document's text
+    is typeset into a multi-page PDF (12 words per page, 4 words per
+    line, Flate-compressed content streams, classic xref) by the
+    pure-stdlib writer, then recovered page-by-page map-side by the
+    COS parser + content-stream interpreter in operators/pdf.py.  The
+    oracle replays the pagination law entirely in SQL: page p holds
+    words[12p:12p+12], its text is the 4-word lines joined by
+    newline, n_lines = ceil(page_words/4)."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import pdf as P
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select("doc_id", "text")
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = str(text).split()
+                pages = []
+                for p0 in range(0, len(words), 12):
+                    pw = words[p0 : p0 + 12]
+                    lines = [
+                        " ".join(pw[k : k + 4])
+                        for k in range(0, len(pw), 4)
+                    ]
+                    pages.append("\n".join(lines))
+                rows.append((int(did), P.encode_pdf(pages)))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    pdfs = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    out = P.extract_pdf_pages(pdfs)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "page_idx", "n_pages", "n_lines", "text",
+    )
+
+
 def q_media_flac(spark, sf_dir):
     """FLAC lossless-audio decode end-to-end (r11): mono int16 PCM
     with the closed-form waveform x[j] = ((13i + 7j) % 2001) - 1000
@@ -2535,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_flac": q_media_flac,
         "q_warc_ingest": q_warc_ingest,
         "q_html_extract": q_html_extract,
+        "q_pdf_extract": q_pdf_extract,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
         "q_delta_cdf": q_delta_cdf,
@@ -4498,6 +4540,36 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CAST(3 + coalesce(a.nonempty, 0) + 2 AS INT)
                        AS n_blocks_total
             FROM d LEFT JOIN agg a USING (doc_id)
+        """,
+        "q_pdf_extract": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) != ''
+            ), pg AS (
+                SELECT doc_id, w,
+                       CAST(ceil(len(w)/12.0) AS INT) AS n_pages,
+                       unnest(range(0,
+                           CAST(ceil(len(w)/12.0) AS BIGINT))) AS p
+                FROM d
+            ), sized AS (
+                SELECT doc_id, w, n_pages, p,
+                       least(len(w), 12*(p+1)) - 12*p AS k
+                FROM pg
+            )
+            SELECT doc_id, CAST(p AS INT) AS page_idx, n_pages,
+                   CAST(ceil(k/4.0) AS INT) AS n_lines,
+                   array_to_string(
+                       list_transform(
+                           range(CAST(ceil(k/4.0) AS BIGINT)),
+                           l -> array_to_string(
+                               w[CAST(12*p + 4*l + 1 AS BIGINT)
+                                 :CAST(least(12*p + 4*l + 4,
+                                             len(w)) AS BIGINT)],
+                               ' ')),
+                       chr(10)) AS text
+            FROM sized
         """,
         "q_warc_ingest": """
             SELECT i.v AS media_id, CAST(k.v + 2 AS INT) AS record_idx,

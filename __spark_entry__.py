@@ -1505,6 +1505,57 @@ def q_pdf_extract(spark, sf_dir):
     )
 
 
+def q_code_stats(spark, sf_dir):
+    """Code-corpus curation profile (r12): every document is rendered
+    as a source file — 7-word lines, with a doc_id%3-cycled header
+    (python shebang + autogen marker / MIT grant comment / none) —
+    entirely in Column algebra, then profiled by the pure-Catalyst
+    operators in operators/code.py (line stats, duplicated-line and
+    comment-line fractions, alpha fraction, autogen flag, shebang
+    language, license id).  The oracle rebuilds the same file and
+    replays every metric in SQL — zero Python on either side."""
+    from deltalake2db_spark.operators import code as C
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(words) / F.lit(7.0)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nch - F.lit(1)),
+            lambda l: F.array_join(
+                F.slice(words, l * F.lit(7) + F.lit(1), F.lit(7)), " "
+            ),
+        ),
+        "\n",
+    )
+    header = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("#!/usr/bin/env python\n"
+                  "# generated by tool - do not edit\n"),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit("// Permission is hereby granted, free of charge\n"),
+        )
+        .otherwise(F.lit(""))
+    )
+    files = docs.select(
+        "doc_id", F.concat(header, body).alias("text")
+    )
+    out = C.with_code_stats(files)
+    return out.select(
+        "doc_id", "n_lines", "max_line_len",
+        F.round("avg_line_len", 6).alias("avg_line_len"),
+        F.round("frac_dup_lines", 6).alias("frac_dup_lines"),
+        F.round("comment_line_frac", 6).alias("comment_line_frac"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        "is_autogen", "shebang_lang", "license_id",
+    )
+
+
 def q_media_flac(spark, sf_dir):
     """FLAC lossless-audio decode end-to-end (r11): mono int16 PCM
     with the closed-form waveform x[j] = ((13i + 7j) % 2001) - 1000
@@ -2577,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_ingest": q_warc_ingest,
         "q_html_extract": q_html_extract,
         "q_pdf_extract": q_pdf_extract,
+        "q_code_stats": q_code_stats,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
         "q_delta_cdf": q_delta_cdf,
@@ -4570,6 +4622,62 @@ SELECT query_id, vec_id, sim, rank FROM (
                                ' ')),
                        chr(10)) AS text
             FROM sized
+        """,
+        "q_code_stats": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) != ''
+            ), built AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 3 AS INT)
+                         WHEN 0 THEN '#!/usr/bin/env python' || chr(10)
+                           || '# generated by tool - do not edit'
+                           || chr(10)
+                         WHEN 1 THEN '// Permission is hereby granted,'
+                           || ' free of charge' || chr(10)
+                         ELSE '' END
+                       || array_to_string(
+                           list_transform(
+                               range(CAST(ceil(len(w)/7.0) AS BIGINT)),
+                               l -> array_to_string(
+                                   w[CAST(7*l+1 AS BIGINT)
+                                     :CAST(least(7*l+7, len(w))
+                                           AS BIGINT)], ' ')),
+                           chr(10)) AS code
+                FROM d
+            ), ln AS (
+                SELECT doc_id, code,
+                       string_split(code, chr(10)) AS ls
+                FROM built
+            ), nb AS (
+                SELECT doc_id, code, ls,
+                       list_filter(ls, x -> trim(x) != '') AS nonblank
+                FROM ln
+            )
+            SELECT doc_id,
+                   CAST(len(ls) AS INT) AS n_lines,
+                   CAST(list_max(list_transform(ls, x -> length(x)))
+                        AS INT) AS max_line_len,
+                   round(list_sum(list_transform(ls, x -> length(x)))
+                         * 1.0 / len(ls), 6) AS avg_line_len,
+                   round(1.0 - len(list_distinct(nonblank)) * 1.0
+                               / len(nonblank), 6) AS frac_dup_lines,
+                   round(len(list_filter(ls, x -> regexp_matches(x,
+                             '^\s*(#|//|/\*|\*|--|;|%)'))) * 1.0
+                         / len(ls), 6) AS comment_line_frac,
+                   round(length(regexp_replace(code, '[^A-Za-z]', '',
+                                               'g'))
+                         * 1.0 / length(code), 6) AS alpha_frac,
+                   regexp_matches(substr(code, 1, 1000),
+                       '(?i)(auto[- ]?generated|generated by|do not edit|this file was generated|@generated)')
+                       AS is_autogen,
+                   CASE WHEN doc_id % 3 = 0 THEN 'python' END
+                       AS shebang_lang,
+                   CASE WHEN doc_id % 3 = 1 THEN 'MIT' END
+                       AS license_id
+            FROM nb
         """,
         "q_warc_ingest": """
             SELECT i.v AS media_id, CAST(k.v + 2 AS INT) AS record_idx,

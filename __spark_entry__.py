@@ -1505,6 +1505,48 @@ def q_pdf_extract(spark, sf_dir):
     )
 
 
+def q_archive_ingest(spark, sf_dir):
+    """Archive ingestion end-to-end (r12): zip (even ids) and tar.gz
+    (odd ids) archives — 3+i%3 python members with closed-form text
+    '# doc i file k\\nx = i+k\\n' plus one non-UTF-8 binary member of
+    4+i%4 bytes — are synthesized distributed by the stdlib writers
+    and exploded back into one row per member map-side
+    (operators/archive.py: bomb-guarded zipfile/tarfile, archive
+    bytes never cross a shuffle).  The oracle replays paths, sizes,
+    and text (NULL for the binary member) from the generation law."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import archive as A
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                members = [
+                    (
+                        f"src/file{k}.py",
+                        f"# doc {i} file {k}\nx = {i + k}\n".encode(),
+                    )
+                    for k in range(3 + i % 3)
+                ]
+                members.append(
+                    ("bin/data.bin", b"\xff\xfe" + b"\x00" * (2 + i % 4))
+                )
+                payload = (
+                    A.encode_zip(members)
+                    if i % 2 == 0
+                    else A.encode_tar(members)
+                )
+                rows.append((i, payload))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    archives = spark.range(60).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return A.archive_members(archives)
+
+
 def q_code_stats(spark, sf_dir):
     """Code-corpus curation profile (r12): every document is rendered
     as a source file — 7-word lines, with a doc_id%3-cycled header
@@ -2629,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_extract": q_html_extract,
         "q_pdf_extract": q_pdf_extract,
         "q_code_stats": q_code_stats,
+        "q_archive_ingest": q_archive_ingest,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
         "q_delta_cdf": q_delta_cdf,
@@ -4678,6 +4721,24 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CASE WHEN doc_id % 3 = 1 THEN 'MIT' END
                        AS license_id
             FROM nb
+        """,
+        "q_archive_ingest": """
+            SELECT i.v AS media_id, CAST(k.v AS INT) AS member_idx,
+                   'src/file' || CAST(k.v AS VARCHAR) || '.py' AS path,
+                   CAST(length('# doc ' || CAST(i.v AS VARCHAR)
+                               || ' file ' || CAST(k.v AS VARCHAR)
+                               || chr(10) || 'x = '
+                               || CAST(i.v + k.v AS VARCHAR)
+                               || chr(10)) AS BIGINT) AS n_bytes,
+                   '# doc ' || CAST(i.v AS VARCHAR) || ' file '
+                       || CAST(k.v AS VARCHAR) || chr(10) || 'x = '
+                       || CAST(i.v + k.v AS VARCHAR) || chr(10) AS text
+            FROM range(60) i(v), range(5) k(v)
+            WHERE k.v < 3 + i.v % 3
+            UNION ALL
+            SELECT i.v, CAST(3 + i.v % 3 AS INT), 'bin/data.bin',
+                   CAST(4 + i.v % 4 AS BIGINT), NULL
+            FROM range(60) i(v)
         """,
         "q_warc_ingest": """
             SELECT i.v AS media_id, CAST(k.v + 2 AS INT) AS record_idx,

@@ -1,0 +1,219 @@
+"""Archive ingestion — zip / tar(.gz/.bz2/.xz) members as rows.
+
+Source-code corpora arrive as archives (GitHub tarballs, zipped
+repos, Kaggle dumps) the same way crawls arrive as WARCs — so this is
+the code-pipeline sibling of ``operators/warc.py``: stdlib-only
+parsing (``zipfile`` / ``tarfile`` over in-memory payloads), executed
+map-side with ``mapInPandas`` so archive bytes never cross a shuffle
+and ingestion distributes with the scan.  One output row per member:
+path, size, the content bytes, and the UTF-8 text when it decodes
+(text files flow straight into the curation screens in
+``operators/code.py`` / ``text.py``).
+
+Zip-bomb hygiene (untrusted input, same guard class as the media
+container parsers): member count, per-member inflated size, and total
+inflated bytes are all capped BEFORE allocation; members over the cap
+are skipped fail-open, a poisoned archive never OOMs an executor.
+
+``encode_zip`` / ``encode_tar`` are the fixture/gate writers.
+
+Reference scope: no ingestion tier in the reference engine
+(SURVEY.md §2.5); north-star extension.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_MAX_MEMBERS = 100_000
+_MAX_MEMBER_BYTES = 64 << 20        # 64 MiB per member
+_MAX_TOTAL_BYTES = 1 << 30          # 1 GiB inflated per archive
+
+
+def sniff_archive(payload: bytes) -> Optional[str]:
+    """'zip' | 'tar' | 'tgz' | 'tbz2' | 'txz' | None by magic."""
+    if payload is None or len(payload) < 4:
+        return None
+    if payload[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x06\x06"):
+        return "zip"
+    if payload[:2] == b"\x1f\x8b":
+        return "tgz"
+    if payload[:3] == b"BZh":
+        return "tbz2"
+    if payload[:6] == b"\xfd7zXZ\x00":
+        return "txz"
+    if len(payload) > 262 and payload[257:262] == b"ustar":
+        return "tar"
+    return None
+
+
+def _zip_members(
+    payload: bytes,
+    max_member: int = _MAX_MEMBER_BYTES,
+    max_total: int = _MAX_TOTAL_BYTES,
+) -> Optional[list]:
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except (zipfile.BadZipFile, NotImplementedError, ValueError,
+            OSError):
+        return None
+    out = []
+    total = 0
+    with zf:
+        for info in zf.infolist()[:_MAX_MEMBERS]:
+            if info.is_dir():
+                continue
+            if info.file_size > max_member:
+                continue  # fail-open: skip the oversized member
+            total += info.file_size
+            if total > max_total:
+                break
+            try:
+                with zf.open(info) as fh:
+                    data = fh.read(max_member + 1)
+            except (zipfile.BadZipFile, NotImplementedError,
+                    ValueError, OSError, EOFError):
+                continue
+            if len(data) > max_member:  # header lied about the size
+                continue
+            out.append((info.filename, data))
+    return out
+
+
+def _tar_members(
+    payload: bytes,
+    max_member: int = _MAX_MEMBER_BYTES,
+    max_total: int = _MAX_TOTAL_BYTES,
+) -> Optional[list]:
+    import zlib
+
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
+    except (tarfile.TarError, ValueError, OSError, EOFError,
+            zlib.error):
+        return None
+    out = []
+    total = 0
+    with tf:
+        try:
+            for info in tf:
+                if len(out) >= _MAX_MEMBERS:
+                    break
+                if not info.isfile() or info.size > max_member:
+                    continue
+                total += info.size
+                if total > max_total:
+                    break
+                fh = tf.extractfile(info)
+                if fh is None:
+                    continue
+                data = fh.read(max_member + 1)
+                if len(data) > max_member:
+                    continue
+                out.append((info.name, data))
+        except (tarfile.TarError, ValueError, OSError, EOFError,
+                zlib.error):
+            return out or None
+    return out
+
+
+def archive_member_list(payload: bytes) -> Optional[list]:
+    """[(path, content_bytes)] for any supported archive, or None
+    when the payload is not a parseable archive."""
+    kind = sniff_archive(bytes(payload)) if payload is not None else None
+    if kind is None:
+        return None
+    if kind == "zip":
+        return _zip_members(bytes(payload))
+    members = _tar_members(bytes(payload))
+    if members is not None:
+        return members
+    if kind == "tgz":
+        # a bare gzip that is not a tar: surface the single member
+        import gzip
+        import zlib
+
+        try:
+            data = gzip.decompress(bytes(payload))
+        except (OSError, EOFError, ValueError, zlib.error):
+            return None
+        if len(data) > _MAX_MEMBER_BYTES:
+            return None
+        return [("", data)]
+    return None
+
+
+def encode_zip(members: list) -> bytes:
+    """Fixture writer: ``members`` is ``[(path, bytes)]``."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for path, data in members:
+            zi = zipfile.ZipInfo(path, date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def encode_tar(members: list, gz: bool = True) -> bytes:
+    """Fixture writer: ``members`` is ``[(path, bytes)]``."""
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w:gz" if gz else "w"
+    ) as tf:
+        for path, data in members:
+            info = tarfile.TarInfo(path)
+            info.size = len(data)
+            info.mtime = 1704067200  # 2024-01-01, deterministic
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def archive_members(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_member_bytes: int = _MAX_MEMBER_BYTES,
+) -> DataFrame:
+    """(id, member_idx, path, n_bytes, text) — one row per file member
+    of every parseable archive payload, extracted map-side
+    (``mapInPandas``): archive bytes never cross a shuffle.  ``text``
+    is the UTF-8 decode when the member is valid UTF-8, else NULL
+    (binary members keep their size but don't ship bytes onward —
+    select the raw member via a second pass when needed).
+    Unparseable payloads are skipped fail-open."""
+    out_schema = (
+        f"{id_col} long, member_idx int, path string, n_bytes long, "
+        "text string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                members = archive_member_list(bytes(payload))
+                if members is None:
+                    continue
+                for j, (path, data) in enumerate(members):
+                    if len(data) > max_member_bytes:
+                        continue
+                    try:
+                        text = data.decode("utf-8")
+                    except UnicodeDecodeError:
+                        text = None
+                    rows.append((int(rid), j, path, len(data), text))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "member_idx", "path", "n_bytes",
+                         "text"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=out_schema
+    )

@@ -1505,6 +1505,62 @@ def q_pdf_extract(spark, sf_dir):
     )
 
 
+def q_markdown_extract(spark, sf_dir):
+    """Markdown -> clean-text extraction (r12): every document is
+    rendered as a README — heading, fenced code block carrying a
+    SECRET decoy, emphasis/inline-code intro over the first three
+    words, a link line, bullets, a blockquote, then the text as
+    9-word lines — entirely in Column algebra, and flattened back by
+    the pure-Catalyst regexp pipeline in operators/markdown.py.  The
+    fence must die, markers must strip, prose must survive verbatim;
+    the oracle replays the whole law in SQL."""
+    from deltalake2db_spark.operators import markdown as MD
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(words) / F.lit(9.0)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nch - F.lit(1)),
+            lambda l: F.array_join(
+                F.slice(words, l * F.lit(9) + F.lit(1), F.lit(9)), " "
+            ),
+        ),
+        "\n",
+    )
+    did = F.col("doc_id").cast("string")
+    md = F.concat(
+        F.lit("# Doc "), did,
+        F.lit("\n\n```\npassword = SECRET"), did, F.lit("\n```\n\n"),
+        F.lit("Intro **"), F.element_at(words, 1),
+        F.lit("** and *"), F.element_at(words, 2),
+        F.lit("* and `"), F.element_at(words, 3), F.lit("` here.\n\n["),
+        F.element_at(words, 1), F.lit("](https://ex.com/"), did,
+        F.lit(") inline link.\n\n- item one "),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("\n- item two\n\n> quote "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\n\n"), body,
+    )
+    pages = docs.select("doc_id", md.alias("text"))
+    return MD.extract_markdown(pages)
+
+
+def q_sliding_chunks(spark, sf_dir):
+    """Overlapping context windows (r12): documents split into
+    24-word chunks every 16 words (the RAG/training windowing
+    primitive, operators/text.py sliding_chunks — one split + one
+    posexplode, the corpus never shuffles).  The oracle replays
+    starts, window contents, and tail-window sizes from
+    n_starts = 1 + ceil(max(0, n-24)/16)."""
+    from deltalake2db_spark.operators.text import sliding_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return sliding_chunks(docs, chunk_words=24, stride_words=16)
+
+
 def q_code_secrets(spark, sf_dir):
     """Secrets screen end-to-end (r12): each document gets a planted
     credential by doc_id%4 — AWS access key (AKIA + 16 digits),
@@ -2720,6 +2776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_code_stats": q_code_stats,
         "q_archive_ingest": q_archive_ingest,
         "q_code_secrets": q_code_secrets,
+        "q_markdown_extract": q_markdown_extract,
+        "q_sliding_chunks": q_sliding_chunks,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
         "q_delta_cdf": q_delta_cdf,
@@ -4769,6 +4827,55 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CASE WHEN doc_id % 3 = 1 THEN 'MIT' END
                        AS license_id
             FROM nb
+        """,
+        "q_markdown_extract": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) != ''
+            )
+            SELECT doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                   || 'Intro ' || w[1] || ' and ' || w[2] || ' and '
+                   || w[3] || ' here.' || chr(10)
+                   || w[1] || ' inline link.' || chr(10)
+                   || 'item one ' || CAST(doc_id % 5 AS VARCHAR)
+                   || chr(10) || 'item two' || chr(10)
+                   || 'quote ' || CAST(doc_id % 7 AS VARCHAR)
+                   || chr(10)
+                   || array_to_string(
+                       list_transform(
+                           range(CAST(ceil(len(w)/9.0) AS BIGINT)),
+                           l -> array_to_string(
+                               w[CAST(9*l+1 AS BIGINT)
+                                 :CAST(least(9*l+9, len(w))
+                                       AS BIGINT)], ' ')),
+                       chr(10)) AS text,
+                   CAST(6 + ceil(len(w)/9.0) AS INT) AS n_md_lines
+            FROM d
+        """,
+        "q_sliding_chunks": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) != ''
+            ), st AS (
+                SELECT doc_id, w, len(w) AS n,
+                       1 + CAST(ceil(greatest(len(w) - 24, 0)/16.0)
+                                AS INT) AS n_starts
+                FROM d
+            )
+            SELECT doc_id, CAST(i.v AS INT) AS chunk_idx,
+                   CAST(16 * i.v AS INT) AS start_word,
+                   CAST(least(24, n - 16 * i.v) AS INT) AS n_words,
+                   array_to_string(
+                       w[CAST(16*i.v + 1 AS BIGINT)
+                         :CAST(least(16*i.v + 24, n) AS BIGINT)],
+                       ' ') AS chunk
+            FROM st, range(16) i(v)
+            WHERE i.v < n_starts
         """,
         "q_code_secrets": """
             SELECT doc_id,

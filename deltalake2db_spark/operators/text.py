@@ -298,3 +298,51 @@ def keyword_hits(
             ),
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    chunk_words: int = 128,
+    stride_words: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping context windows — the training/RAG windowing
+    primitive (``chunk_table`` in dedup.py is the non-overlapping
+    special case): ``(id, chunk_idx, start_word, n_words, chunk)``
+    with windows starting every ``stride_words`` words, each
+    ``chunk_words`` long (the final window holds the tail, so every
+    word lands in at least one chunk and no start lies beyond the
+    text).  n_starts = 1 + ceil(max(0, n - w) / s).
+
+    Pure Column algebra: one split, one posexplode of the slice
+    transform — the corpus text never shuffles, the explode factor is
+    ~n/s by construction."""
+    if chunk_words < 1 or stride_words < 1:
+        raise ValueError("chunk_words and stride_words must be >= 1")
+    w, s = F.lit(chunk_words), F.lit(stride_words)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_starts = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - w, F.lit(0)) / s).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - F.lit(1)),
+        lambda i: F.struct(
+            (i * s).alias("start_word"),
+            F.array_join(F.slice(words, i * s + F.lit(1), w), " ").alias(
+                "chunk"
+            ),
+        ),
+    )
+    out = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(id_col, F.posexplode(chunks).alias("chunk_idx", "c"))
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.col("c.start_word").alias("start_word"),
+        F.size(F.split(F.col("c.chunk"), " ", -1)).alias("n_words"),
+        F.col("c.chunk").alias("chunk"),
+    )

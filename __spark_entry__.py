@@ -1477,9 +1477,13 @@ def q_pdf_extract(spark, sf_dir):
 
     from deltalake2db_spark.operators import pdf as P
 
+    # documents is a single parquet split at these SFs; the PDF
+    # encode+parse kernels are Python-heavy, so spread them across
+    # the cores explicitly (at 100 TB the scan itself provides the
+    # splits and this repartition is a no-op in spirit)
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("doc_id", "text")
+    ).select("doc_id", "text").repartition(32)
 
     def gen(it):
         for pdf in it:

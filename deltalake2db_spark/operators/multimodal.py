@@ -97,17 +97,95 @@ def _pnm_header(payload: bytes) -> Optional[tuple[int, int, int, int]]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+_ADAM7 = (  # (x0, y0, dx, dy) per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    rows: np.ndarray, bpp: int
+) -> Optional[np.ndarray]:
+    """Reverse PNG row filters: ``rows`` is (h, stride+1) with the
+    filter byte leading each row; ``bpp`` is the filter's left-pixel
+    byte offset.  None/Up reverse as whole-row vector ops; Sub as a
+    per-lane modular cumsum (the left-dependency closed form);
+    Average/Paeth fall back to the spec's sequential recurrence."""
+    h = rows.shape[0]
+    stride = rows.shape[1] - 1
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up
+            cur += prev
+        elif f == 1:  # Sub: recon(x) = raw(x) + recon(x - bpp)
+            for k in range(bpp):
+                lane = cur[k::bpp].astype(np.uint64)
+                cur[k::bpp] = (lane.cumsum() & 0xFF).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
+def _png_subimage(
+    raw: np.ndarray, off: int, sw: int, sh: int, ch: int, depth: int
+):
+    """Decode one (sub-)image's rows starting at byte ``off`` of the
+    inflated stream: returns ((sh, sw, ch) uint8 in the CODED range —
+    sub-byte samples NOT yet rescaled — , new offset) or None."""
+    stride = (sw * ch * depth + 7) // 8
+    need = sh * (stride + 1)
+    if off + need > len(raw):
+        return None
+    rows = raw[off : off + need].reshape(sh, stride + 1)
+    bpp = max(1, ch * depth // 8)
+    img = _png_unfilter(rows, bpp)
+    if img is None:
+        return None
+    if depth == 8:
+        arr = img.reshape(sh, stride)[:, : sw * ch].reshape(sh, sw, ch)
+    else:  # ch == 1 by construction (gray / palette indices)
+        bits = np.unpackbits(img, axis=1)
+        samples = bits[:, : sw * depth].reshape(sh, sw, depth)
+        # big-endian packing within the byte: weight and sum
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (samples * weights).sum(axis=2).astype(np.uint8)
+        arr = vals.reshape(sh, sw, 1)
+    return arr, off + need
+
+
 def decode_png(payload: bytes) -> Optional[np.ndarray]:
     """Pure-stdlib PNG decode (zlib inflate + numpy unfiltering) to an
     ``(H, W, C) uint8`` array.
 
-    Supports the mainstream subset: 8-bit depth, color types 0 (gray),
-    2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace.  Filters: None
-    and Up reverse as whole-row vector ops; Sub as a per-stride
-    modular cumsum (the left-dependency closed form); Average/Paeth
-    fall back to the spec's sequential byte recurrence.  Returns None
-    for non-PNG or unsupported variants (palette, 16-bit, Adam7) —
-    callers fall back to the stub tier."""
+    Supports the web-mainstream subset: color types 0 (gray), 2
+    (RGB), 3 (palette, incl. tRNS alpha), 4 (gray+alpha), 6 (RGBA);
+    bit depth 8 everywhere plus 1/2/4 for gray and palette; BOTH
+    scanline layouts — sequential and Adam7 interlaced (r12).
+    Palette rows map through PLTE (RGBA when tRNS present); sub-byte
+    gray is rescaled to 8-bit.  Verified against the JVM ImageIO
+    reference in tests/test_operators.py.  Returns None for non-PNG
+    or unsupported variants (16-bit) — callers fall back to the stub
+    tier."""
     import zlib
 
     if payload is None or not payload.startswith(_PNG_SIG):
@@ -115,6 +193,9 @@ def decode_png(payload: bytes) -> Optional[np.ndarray]:
     pos = len(_PNG_SIG)
     w = h = None
     ch = 0
+    depth = color = interlace = 0
+    plte = None
+    trns = None
     idat = bytearray()
     try:
         while pos + 8 <= len(payload):
@@ -127,14 +208,22 @@ def decode_png(payload: bytes) -> Optional[np.ndarray]:
                     ">IIBBBBB", data
                 )
                 if (
-                    depth != 8
-                    or comp != 0
+                    comp != 0
                     or filt != 0
-                    or interlace != 0
-                    or color not in (0, 2, 4, 6)
+                    or interlace not in (0, 1)
+                    or color not in (0, 2, 3, 4, 6)
+                    or depth not in ((1, 2, 4, 8) if color in (0, 3)
+                                     else (8,))
+                    or not (0 < w <= 1 << 15 and 0 < h <= 1 << 15)
                 ):
                     return None
-                ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+                ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+            elif ctype == b"PLTE":
+                if ln % 3:
+                    return None
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif ctype == b"tRNS" and color == 3:
+                trns = np.frombuffer(data, np.uint8)
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -144,60 +233,55 @@ def decode_png(payload: bytes) -> Optional[np.ndarray]:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
     except Exception:
         return None
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        return None
-    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
-    filters = rows[:, 0]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(filters[y])
-        cur = rows[y, 1:].copy()
-        if f == 0:
-            pass
-        elif f == 2:  # Up
-            cur += prev
-        elif f == 1:  # Sub: recon(x) = raw(x) + recon(x - ch)
-            for k in range(ch):
-                lane = cur[k::ch].astype(np.uint64)
-                cur[k::ch] = (lane.cumsum() & 0xFF).astype(np.uint8)
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
-        else:
+    if interlace == 0:
+        sub = _png_subimage(raw, 0, w, h, ch, depth)
+        if sub is None:
             return None
-        out[y] = cur
-        prev = out[y]
-    return out.reshape(h, w, ch)
+        out = sub[0]
+    else:  # Adam7: seven sub-images, each independently filtered
+        out = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            sw = (w - x0 + dx - 1) // dx
+            sh = (h - y0 + dy - 1) // dy
+            if sw <= 0 or sh <= 0:
+                continue
+            sub = _png_subimage(raw, off, sw, sh, ch, depth)
+            if sub is None:
+                return None
+            out[y0::dy, x0::dx] = sub[0]
+            off = sub[1]
+    if color == 3:
+        if plte is None:
+            return None
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            return None
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(plte.shape[0], 255, np.uint8)
+            alpha[: min(len(trns), plte.shape[0])] = trns[
+                : plte.shape[0]
+            ]
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if depth < 8:  # sub-byte gray: rescale to full 8-bit range
+        scale = 255 // ((1 << depth) - 1)
+        return (out * np.uint8(scale)).astype(np.uint8)
+    return out
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """Minimal PNG encoder (stdlib zlib): 8-bit gray/GA/RGB/RGBA, one
-    filter type for every scanline (0/1/2 supported — enough to
-    exercise the decoder's vector paths and produce valid files)."""
-    import zlib
-
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    arr = arr.astype(np.uint8)
-    stride = w * ch
+def _png_filter_rows(
+    sub: np.ndarray, filter_type: int
+) -> bytearray:
+    """Filter one (sub-)image (sh, sw, ch) with a single filter type
+    (0/1/2) — the encoder half of ``_png_unfilter``."""
+    sh, sw, ch = sub.shape
+    stride = sw * ch
     lines = bytearray()
     prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        cur = arr[y].reshape(stride)
+    for y in range(sh):
+        cur = sub[y].reshape(stride)
         if filter_type == 0:
             raw = cur
         elif filter_type == 2:
@@ -211,6 +295,45 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
         lines.append(filter_type)
         lines += raw.tobytes()
         prev = cur
+    return lines
+
+
+def encode_png(
+    arr: np.ndarray,
+    filter_type: int = 0,
+    interlace: bool = False,
+    palette: Optional[np.ndarray] = None,
+    trns: Optional[np.ndarray] = None,
+) -> bytes:
+    """Minimal PNG encoder (stdlib zlib): 8-bit gray/GA/RGB/RGBA —
+    or palette (color type 3) when ``palette`` ((N,3) uint8) is given
+    and ``arr`` is an (h, w) index raster, with optional ``trns``
+    per-index alpha.  One filter type for every scanline (0/1/2) and
+    optionally Adam7-``interlace``d scanline layout (r12) — enough to
+    exercise every decoder path and produce valid files."""
+    import zlib
+
+    if palette is not None:
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        arr = arr.astype(np.uint8)[:, :, None]
+        color = 3
+    else:
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        arr = arr.astype(np.uint8)
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[arr.shape[2]]
+    h, w, _ch = arr.shape
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _png_filter_rows(
+                    np.ascontiguousarray(sub), filter_type
+                )
+    else:
+        lines = _png_filter_rows(arr, filter_type)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -220,10 +343,16 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0
+    )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        if trns is not None:
+            out += chunk(b"tRNS", np.asarray(trns, np.uint8).tobytes())
     return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
+        out
         + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + chunk(b"IEND", b"")
     )

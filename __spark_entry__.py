@@ -1814,6 +1814,52 @@ def q_media_exif(spark, sf_dir):
     )
 
 
+def q_media_orientation(spark, sf_dir):
+    """EXIF-orientation normalization end-to-end (r12): grayscale
+    JPEGs that are constant per 8x8 block (v(r,c) = (3r+5c+7i)%256 on
+    a 2x3 block grid, unit quant -> bit-exact codec) carry an APP1
+    orientation tag 1+i%8; the pixels are decoded, the orientation
+    APPLIED (operators/multimodal.apply_exif_orientation), and the
+    post-normalization dims + corner pixels emitted.  Corners pin the
+    transform exactly — pixel sums are rotation-invariant and would
+    prove nothing.  The oracle replays dims and all four corners per
+    orientation case from the closed form."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        import numpy as _np
+
+        from deltalake2db_spark.operators.exif import encode_exif_app1
+        from deltalake2db_spark.operators.jpeg import encode_jpeg
+
+        ones = _np.ones((8, 8), int)
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                r = _np.arange(2)[:, None]
+                c = _np.arange(3)[None, :]
+                v = ((3 * r + 5 * c + 7 * i) % 256).astype(_np.uint8)
+                img = _np.repeat(_np.repeat(v, 8, 0), 8, 1)
+                base = encode_jpeg(
+                    img, quant_luma=ones, quant_chroma=ones
+                )
+                app1 = encode_exif_app1(orientation=1 + i % 8)
+                rows.append((
+                    i, "image", base[:2] + app1 + base[2:],
+                    {"mime": "image/jpeg", "width": 24, "height": 16,
+                     "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(80).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return M.oriented_image_stats(media)
+
+
 def q_media_exif_scrub(spark, sf_dir):
     """GPS-PII scrub end-to-end (r12): JPEGs carrying a closed-form
     EXIF block — make/model/datetime/orientation PLUS a Software tag
@@ -2770,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_video_decode": q_media_video_decode,
         "q_media_anim_frames": q_media_anim_frames,
         "q_media_gif_frames": q_media_gif_frames,
+        "q_media_orientation": q_media_orientation,
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
         "q_media_exif_scrub": q_media_exif_scrub,
@@ -5013,6 +5060,41 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CAST(((i.v + 11 * k.v) % 256) * 64 AS BIGINT)
                        AS v_sum
             FROM range(50) i(v), range(4) k(v)
+        """,
+        "q_media_orientation": """
+            WITH g AS (
+                SELECT i.v AS media_id, CAST(1 + i.v % 8 AS INT) AS o,
+                       (7*i.v) % 256 AS tl0, (10 + 7*i.v) % 256 AS tr0,
+                       (3 + 7*i.v) % 256 AS bl0,
+                       (13 + 7*i.v) % 256 AS br0
+                FROM range(80) i(v)
+            )
+            SELECT media_id, o AS orientation,
+                   CAST(CASE WHEN o <= 4 THEN 16 ELSE 24 END AS INT)
+                       AS height,
+                   CAST(CASE WHEN o <= 4 THEN 24 ELSE 16 END AS INT)
+                       AS width,
+                   CAST(CASE o WHEN 1 THEN tl0 WHEN 2 THEN tr0
+                               WHEN 3 THEN br0 WHEN 4 THEN bl0
+                               WHEN 5 THEN tl0 WHEN 6 THEN bl0
+                               WHEN 7 THEN br0 ELSE tr0 END AS INT)
+                       AS tl,
+                   CAST(CASE o WHEN 1 THEN tr0 WHEN 2 THEN tl0
+                               WHEN 3 THEN bl0 WHEN 4 THEN br0
+                               WHEN 5 THEN bl0 WHEN 6 THEN tl0
+                               WHEN 7 THEN tr0 ELSE br0 END AS INT)
+                       AS tr,
+                   CAST(CASE o WHEN 1 THEN bl0 WHEN 2 THEN br0
+                               WHEN 3 THEN tr0 WHEN 4 THEN tl0
+                               WHEN 5 THEN tr0 WHEN 6 THEN br0
+                               WHEN 7 THEN bl0 ELSE tl0 END AS INT)
+                       AS bl,
+                   CAST(CASE o WHEN 1 THEN br0 WHEN 2 THEN bl0
+                               WHEN 3 THEN tl0 WHEN 4 THEN tr0
+                               WHEN 5 THEN br0 WHEN 6 THEN tr0
+                               WHEN 7 THEN tl0 ELSE bl0 END AS INT)
+                       AS br
+            FROM g
         """,
         "q_media_gif_frames": """
             SELECT i.v AS media_id, CAST(j.v AS INT) AS frame_idx,

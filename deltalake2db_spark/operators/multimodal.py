@@ -509,6 +509,77 @@ def _decode_image(payload: bytes, width: int, height: int):
     return (s % 256, len(payload) / n, n)
 
 
+def apply_exif_orientation(
+    arr: np.ndarray, orientation
+) -> np.ndarray:
+    """Transform a decoded (H, W[, C]) array into display orientation
+    per the EXIF Orientation tag (1 normal, 2 mirror-H, 3 rot180,
+    4 mirror-V, 5 transpose, 6 rot90 CW, 7 transverse, 8 rot90 CCW).
+    Index views where possible; unknown values pass through."""
+    o = int(orientation or 1)
+    if o == 2:
+        return arr[:, ::-1]
+    if o == 3:
+        return arr[::-1, ::-1]
+    if o == 4:
+        return arr[::-1]
+    if o == 5:
+        return arr.swapaxes(0, 1)
+    if o == 6:
+        return np.rot90(arr, k=-1)
+    if o == 7:
+        return np.rot90(arr, k=-1)[::-1]
+    if o == 8:
+        return np.rot90(arr, k=1)
+    return arr
+
+
+def oriented_image_stats(df: DataFrame) -> DataFrame:
+    """(media_id, orientation, height, width, tl, tr, bl, br) — every
+    image decoded map-side, its EXIF Orientation (JPEG APP1, via
+    ``exif.parse_exif``; 1 elsewhere) APPLIED, then post-normalization
+    dims + channel-0 corner pixels emitted.  This is the pipeline's
+    'pixels are upright before featurization' pass; corners pin the
+    transform exactly (sums are rotation-invariant and would prove
+    nothing)."""
+    out_schema = (
+        "media_id long, orientation int, height int, width int, "
+        "tl int, tr int, bl int, br int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .exif import parse_exif
+
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                payload = bytes(payload)
+                arr = decode_image_array(payload)
+                if arr is None:
+                    continue
+                meta = parse_exif(payload)
+                o = (meta or {}).get("orientation") or 1
+                arr = apply_exif_orientation(arr, o)
+                rows.append((
+                    int(mid), int(o), arr.shape[0], arr.shape[1],
+                    int(arr[0, 0, 0]), int(arr[0, -1, 0]),
+                    int(arr[-1, 0, 0]), int(arr[-1, -1, 0]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "orientation", "height", "width",
+                         "tl", "tr", "bl", "br"],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only profile — never touches the binary column, so
     column pruning keeps the scan tiny."""

@@ -2059,3 +2059,30 @@ def test_png_adam7_palette_subbyte(tmp_path, spark):
             ref = ref[:, :, [2, 1, 0]]  # ImageIO emits BGR
         assert np.array_equal(ref, expect), name
         assert np.array_equal(M.decode_png(payload), expect), name
+
+
+def test_apply_exif_orientation_all_eight():
+    """Corner-exact check of every EXIF orientation value against the
+    spec's display transforms, on a non-square array."""
+    import numpy as np
+
+    from deltalake2db_spark.operators.multimodal import (
+        apply_exif_orientation,
+    )
+
+    a = np.arange(6, dtype=np.uint8).reshape(2, 3, 1) + 1
+    # (TL, TR, BL, BR) after transform, in original-corner values
+    expect = {
+        1: (1, 3, 4, 6), 2: (3, 1, 6, 4), 3: (6, 4, 3, 1),
+        4: (4, 6, 1, 3), 5: (1, 4, 3, 6), 6: (4, 1, 6, 3),
+        7: (6, 3, 4, 1), 8: (3, 6, 1, 4),
+    }
+    for o, corners in expect.items():
+        r = apply_exif_orientation(a, o)
+        got = (int(r[0, 0, 0]), int(r[0, -1, 0]),
+               int(r[-1, 0, 0]), int(r[-1, -1, 0]))
+        assert got == corners, o
+        assert r.shape[:2] == ((2, 3) if o <= 4 else (3, 2)), o
+    # unknown / null orientations pass through
+    assert apply_exif_orientation(a, None) is a
+    assert apply_exif_orientation(a, 9) is a

@@ -148,6 +148,346 @@ def q6_revenue_filter(spark, sf_dir):
     )
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 adapted to this schema (r12): priority histogram of
+    1996H1 orders that have at least one lineitem shipped after the
+    order date — a correlated EXISTS compiled to a LEFT SEMI join
+    with a non-equi conjunct (Spark keeps the equi key for the hash
+    join and applies the date comparison as the join residual)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 adapted (r12): shipping volume between the nation
+    pair (NATION_1, NATION_2) in either direction by ship year —
+    two independent dimension chains (supplier->nation,
+    customer->nation) broadcast onto the one fact scan; the pair
+    predicate is a residual conjunct, never a shuffle."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 adapted (r12): NATION_3's share of PROMO-part revenue
+    sold into ASIA by order year — conditional aggregation (sum of a
+    CASE over the supplier nation / total) after a star of broadcast
+    dimensions around the fact scan."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol)
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 adapted (r12, no partsupp in this schema): profit on
+    widget parts = revenue - 0.5 * p_retailprice * l_quantity, by
+    supplier nation and order year."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(profit), 2).cast("double").alias("sum_profit")
+        )
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 adapted (r12): top 20 customers by revenue lost to
+    returns (l_returnflag = 'R') on 1996Q1 orders, with their nation
+    — deterministic tiebreak on custkey so the LIMIT is stable across
+    engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 adapted (r12): the customer order-count histogram —
+    LEFT OUTER join so zero-order customers land in the c_count=0
+    bucket, orders screened to non-urgent (the comment-filter
+    analogue this schema supports)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 adapted (r12): PROMO parts' share of September-1996
+    shipping revenue — one broadcast dim join, conditional agg."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    vol = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol)
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 adapted (r12): the supplier(s) whose 1996H2 shipping
+    revenue equals the maximum — the revenue view is computed once,
+    its max broadcast back as a one-row cross join (no re-scan, no
+    correlated subquery)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-07-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice")
+                 * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ),
+            2,
+        ).cast("double").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 adapted (r12): average yearly revenue lost to
+    small-quantity Brand#4 orders — the per-part avg quantity is a
+    groupBy aggregate broadcast back onto the fact rows (not a
+    correlated subquery, not a window re-sort of the fact table)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    li = _t(spark, sf_dir, "lineitem")
+    matched = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avg_qty = matched.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        matched.join(
+            F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key")
+        )
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                ).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 adapted (r12): top large-volume orders (total
+    quantity > 250) with customer — the quantity screen is a
+    groupBy-HAVING on the fact, joined back to orders/customer;
+    deterministic tiebreak on orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .limit(100)
+    )
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 adapted (r12): per market segment, the count and
+    balance of above-average-balance customers with no orders since
+    1999 — a scalar aggregate broadcast (the avg) plus a LEFT ANTI
+    join against the recent-orders slice."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_window_top_customers(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -2909,6 +3249,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_revenue_filter": q6_revenue_filter,
+        "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_distribution": q13_order_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q22_idle_customers": q22_idle_customers,
         "q_window_top_customers": q_window_top_customers,
         "q_semi_high_quantity": q_semi_high_quantity,
         "q_anti_low_spenders": q_anti_low_spenders,
@@ -3698,6 +4049,167 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                                  THEN CAST(l_extendedprice * (1 - l_discount)
+                                            AS DECIMAL(18,6))
+                                  ELSE CAST(0 AS DECIMAL(18,6)) END)
+                              AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                         AS DECIMAL(18,6))) AS DOUBLE), 6)
+                       AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  - 0.5 * p_retailprice * l_quantity
+                                  AS DECIMAL(18,6))), 2) AS DOUBLE)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN (SELECT * FROM orders
+                           WHERE o_orderpriority != '1-URGENT') o
+                  ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                         AS DECIMAL(18,6))) AS DOUBLE), 6)
+                       AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       CAST(round(sum(CAST(l_extendedprice
+                                           * (1 - l_discount)
+                                           AS DECIMAL(18,6))), 2)
+                            AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue)
+                                   FROM revenue)
+        """,
+        "q17_small_quantity": """
+            WITH matched AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#4'
+            ), avgs AS (
+                SELECT l_partkey AS ap_key,
+                       0.5 * avg(l_quantity) AS half_avg
+                FROM matched GROUP BY l_partkey)
+            SELECT round(CAST(sum(CAST(l_extendedprice
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                         / 7.0, 2) AS avg_yearly
+            FROM matched JOIN avgs ON l_partkey = ap_key
+            WHERE l_quantity < half_avg
+        """,
+        "q18_large_volume": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, round(sum_qty, 2) AS sum_qty
+            FROM (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 250)
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q22_idle_customers": """
+            SELECT c_mktsegment, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_mktsegment
         """,
         "q_window_top_customers": """
             SELECT n_name, c_custkey, total_spend, rnk FROM (

@@ -1905,6 +1905,55 @@ def q_sliding_chunks(spark, sf_dir):
     return sliding_chunks(docs, chunk_words=24, stride_words=16)
 
 
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair end-to-end (r12): each document gets a tail
+    phrase by doc_id%4 — latin-1 mojibake of 'café résumé', cp1252
+    mojibake of curly-quote/dash/ellipsis text, CLEAN accented text
+    (must pass untouched), or plain ASCII — and text.fix_mojibake
+    (the ftfy-core latin-1 re-encode/re-decode with marker +
+    representability + UTF-8-validity guards, pure Column algebra)
+    must repair exactly the broken ones.  The oracle replays the
+    expected clean tail from the planting law; mojibake literals are
+    baked at plan build from the real double-encode."""
+    from deltalake2db_spark.operators.text import fix_mojibake
+
+    def _moj(s, enc):
+        out = []
+        for b in s.encode("utf-8"):
+            try:
+                out.append(bytes([b]).decode(enc))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    tails = [
+        _moj("café résumé", "latin-1"),
+        _moj("naïve – “quoted” … déjà", "cp1252"),
+        "déjà vu clean",
+        "plain ascii tail",
+    ]
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    did = F.col("doc_id")
+    tail = (
+        F.when(did % 4 == 0, F.lit(tails[0]))
+        .when(did % 4 == 1, F.lit(tails[1]))
+        .when(did % 4 == 2, F.lit(tails[2]))
+        .otherwise(F.lit(tails[3]))
+    )
+    broken = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n"), tail).alias("text"),
+    )
+    fixed = fix_mojibake(F.col("text"))
+    return broken.select(
+        "doc_id",
+        F.element_at(F.split(fixed, "\n", -1), -1).alias("fixed_tail"),
+        (fixed != F.col("text")).alias("changed"),
+    )
+
+
 def q_code_secrets(spark, sf_dir):
     """Secrets screen end-to-end (r12): each document gets a planted
     credential by doc_id%4 — AWS access key (AKIA + 16 digits),
@@ -3168,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_archive_ingest": q_archive_ingest,
         "q_code_secrets": q_code_secrets,
         "q_markdown_extract": q_markdown_extract,
+        "q_fix_mojibake": q_fix_mojibake,
         "q_sliding_chunks": q_sliding_chunks,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
@@ -5439,6 +5489,17 @@ SELECT query_id, vec_id, sim, rank FROM (
                        ' ') AS chunk
             FROM st, range(16) i(v)
             WHERE i.v < n_starts
+        """,
+        "q_fix_mojibake": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'café résumé'
+                     WHEN 1 THEN 'naïve – “quoted” … déjà'
+                     WHEN 2 THEN 'déjà vu clean'
+                     ELSE 'plain ascii tail' END AS fixed_tail,
+                   doc_id % 4 < 2 AS changed
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) != ''
         """,
         "q_code_secrets": """
             SELECT doc_id,

@@ -346,3 +346,58 @@ def sliding_chunks(
         F.size(F.split(F.col("c.chunk"), " ", -1)).alias("n_words"),
         F.col("c.chunk").alias("chunk"),
     )
+
+
+_MOJIBAKE_MARKER = (
+    # any UTF-8 lead byte (0xC2-0xF4) seen through latin-1 eyes,
+    # followed by a continuation byte seen through latin-1 (raw
+    # \x80-\xBF) or cp1252 (its remapped punctuation) eyes
+    "[\u00c2-\u00f4]"
+    "[\u0080-\u00bf\u0152\u0153\u0160\u0161\u0178\u017d\u017e"
+    "\u0192\u02c6\u02dc\u2013\u2014\u2018-\u201e\u2020-\u2022"
+    "\u2026\u2030\u2039\u203a\u20ac\u2122]"
+)
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair UTF-8-read-as-latin-1 double encoding (the dominant
+    web-crawl mojibake class; ftfy's core fix) in pure Column algebra:
+    re-encode the text as latin-1 and re-decode the bytes as UTF-8.
+    Three guards keep it surgical and total:
+
+    1. only strings showing a mojibake MARKER (a latin-1 char in the
+       UTF-8 lead-byte range followed by a continuation-range char)
+       are touched — clean text, including real French/Spanish
+       accents, passes through untouched;
+    2. only strings wholly representable in latin-1 (after the cp1252
+       bridge) are re-encoded — chars above U+00FF mean it was never
+       a latin-1 misread, and Spark's ``encode`` would throw on them;
+    3. the recovered bytes must be valid UTF-8 (``is_valid_utf8``),
+       else the original survives (a lone legitimate 'Ã' never
+       corrupts).
+
+    Real-world mojibake usually came through cp1252, whose printable
+    0x80-0x9F punctuation (curly quotes, dashes, euro) is NOT
+    latin-1-representable — so those chars are first bridged back to
+    their byte values via ``translate`` (the standard windows-1252 /
+    latin-1 bridge), making the latin-1 re-encode total."""
+    c = text
+    cp1252 = [
+        (0x80, 0x20AC), (0x82, 0x201A), (0x83, 0x0192), (0x84, 0x201E),
+        (0x85, 0x2026), (0x86, 0x2020), (0x87, 0x2021), (0x88, 0x02C6),
+        (0x89, 0x2030), (0x8A, 0x0160), (0x8B, 0x2039), (0x8C, 0x0152),
+        (0x8E, 0x017D), (0x91, 0x2018), (0x92, 0x2019), (0x93, 0x201C),
+        (0x94, 0x201D), (0x95, 0x2022), (0x96, 0x2013), (0x97, 0x2014),
+        (0x98, 0x02DC), (0x99, 0x2122), (0x9A, 0x0161), (0x9B, 0x203A),
+        (0x9C, 0x0153), (0x9E, 0x017E), (0x9F, 0x0178),
+    ]
+    src = "".join(chr(u) for _b, u in cp1252)
+    dst = "".join(chr(b) for b, _u in cp1252)
+    bridged = F.translate(c, src, dst)
+    latin1_safe = bridged.rlike("^[\u0000-\u00ff]*$")
+    marker = c.rlike(_MOJIBAKE_MARKER)
+    raw = F.encode(bridged, "ISO-8859-1")
+    return F.when(
+        marker & latin1_safe & F.is_valid_utf8(raw),
+        F.decode(raw, "UTF-8"),
+    ).otherwise(c)

@@ -88,3 +88,43 @@ def test_sliding_chunks_every_word_covered(spark):
     assert seen == set(range(53))
     with pytest.raises(ValueError):
         sliding_chunks(df, chunk_words=0)
+
+
+def test_fix_mojibake_cases(spark):
+    from pyspark.sql import functions as F
+
+    from deltalake2db_spark.operators.text import fix_mojibake
+
+    def moj(s, enc):
+        out = []
+        for b in s.encode("utf-8"):
+            try:
+                out.append(bytes([b]).decode(enc))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    rows = [
+        (0, moj("café résumé", "latin-1")),
+        (1, moj("naïve – “quoted” … déjà", "cp1252")),
+        (2, "déjà vu clean text"),
+        (3, "plain ascii"),
+        (4, "Ã is a letter on its own"),
+        (5, moj("中文 mixed with ascii", "latin-1")),
+        (6, ""),
+        (7, "tâche fête São niño"),
+        (8, moj("emoji 🎉 test", "latin-1")),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = {r.i: r.f for r in df.select(
+        "i", fix_mojibake(F.col("t")).alias("f")
+    ).collect()}
+    assert out[0] == "café résumé"
+    assert out[1] == "naïve – “quoted” … déjà"
+    assert out[2] == "déjà vu clean text"      # real accents untouched
+    assert out[3] == "plain ascii"
+    assert out[4] == "Ã is a letter on its own"  # invalid recovery kept
+    assert out[5] == "中文 mixed with ascii"
+    assert out[6] == ""
+    assert out[7] == "tâche fête São niño"     # â + ASCII: no marker
+    assert out[8] == "emoji 🎉 test"

@@ -229,6 +229,43 @@ def main() -> int:
     # (corrupting an unprobed cell's parquet leaves results unchanged)
     sections.append(("IVF-PQ index pruned search", formatted(df)))
 
+    # 12. TPC-H q4 (r12): the correlated EXISTS must compile to a
+    # LEFT SEMI join (one pass over lineitem), never a per-row
+    # subquery or a cartesian product
+    df = entry.q4_order_priority(spark, sf)
+    p = plan_of(df)
+    if "LeftSemi" not in p:
+        failures.append("q4 EXISTS did not compile to a LEFT SEMI join")
+    if "CartesianProduct" in p:
+        failures.append("q4 planned a cartesian product")
+    sections.append(("TPC-H q4 EXISTS as LEFT SEMI", formatted(df)))
+
+    # 13. TPC-H q8 (r12): all six dimension joins broadcast; at most
+    # the lineitem-orders join is allowed to shuffle
+    df = entry.q8_market_share(spark, sf)
+    p = plan_of(df)
+    if p.count("BroadcastHashJoin") < 6:
+        failures.append(
+            f"q8 has {p.count('BroadcastHashJoin')} broadcast joins; "
+            "all six dimensions must broadcast"
+        )
+    if p.count("SortMergeJoin") > 1:
+        failures.append("q8 shuffles more than the one fact-fact join")
+    sections.append(("TPC-H q8 broadcast dimension star", formatted(df)))
+
+    # 14. TPC-H q17 (r12): the per-part average comes back as a
+    # broadcast aggregate — no Window re-sort of the fact rows
+    df = entry.q17_small_quantity(spark, sf)
+    p = plan_of(df)
+    if "Window" in p:
+        failures.append(
+            "q17 uses a window over the fact table; the per-part avg "
+            "must be an aggregate broadcast back"
+        )
+    if "BroadcastHashJoin" not in p:
+        failures.append("q17 avg-quantity join is not broadcast")
+    sections.append(("TPC-H q17 avg broadcast-back", formatted(df)))
+
     if "--dump" in sys.argv:
         with open("/root/repo/PLANS.md", "w") as fh:
             fh.write("# Physical plan audit (generated by tools/explain_audit.py)\n")

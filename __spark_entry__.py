@@ -1757,9 +1757,12 @@ def q_html_extract(spark, sf_dir):
     paragraphs + entity block + footer."""
     from deltalake2db_spark.operators import html as H
 
+    # single parquet split at test SFs + a Python extraction kernel:
+    # spread the mapInPandas across cores (same move as q_pdf_extract;
+    # at 100 TB the scan provides the splits)
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
-    )
+    ).repartition(32)
     words = F.split(F.trim(F.col("text")), r"\s+")
     nch = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
     paras = F.transform(
@@ -1903,6 +1906,46 @@ def q_sliding_chunks(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return sliding_chunks(docs, chunk_words=24, stride_words=16)
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt screening end-to-end (r12): 10 hosts carry one of
+    two closed-form robots bodies (even hosts: Disallow /private/
+    with a longer Allow /private/ok — longest-match-wins; odd hosts:
+    Disallow /blog/*.html$ — wildcard + end anchor), 200 URLs cycle
+    five path shapes across 12 hosts (two hosts have NO robots entry
+    -> allow-all convention).  filter_by_robots joins on host and
+    evaluates map-side (operators/robots.py, RFC 9309 semantics); the
+    oracle replays every verdict from the law."""
+    from deltalake2db_spark.operators.robots import filter_by_robots
+
+    even_txt = (
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+    )
+    odd_txt = "User-agent: *\nDisallow: /blog/*.html$\n"
+    robots = spark.range(10).select(
+        F.concat(F.lit("host"), F.col("id"), F.lit(".test")).alias(
+            "host"
+        ),
+        F.when(F.col("id") % 2 == 0, F.lit(even_txt))
+        .otherwise(F.lit(odd_txt))
+        .alias("robots_txt"),
+    )
+    i = F.col("id")
+    path = (
+        F.when(i % 5 == 0, F.lit("/"))
+        .when(i % 5 == 1, F.concat(F.lit("/private/x"), i))
+        .when(i % 5 == 2, F.lit("/private/ok"))
+        .when(i % 5 == 3, F.concat(F.lit("/blog/p"), i, F.lit(".html")))
+        .otherwise(F.concat(F.lit("/blog/p"), i, F.lit(".htm")))
+    )
+    urls = spark.range(200).select(
+        F.col("id").alias("url_id"),
+        F.concat(
+            F.lit("https://host"), i % 12, F.lit(".test"), path
+        ).alias("url"),
+    )
+    return filter_by_robots(urls, robots, keep_blocked=True)
 
 
 def q_fix_mojibake(spark, sf_dir):
@@ -3218,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_code_secrets": q_code_secrets,
         "q_markdown_extract": q_markdown_extract,
         "q_fix_mojibake": q_fix_mojibake,
+        "q_robots_filter": q_robots_filter,
         "q_sliding_chunks": q_sliding_chunks,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
@@ -5489,6 +5533,27 @@ SELECT query_id, vec_id, sim, rank FROM (
                        ' ') AS chunk
             FROM st, range(16) i(v)
             WHERE i.v < n_starts
+        """,
+        "q_robots_filter": """
+            SELECT i.v AS url_id,
+                   'https://host' || CAST(i.v % 12 AS VARCHAR)
+                   || '.test' ||
+                   CASE CAST(i.v % 5 AS INT)
+                     WHEN 0 THEN '/'
+                     WHEN 1 THEN '/private/x' || CAST(i.v AS VARCHAR)
+                     WHEN 2 THEN '/private/ok'
+                     WHEN 3 THEN '/blog/p' || CAST(i.v AS VARCHAR)
+                                 || '.html'
+                     ELSE '/blog/p' || CAST(i.v AS VARCHAR) || '.htm'
+                   END AS url,
+                   CASE
+                     WHEN i.v % 12 >= 10 THEN TRUE      -- no robots
+                     WHEN i.v % 12 % 2 = 0 THEN         -- even hosts
+                       NOT (i.v % 5 = 1)                -- /private/x
+                     ELSE                               -- odd hosts
+                       NOT (i.v % 5 = 3)                -- *.html$
+                   END AS allowed
+            FROM range(200) i(v)
         """,
         "q_fix_mojibake": """
             SELECT doc_id,

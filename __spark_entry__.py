@@ -1908,6 +1908,87 @@ def q_sliding_chunks(spark, sf_dir):
     return sliding_chunks(docs, chunk_words=24, stride_words=16)
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Sitemap parsing end-to-end (r12): urlset documents (2+i%3
+    pages with closed-form loc/lastmod/changefreq/priority) for most
+    ids, sitemapindex documents (2 nested sitemap locs) for i%4==3,
+    gzip-compressed for odd ids — synthesized distributed by the
+    fixture writer and parsed back map-side (operators/sitemap.py,
+    stdlib ElementTree, namespace-agnostic).  The oracle replays
+    every entry from the law."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import sitemap as SM
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 4 == 3:
+                    entries = [
+                        {"loc": f"https://h{i}.test/sm{k}.xml.gz"}
+                        for k in range(2)
+                    ]
+                    payload = SM.encode_sitemap(
+                        entries, kind="sitemapindex", gz=i % 2 == 1
+                    )
+                else:
+                    freqs = ["daily", "weekly", "monthly"]
+                    entries = [
+                        {
+                            "loc": f"https://h{i}.test/page{k}",
+                            "lastmod": f"2024-01-{1 + (i + k) % 28:02d}",
+                            "changefreq": freqs[k % 3],
+                            "priority": f"{(5 + k) / 10.0:.1f}",
+                        }
+                        for k in range(2 + i % 3)
+                    ]
+                    payload = SM.encode_sitemap(entries, gz=i % 2 == 1)
+                rows.append((i, payload))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    maps = spark.range(60).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return SM.sitemap_entries(maps)
+
+
+def q_cdx_index(spark, sf_dir):
+    """Common Crawl CDX index parsing (r12): closed-form CDX(J) lines
+    — 'urlkey timestamp {json}' with string-typed numerics, one
+    deliberately broken JSON per ten lines — built in Column algebra
+    and parsed back by the pure-Catalyst cdx_records (bounded split +
+    from_json PERMISSIVE: malformed lines yield NULL fields, never
+    errors).  The oracle replays all typed fields from the law."""
+    from deltalake2db_spark.operators.warc import cdx_records
+
+    i = F.col("id")
+    stat = (
+        F.when(i % 3 == 0, F.lit("200"))
+        .when(i % 3 == 1, F.lit("301"))
+        .otherwise(F.lit("404"))
+    )
+    good = F.concat(
+        F.lit('{"url": "https://h'), i, F.lit('.test/page'), i,
+        F.lit('", "mime": "text/html", "status": "'), stat,
+        F.lit('", "digest": "D'), i,
+        F.lit('", "length": "'), (1000 + i).cast("string"),
+        F.lit('", "offset": "'), (i * 2048).cast("string"),
+        F.lit('", "filename": "crawl-'), (i % 5).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    payload = F.when(i % 10 == 9, F.lit("{broken")).otherwise(good)
+    lines = spark.range(150).select(
+        F.concat(
+            F.lit("test,h"), i, F.lit(")/page"), F.lit(" "),
+            (F.lit(20240201000000) + i).cast("string"), F.lit(" "),
+            payload,
+        ).alias("line"),
+    )
+    return cdx_records(lines)
+
+
 def q_robots_filter(spark, sf_dir):
     """robots.txt screening end-to-end (r12): 10 hosts carry one of
     two closed-form robots bodies (even hosts: Disallow /private/
@@ -3262,6 +3343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markdown_extract": q_markdown_extract,
         "q_fix_mojibake": q_fix_mojibake,
         "q_robots_filter": q_robots_filter,
+        "q_sitemap_entries": q_sitemap_entries,
+        "q_cdx_index": q_cdx_index,
         "q_sliding_chunks": q_sliding_chunks,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
@@ -5533,6 +5616,53 @@ SELECT query_id, vec_id, sim, rank FROM (
                        ' ') AS chunk
             FROM st, range(16) i(v)
             WHERE i.v < n_starts
+        """,
+        "q_sitemap_entries": """
+            SELECT i.v AS media_id, 'urlset' AS kind,
+                   CAST(k.v AS INT) AS entry_idx,
+                   'https://h' || CAST(i.v AS VARCHAR) || '.test/page'
+                       || CAST(k.v AS VARCHAR) AS loc,
+                   '2024-01-' || lpad(CAST(1 + (i.v + k.v) % 28
+                                           AS VARCHAR), 2, '0')
+                       AS lastmod,
+                   CASE CAST(k.v % 3 AS INT) WHEN 0 THEN 'daily'
+                        WHEN 1 THEN 'weekly' ELSE 'monthly' END
+                       AS changefreq,
+                   (5 + k.v) / 10.0 AS priority
+            FROM range(60) i(v), range(5) k(v)
+            WHERE i.v % 4 <> 3 AND k.v < 2 + i.v % 3
+            UNION ALL
+            SELECT i.v, 'sitemapindex', CAST(k.v AS INT),
+                   'https://h' || CAST(i.v AS VARCHAR) || '.test/sm'
+                       || CAST(k.v AS VARCHAR) || '.xml.gz',
+                   NULL, NULL, NULL
+            FROM range(60) i(v), range(2) k(v)
+            WHERE i.v % 4 = 3
+        """,
+        "q_cdx_index": """
+            SELECT 'test,h' || CAST(i.v AS VARCHAR) || ')/page'
+                       AS urlkey,
+                   CAST(20240201000000 + i.v AS VARCHAR) AS fetch_ts,
+                   CASE WHEN i.v % 10 = 9 THEN NULL
+                        ELSE 'https://h' || CAST(i.v AS VARCHAR)
+                             || '.test/page' || CAST(i.v AS VARCHAR)
+                   END AS url,
+                   CASE WHEN i.v % 10 = 9 THEN NULL
+                        ELSE 'text/html' END AS mime,
+                   CASE WHEN i.v % 10 = 9 THEN NULL
+                        WHEN i.v % 3 = 0 THEN 200
+                        WHEN i.v % 3 = 1 THEN 301
+                        ELSE 404 END AS status,
+                   CASE WHEN i.v % 10 = 9 THEN NULL
+                        ELSE 'D' || CAST(i.v AS VARCHAR) END AS digest,
+                   CASE WHEN i.v % 10 = 9 THEN NULL
+                        ELSE 1000 + i.v END AS warc_length,
+                   CASE WHEN i.v % 10 = 9 THEN NULL
+                        ELSE i.v * 2048 END AS warc_offset,
+                   CASE WHEN i.v % 10 = 9 THEN NULL
+                        ELSE 'crawl-' || CAST(i.v % 5 AS VARCHAR)
+                             || '.warc.gz' END AS warc_filename
+            FROM range(150) i(v)
         """,
         "q_robots_filter": """
             SELECT i.v AS url_id,

@@ -218,3 +218,37 @@ def encode_warc(records: list, gzip_members: bool = True) -> bytes:
         else:
             out += rec
     return bytes(out)
+
+
+def cdx_records(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse Common Crawl CDX(J) index lines — ``urlkey timestamp
+    {json}`` — into typed rows: (urlkey, fetch_ts, url, mime, status,
+    digest, warc_length, warc_offset, warc_filename).  The CDX index
+    is how a pipeline FINDS records inside the petabyte WARC corpus
+    before fetching byte ranges, so this is the step ahead of
+    ``warc_records``.
+
+    Pure Column algebra: one bounded split + ``from_json`` (CC stores
+    every JSON field as a string; numerics cast after).  Scan-speed,
+    zero Python; malformed lines yield NULL fields (from_json's
+    PERMISSIVE mode), never errors."""
+    from pyspark.sql import functions as F
+
+    c = F.col(line_col)
+    parts = F.split(c, " ", 3)
+    j = F.from_json(
+        F.element_at(parts, 3),
+        "url string, mime string, status string, digest string, "
+        "length string, offset string, filename string",
+    )
+    return df.select(
+        F.element_at(parts, 1).alias("urlkey"),
+        F.element_at(parts, 2).alias("fetch_ts"),
+        j.url.alias("url"),
+        j.mime.alias("mime"),
+        j.status.cast("int").alias("status"),
+        j.digest.alias("digest"),
+        j.length.cast("long").alias("warc_length"),
+        j.offset.cast("long").alias("warc_offset"),
+        j.filename.alias("warc_filename"),
+    )

@@ -890,6 +890,45 @@ def q_delta_time_travel(spark, sf_dir):
     )
 
 
+def q_delta_ict_travel(spark, sf_dir):
+    """In-commit timestamps end-to-end (r12): a table created with
+    delta.enableInCommitTimestamps gets three commits whose
+    commitInfo.inCommitTimestamp values are deterministic
+    (1700000000000 + version, strictly monotonic by construction —
+    sources/delta_writer.py); timestamp time travel must resolve
+    against ICT, not file clocks.  The gate scans at the SECOND
+    commit's ICT and aggregates; the oracle replays the first two
+    appends' rows (nation rows with n_nationkey < 10, then 10..14)
+    from the construction law."""
+    from deltalake2db_spark.sources.delta_sink import write_delta
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/dl2db_roundtrip{tag}/nation_ict"
+    if not os.path.exists(os.path.join(path, "_delta_log")):
+        n = _t(spark, sf_dir, "nation")
+        write_delta(
+            n.filter(F.col("n_nationkey") < 10), path,
+            configuration={"delta.enableInCommitTimestamps": "true"},
+        )
+        write_delta(
+            n.filter(
+                (F.col("n_nationkey") >= 10)
+                & (F.col("n_nationkey") < 15)
+            ),
+            path, mode="append",
+        )
+        write_delta(
+            n.filter(F.col("n_nationkey") >= 15), path, mode="append"
+        )
+    # v1's deterministic ICT: base 1700000000000 + version 1
+    df = scan_delta(spark, path, timestamp=(1700000000000 + 1) / 1000.0)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").alias("key_sum"),
+        F.max("n_name").alias("max_name"),
+    )
+
+
 def q_delta_column_mapping(spark, sf_dir):
     """Column-mapped table (physical col-NN parquet names) scanned back
     to logical names, with select + row filter through the mapping."""
@@ -3403,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_history": q_delta_history,
         "q_cosine_neardup": q_cosine_neardup,
         "q_delta_time_travel": q_delta_time_travel,
+        "q_delta_ict_travel": q_delta_ict_travel,
         "q_delta_column_mapping": q_delta_column_mapping,
         "q_delta_dv_scan": q_delta_dv_scan,
         "q_delta_optimize": q_delta_optimize,
@@ -4665,6 +4705,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_returnflag = 'A'
             GROUP BY l_linestatus
+        """,
+        "q_delta_ict_travel": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+                   max(n_name) AS max_name
+            FROM nation WHERE n_nationkey < 15
         """,
         "q_delta_time_travel": """
             SELECT l_returnflag, count(*) AS n_rows,

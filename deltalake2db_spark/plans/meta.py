@@ -475,7 +475,13 @@ def version_at_timestamp(
             break
         t_ms = next(
             (
-                a["commitInfo"].get("timestamp")
+                # inCommitTimestamp (writer feature) is authoritative
+                # when present — file-clock timestamps can be equal or
+                # regress across commits; ICT is strictly monotonic
+                a["commitInfo"].get(
+                    "inCommitTimestamp",
+                    a["commitInfo"].get("timestamp"),
+                )
                 for a in actions
                 if a.get("commitInfo")
             ),

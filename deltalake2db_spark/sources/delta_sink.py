@@ -50,6 +50,20 @@ class DeltaInvariantError(ValueError):
     (writer protocol v2 obligation)."""
 
 
+def _writer7_features(prev_writer_version: int) -> list:
+    """The legacy writer features a table at ``prev_writer_version``
+    implicitly uses, spelled out for a writer-version-7 protocol
+    (PROTOCOL.md's legacy-to-feature mapping)."""
+    feats = []
+    if prev_writer_version >= 2:
+        feats += ["appendOnly", "invariants"]
+    if prev_writer_version >= 3:
+        feats += ["checkConstraints"]
+    if prev_writer_version >= 4:
+        feats += ["changeDataFeed", "generatedColumns"]
+    return feats
+
+
 def check_append_only(state, operation: str) -> None:
     """Writer protocol v2: a table with ``delta.appendOnly=true`` only
     accepts commits that ADD data — DELETE/UPDATE/MERGE/overwrite/
@@ -438,7 +452,21 @@ def write_delta(
                 # CDF and generated columns are both legacy writer v4
                 # features per PROTOCOL.md
                 wv = 4 if cdf_on or _has_generated_columns(df.schema) else 2
-                actions.append(w.protocol_action(1, wv))
+                ict_on = (
+                    str((configuration or {}).get(
+                        "delta.enableInCommitTimestamps", "false"
+                    )).lower() == "true"
+                )
+                if ict_on:
+                    # inCommitTimestamp is a table FEATURE: writer v7
+                    # with the legacy features spelled out per spec
+                    actions.append(w.protocol_action(
+                        1, 7,
+                        writer_features=_writer7_features(wv)
+                        + ["inCommitTimestamp"],
+                    ))
+                else:
+                    actions.append(w.protocol_action(1, wv))
                 actions.append(
                     w.metadata_action(
                         df.schema.jsonValue(),

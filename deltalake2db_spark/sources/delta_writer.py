@@ -158,6 +158,23 @@ class DeltaWriter:
             }
         }
 
+    def _prev_in_commit_ts(self) -> Optional[int]:
+        """The previous commit's inCommitTimestamp (or its commitInfo
+        timestamp as the enablement base) — one small JSON read; None
+        when the previous commit is absent (v0, or log cleanup)."""
+        fn = os.path.join(self.log_dir, f"{self.version - 1:020d}.json")
+        try:
+            with open(fn) as fh:
+                first = fh.readline()
+        except OSError:
+            return None
+        try:
+            info = json.loads(first).get("commitInfo") or {}
+        except json.JSONDecodeError:
+            return None
+        ict = info.get("inCommitTimestamp", info.get("timestamp"))
+        return int(ict) if ict is not None else None
+
     def commit(
         self,
         actions: Sequence[dict],
@@ -165,11 +182,40 @@ class DeltaWriter:
         operation: str = "WRITE",
         operation_params: Optional[Mapping[str, Any]] = None,
     ) -> int:
+        # in-commit timestamps (writer feature `inCommitTimestamp`):
+        # when the table property is on — via a metaData action in
+        # THIS commit, prior writer state, or (for a writer freshly
+        # attached to an existing table) the replayed log metadata —
+        # stamp a STRICTLY MONOTONIC inCommitTimestamp into commitInfo
+        # (which the protocol requires to be the first action; it
+        # already is)
+        meta_now = next(
+            (a["metaData"] for a in actions if "metaData" in a),
+            self._meta,
+        )
+        if meta_now is None and os.path.isdir(self.log_dir):
+            try:
+                from ..plans.meta import get_meta
+
+                self._meta = get_meta(self.path).last_metadata
+                meta_now = self._meta
+            except Exception:
+                meta_now = None
+        ict_on = str(
+            ((meta_now or {}).get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps", "false"
+            )
+        ).lower() == "true"
         self.version += 1
         info: dict[str, Any] = {
             "timestamp": timestamp_ms + self.version,
             "operation": operation,
         }
+        if ict_on:
+            prev = self._prev_in_commit_ts()
+            info["inCommitTimestamp"] = max(
+                (prev or 0) + 1, timestamp_ms + self.version
+            )
         if operation_params:
             info["operationParameters"] = {
                 k: str(v) for k, v in operation_params.items()

@@ -952,6 +952,40 @@ def set_table_properties(
     ):
         proto["minWriterVersion"] = 4
         actions.append({"protocol": proto})
+    ict_newly_on = (
+        str(cfg.get("delta.enableInCommitTimestamps", "false")).lower()
+        == "true"
+        and str(
+            (state.last_metadata or {}).get("configuration", {}).get(
+                "delta.enableInCommitTimestamps", "false"
+            )
+        ).lower() != "true"
+    )
+    if ict_newly_on:
+        # post-hoc enablement: upgrade to writer v7 listing the legacy
+        # features + inCommitTimestamp, and stamp the enablement
+        # version/timestamp properties the spec asks for (readers use
+        # them to know where ICT-based time travel becomes valid)
+        from .delta_sink import _writer7_features
+
+        wv = int(proto.get("minWriterVersion", 2))
+        feats = list(proto.get("writerFeatures") or _writer7_features(
+            wv if wv < 7 else 4
+        ))
+        if "inCommitTimestamp" not in feats:
+            feats.append("inCommitTimestamp")
+        proto["minWriterVersion"] = 7
+        proto["writerFeatures"] = feats
+        if not any("protocol" in a for a in actions):
+            actions.append({"protocol": proto})
+        enable_version = state.version + 1
+        cfg["delta.inCommitTimestampEnablementVersion"] = str(
+            enable_version
+        )
+        cfg["delta.inCommitTimestampEnablementTimestamp"] = str(
+            1700000000000 + enable_version
+        )
+        md["configuration"] = cfg
     actions.append({"metaData": md})
     w = DeltaWriter(path)
     w.version = state.version

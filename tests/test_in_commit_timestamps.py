@@ -1,0 +1,128 @@
+"""In-commit timestamps (Delta writer feature `inCommitTimestamp`):
+monotonic stamping, protocol surface, reader time-travel preference,
+and post-hoc enablement."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from deltalake2db_spark import scan_delta
+from deltalake2db_spark.plans.meta import get_meta, version_at_timestamp
+from deltalake2db_spark.sources.delta_sink import write_delta
+from deltalake2db_spark.sources.delta_writer import DeltaWriter
+from deltalake2db_spark.sources.maintenance import set_table_properties
+
+ICT_PROP = "delta.enableInCommitTimestamps"
+
+
+def _commit_info(path, version):
+    fn = os.path.join(path, "_delta_log", f"{version:020d}.json")
+    with open(fn) as fh:
+        first = json.loads(fh.readline())
+    return first["commitInfo"]
+
+
+def test_created_with_ict_stamps_every_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(5).selectExpr("id", "id * 2 as v"), path,
+        configuration={ICT_PROP: "true"},
+    )
+    write_delta(spark.range(5, 8).selectExpr("id", "id * 2 as v"),
+                path, mode="append")
+    write_delta(spark.range(8, 9).selectExpr("id", "id * 2 as v"),
+                path, mode="append")
+    icts = [_commit_info(path, v)["inCommitTimestamp"]
+            for v in range(3)]
+    assert icts[0] < icts[1] < icts[2]
+    # protocol: writer v7 with the feature + legacy features listed
+    proto = get_meta(path).protocol
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    assert "appendOnly" in proto["writerFeatures"]
+    # reader unaffected (minReaderVersion 1): scan works
+    assert scan_delta(spark, path).count() == 9
+
+
+def test_monotonic_under_clock_regression(tmp_path):
+    """A wall clock that goes BACKWARDS must not break monotonicity —
+    the exact failure ICT exists to prevent."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "t")
+    w = DeltaWriter(path)
+    meta = w.metadata_action(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}}]},
+        configuration={ICT_PROP: "true"},
+    )
+    w.commit([w.protocol_action(1, 7,
+                                writer_features=["inCommitTimestamp"]),
+              meta,
+              w.add_data_file(pa.table({"id": [1]}))],
+             timestamp_ms=2000000000000)
+    w.commit([w.add_data_file(pa.table({"id": [2]}))],
+             timestamp_ms=1000000000000)  # clock regressed 1000s
+    w.commit([w.add_data_file(pa.table({"id": [3]}))],
+             timestamp_ms=1000000000000)
+    icts = [_commit_info(path, v)["inCommitTimestamp"]
+            for v in range(3)]
+    assert icts[0] < icts[1] < icts[2]
+    # the regressed commits advance by the minimum step
+    assert icts[1] == icts[0] + 1 and icts[2] == icts[1] + 1
+
+
+def test_time_travel_prefers_ict(spark, tmp_path):
+    """version_at_timestamp resolves against inCommitTimestamp even
+    when plain commitInfo.timestamp ties or regresses."""
+    import pyarrow as pa
+
+    path = str(tmp_path / "t")
+    w = DeltaWriter(path)
+    meta = w.metadata_action(
+        {"type": "struct", "fields": [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {}}]},
+        configuration={ICT_PROP: "true"},
+    )
+    w.commit([w.protocol_action(1, 7,
+                                writer_features=["inCommitTimestamp"]),
+              meta, w.add_data_file(pa.table({"id": [1]}))],
+             timestamp_ms=3000000000000)
+    # second commit's plain timestamp REGRESSES; its ICT advances
+    w.commit([w.add_data_file(pa.table({"id": [2]}))],
+             timestamp_ms=1000000000000)
+    ict0 = _commit_info(path, 0)["inCommitTimestamp"]
+    ict1 = _commit_info(path, 1)["inCommitTimestamp"]
+    assert ict1 == ict0 + 1
+    assert version_at_timestamp(path, ict0 / 1000.0) == 0
+    assert version_at_timestamp(path, ict1 / 1000.0) == 1
+    df = scan_delta(spark, path, timestamp=ict0 / 1000.0)
+    assert df.count() == 1
+
+
+def test_post_hoc_enablement(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id"), path)
+    assert "inCommitTimestamp" not in json.dumps(
+        get_meta(path).protocol
+    )
+    out = set_table_properties(spark, path, {ICT_PROP: "true"})
+    cfg = out["configuration"]
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "1"
+    assert "delta.inCommitTimestampEnablementTimestamp" in cfg
+    proto = get_meta(path).protocol
+    assert proto["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in proto["writerFeatures"]
+    # the enabling commit itself and every later one carry ICT
+    assert "inCommitTimestamp" in _commit_info(path, 1)
+    write_delta(spark.range(3, 6).selectExpr("id"), path, mode="append")
+    i1 = _commit_info(path, 1)["inCommitTimestamp"]
+    i2 = _commit_info(path, 2)["inCommitTimestamp"]
+    assert i2 > i1
+    # v0 (pre-enablement) has no ICT
+    assert "inCommitTimestamp" not in _commit_info(path, 0)

@@ -1650,6 +1650,65 @@ def q_media_gif_frames(spark, sf_dir):
     return G.gif_frame_stats(media)
 
 
+def q_media_ico(spark, sf_dir):
+    """ICO/favicon decode end-to-end (r12): two-entry icons — a
+    (8+i%4)-square 32-bpp DIB and a 16x16 PNG entry — with the
+    closed-form RGBA law R=(r+2c+i+j)%256, G=(2r+c+i)%256,
+    B=(r+c+2i+j)%256, A=(r+3c+i+j)%256 are synthesized distributed
+    and decoded back map-side (operators/ico.py: directory walk, DIB
+    XOR/AND planes, PNG entries via decode_png).  The oracle replays
+    dims and all four channel sums per entry."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import ico as I
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        import numpy as _np
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                imgs = []
+                for j, n in enumerate((8 + i % 4, 16)):
+                    r = _np.arange(n)[:, None]
+                    c = _np.arange(n)[None, :]
+                    imgs.append(_np.stack([
+                        (r + 2 * c + i + j) % 256,
+                        (2 * r + c + i) % 256,
+                        (r + c + 2 * i + j) % 256,
+                        (r + 3 * c + i + j) % 256,
+                    ], axis=-1).astype(_np.uint8))
+                dib = I.encode_ico([imgs[0]])
+                png = I.encode_ico([imgs[1]], as_png=True)
+                # one container holding both entry kinds: rebuild a
+                # two-entry directory over the single-entry bodies
+                import struct as _st
+
+                e0 = dib[6 + 16 :]
+                e1 = png[6 + 16 :]
+                out = bytearray(_st.pack("<HHH", 0, 1, 2))
+                off = 6 + 32
+                n0 = 8 + i % 4
+                out += _st.pack("<BBBBHHII", n0, n0, 0, 0, 1, 32,
+                                len(e0), off)
+                out += _st.pack("<BBBBHHII", 16, 16, 0, 0, 1, 32,
+                                len(e1), off + len(e0))
+                out += e0 + e1
+                rows.append((
+                    i, "image", bytes(out),
+                    {"mime": "image/x-icon", "width": 16,
+                     "height": 16, "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return I.ico_entry_stats(media)
+
+
 def q_media_mp3_meta(spark, sf_dir):
     """MP3 metadata end-to-end (r11): ID3v2.3-tagged CBR MP3s with
     closed-form fields (title 'Track <i>', artist 'Artist <i%7>',
@@ -3369,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_anim_frames": q_media_anim_frames,
         "q_media_gif_frames": q_media_gif_frames,
         "q_media_orientation": q_media_orientation,
+        "q_media_ico": q_media_ico,
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
         "q_media_exif_scrub": q_media_exif_scrub,
@@ -5874,6 +5934,28 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CAST(((i.v + 11 * k.v) % 256) * 64 AS BIGINT)
                        AS v_sum
             FROM range(50) i(v), range(4) k(v)
+        """,
+        "q_media_ico": """
+            WITH e AS (
+                SELECT i.v AS media_id, j.v AS j,
+                       CAST(CASE WHEN j.v = 0 THEN 8 + i.v % 4
+                                 ELSE 16 END AS INT) AS n
+                FROM range(60) i(v), range(2) j(v)
+            )
+            SELECT media_id, CAST(j AS INT) AS entry_idx,
+                   n AS width, n AS height, CAST(32 AS INT) AS bpp,
+                   j = 1 AS is_png,
+                   CAST(sum((r.v + 2*c.v + media_id + j) % 256)
+                        AS BIGINT) AS r_sum,
+                   CAST(sum((2*r.v + c.v + media_id) % 256)
+                        AS BIGINT) AS g_sum,
+                   CAST(sum((r.v + c.v + 2*media_id + j) % 256)
+                        AS BIGINT) AS b_sum,
+                   CAST(sum((r.v + 3*c.v + media_id + j) % 256)
+                        AS BIGINT) AS a_sum
+            FROM e, range(16) r(v), range(16) c(v)
+            WHERE r.v < n AND c.v < n
+            GROUP BY media_id, j, n
         """,
         "q_media_orientation": """
             WITH g AS (

@@ -1650,6 +1650,54 @@ def q_media_gif_frames(spark, sf_dir):
     return G.gif_frame_stats(media)
 
 
+def q_media_decode_tiff(spark, sf_dir):
+    """Baseline-TIFF decode end-to-end (r12): grayscale gradients
+    px[r,c] = (r + 2c + 3i) % 256 at (12+i%5)^2, written across the
+    format matrix — PackBits for odd ids, big-endian for i%3==0,
+    4-row strips — and decoded back by the pure-numpy strip walker
+    (operators/tiff.py, wired into decode_image_array).  TIFF is
+    lossless, so the oracle replays the exact pixel sum."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    def gen(it):
+        import numpy as _np
+
+        from deltalake2db_spark.operators.tiff import encode_tiff
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n = 12 + i % 5
+                r = _np.arange(n)[:, None]
+                c = _np.arange(n)[None, :]
+                img = ((r + 2 * c + 3 * i) % 256).astype(_np.uint8)
+                payload = encode_tiff(
+                    img, big_endian=i % 3 == 0, packbits=i % 2 == 1,
+                    rows_per_strip=4,
+                )
+                rows.append((
+                    i, "image", payload,
+                    {"mime": "image/tiff", "width": n, "height": n,
+                     "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(80).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    feats = M.extract_image_features(media)
+    return feats.select(
+        "media_id",
+        F.round(F.col("mean_px") * F.col("n_px"))
+        .cast("long")
+        .alias("px_sum"),
+        "n_px",
+    )
+
+
 def q_media_ico(spark, sf_dir):
     """ICO/favicon decode end-to-end (r12): two-entry icons — a
     (8+i%4)-square 32-bpp DIB and a 16x16 PNG entry — with the
@@ -3429,6 +3477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_gif_frames": q_media_gif_frames,
         "q_media_orientation": q_media_orientation,
         "q_media_ico": q_media_ico,
+        "q_media_decode_tiff": q_media_decode_tiff,
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
         "q_media_exif_scrub": q_media_exif_scrub,
@@ -5934,6 +5983,16 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CAST(((i.v + 11 * k.v) % 256) * 64 AS BIGINT)
                        AS v_sum
             FROM range(50) i(v), range(4) k(v)
+        """,
+        "q_media_decode_tiff": """
+            SELECT i.v AS media_id,
+                   CAST(sum((r.v + 2 * c.v + 3 * i.v) % 256)
+                        AS BIGINT) AS px_sum,
+                   CAST((12 + i.v % 5) * (12 + i.v % 5) AS BIGINT)
+                       AS n_px
+            FROM range(80) i(v), range(16) r(v), range(16) c(v)
+            WHERE r.v < 12 + i.v % 5 AND c.v < 12 + i.v % 5
+            GROUP BY i.v
         """,
         "q_media_ico": """
             WITH e AS (

@@ -388,6 +388,10 @@ def decode_image_array(payload: bytes) -> Optional[np.ndarray]:
         from .gif import decode_gif
 
         return decode_gif(payload)  # r12: first composited frame
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)  # r12: baseline TIFF
     magic = payload[:2]
     if magic in (b"P6", b"P5"):
         hdr = _pnm_header(payload)

@@ -1650,6 +1650,37 @@ def q_media_gif_frames(spark, sf_dir):
     return G.gif_frame_stats(media)
 
 
+def q_subtitle_cues(spark, sf_dir):
+    """Subtitle parsing end-to-end (r12): SRT (even ids) and WebVTT
+    (odd ids) files with 2+i%3 closed-form cues — start k*(1500+i%5*100),
+    1200 ms long, text 'doc i cue k' — are synthesized distributed
+    and parsed back map-side (operators/subtitles.py: both timestamp
+    dialects, VTT header/NOTE blocks, tag stripping).  The oracle
+    replays every cue from the law."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import subtitles as S
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                step = 1500 + (i % 5) * 100
+                cues = [
+                    (k * step, k * step + 1200, f"doc {i} cue {k}")
+                    for k in range(2 + i % 3)
+                ]
+                enc = S.encode_srt if i % 2 == 0 else S.encode_vtt
+                rows.append((i, enc(cues).encode()))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    subs = spark.range(80).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return S.subtitle_cues(subs)
+
+
 def q_media_decode_tiff(spark, sf_dir):
     """Baseline-TIFF decode end-to-end (r12): grayscale gradients
     px[r,c] = (r + 2c + 3i) % 256 at (12+i%5)^2, written across the
@@ -3478,6 +3509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_orientation": q_media_orientation,
         "q_media_ico": q_media_ico,
         "q_media_decode_tiff": q_media_decode_tiff,
+        "q_subtitle_cues": q_subtitle_cues,
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
         "q_media_exif_scrub": q_media_exif_scrub,
@@ -5983,6 +6015,18 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CAST(((i.v + 11 * k.v) % 256) * 64 AS BIGINT)
                        AS v_sum
             FROM range(50) i(v), range(4) k(v)
+        """,
+        "q_subtitle_cues": """
+            SELECT i.v AS media_id, CAST(k.v AS INT) AS cue_idx,
+                   CAST(k.v * (1500 + (i.v % 5) * 100) AS BIGINT)
+                       AS start_ms,
+                   CAST(k.v * (1500 + (i.v % 5) * 100) + 1200
+                        AS BIGINT) AS end_ms,
+                   CAST(1200 AS BIGINT) AS duration_ms,
+                   'doc ' || CAST(i.v AS VARCHAR) || ' cue '
+                       || CAST(k.v AS VARCHAR) AS text
+            FROM range(80) i(v), range(4) k(v)
+            WHERE k.v < 2 + i.v % 3
         """,
         "q_media_decode_tiff": """
             SELECT i.v AS media_id,

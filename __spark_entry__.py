@@ -1650,6 +1650,52 @@ def q_media_gif_frames(spark, sf_dir):
     return G.gif_frame_stats(media)
 
 
+def q_media_ogg_meta(spark, sf_dir):
+    """Ogg metadata end-to-end (r12): Vorbis streams (even ids — rate
+    cycling [44100, 48000, 22050], (2+i%4) seconds) and Opus streams
+    (odd ids — input rate cycling [16000, 24000], (1+i%3) seconds at
+    the 48 kHz granule clock, pre-skip 312 handled per RFC 7845) are
+    synthesized with spec-valid pages (real Ogg CRC) and parsed back
+    map-side (operators/ogg.py).  The oracle replays codec, channels,
+    rate, page count, and exact duration from the law."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators import ogg as O
+
+    def gen(it):
+        vrates = [44100, 48000, 22050]
+        orates = [16000, 24000]
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                ch = 1 + i % 2
+                if i % 2 == 0:
+                    rate = vrates[i % 3]
+                    secs = 2 + i % 4
+                    p = O.encode_ogg_meta(
+                        "vorbis", ch, rate, rate * secs
+                    )
+                else:
+                    rate = orates[i % 2]  # always orates[1] for odd i
+                    secs = 1 + i % 3
+                    p = O.encode_ogg_meta(
+                        "opus", ch, rate, 48000 * secs
+                    )
+                rows.append((
+                    i, "audio", p,
+                    {"mime": "audio/ogg", "width": None,
+                     "height": None, "duration_ms": secs * 1000},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(80).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return O.ogg_meta_stats(media)
+
+
 def q_subtitle_cues(spark, sf_dir):
     """Subtitle parsing end-to-end (r12): SRT (even ids) and WebVTT
     (odd ids) files with 2+i%3 closed-form cues — start k*(1500+i%5*100),
@@ -3510,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_ico": q_media_ico,
         "q_media_decode_tiff": q_media_decode_tiff,
         "q_subtitle_cues": q_subtitle_cues,
+        "q_media_ogg_meta": q_media_ogg_meta,
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
         "q_media_exif_scrub": q_media_exif_scrub,
@@ -6015,6 +6062,21 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CAST(((i.v + 11 * k.v) % 256) * 64 AS BIGINT)
                        AS v_sum
             FROM range(50) i(v), range(4) k(v)
+        """,
+        "q_media_ogg_meta": """
+            SELECT i.v AS media_id,
+                   CASE WHEN i.v % 2 = 0 THEN 'vorbis'
+                        ELSE 'opus' END AS codec,
+                   CAST(1 + i.v % 2 AS INT) AS channels,
+                   CAST(CASE WHEN i.v % 2 = 0 THEN
+                          CASE CAST(i.v % 3 AS INT) WHEN 0 THEN 44100
+                               WHEN 1 THEN 48000 ELSE 22050 END
+                        ELSE 24000 END AS INT) AS sample_rate,
+                   CAST(2 AS INT) AS n_pages,
+                   CAST(CASE WHEN i.v % 2 = 0 THEN (2 + i.v % 4) * 1000
+                        ELSE (1 + i.v % 3) * 1000 END AS BIGINT)
+                       AS duration_ms
+            FROM range(80) i(v)
         """,
         "q_subtitle_cues": """
             SELECT i.v AS media_id, CAST(k.v AS INT) AS cue_idx,

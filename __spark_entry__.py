@@ -1650,6 +1650,46 @@ def q_media_gif_frames(spark, sf_dir):
     return G.gif_frame_stats(media)
 
 
+def q_svg_meta(spark, sf_dir):
+    """SVG metadata + text extraction (r12): closed-form documents —
+    width 100+i%50 (px-suffixed for i%3==0, %-with-viewBox-fallback
+    for i%3==1), height 50+i%7, 1+i%4 rects plus one text node
+    'svg doc <i>' — parsed map-side (operators/svg.py).  The oracle
+    replays dims, element census (rects + the text node), and the
+    extracted text."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import svg as SV
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 100 + i % 50, 50 + i % 7
+                if i % 3 == 0:
+                    dims = f'width="{w}px" height="{h}px"'
+                elif i % 3 == 1:
+                    dims = f'width="100%" viewBox="0 0 {w} {h}"'
+                else:
+                    dims = f'width="{w}" height="{h}"'
+                rects = "".join(
+                    f'<rect x="{k}" y="0" width="5" height="5"/>'
+                    for k in range(1 + i % 4)
+                )
+                doc = (
+                    f'<svg xmlns="http://www.w3.org/2000/svg" {dims}>'
+                    f"<g>{rects}</g><text>svg doc {i}</text></svg>"
+                )
+                rows.append((i, doc.encode()))
+            yield _pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    svgs = spark.range(90).mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+    return SV.svg_meta_stats(svgs)
+
+
 def q_media_ogg_meta(spark, sf_dir):
     """Ogg metadata end-to-end (r12): Vorbis streams (even ids — rate
     cycling [44100, 48000, 22050], (2+i%4) seconds) and Opus streams
@@ -3557,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode_tiff": q_media_decode_tiff,
         "q_subtitle_cues": q_subtitle_cues,
         "q_media_ogg_meta": q_media_ogg_meta,
+        "q_svg_meta": q_svg_meta,
         "q_media_webm_frames": q_media_webm_frames,
         "q_media_exif": q_media_exif,
         "q_media_exif_scrub": q_media_exif_scrub,
@@ -6062,6 +6103,14 @@ SELECT query_id, vec_id, sim, rank FROM (
                    CAST(((i.v + 11 * k.v) % 256) * 64 AS BIGINT)
                        AS v_sum
             FROM range(50) i(v), range(4) k(v)
+        """,
+        "q_svg_meta": """
+            SELECT i.v AS media_id,
+                   CAST(100 + i.v % 50 AS DOUBLE) AS width,
+                   CAST(50 + i.v % 7 AS DOUBLE) AS height,
+                   CAST(2 + i.v % 4 AS INT) AS n_elements,
+                   'svg doc ' || CAST(i.v AS VARCHAR) AS text
+            FROM range(90) i(v)
         """,
         "q_media_ogg_meta": """
             SELECT i.v AS media_id,

@@ -71,8 +71,7 @@ def _zip_members(
                 continue
             if info.file_size > max_member:
                 continue  # fail-open: skip the oversized member
-            total += info.file_size
-            if total > max_total:
+            if total + info.file_size > max_total:
                 break
             try:
                 with zf.open(info) as fh:
@@ -82,6 +81,12 @@ def _zip_members(
                 continue
             if len(data) > max_member:  # header lied about the size
                 continue
+            # Charge the total budget with the ACTUAL inflated bytes,
+            # not the untrusted header's file_size: a zip whose
+            # entries all declare tiny sizes must not bypass the cap.
+            total += len(data)
+            if total > max_total:
+                break
             out.append((info.filename, data))
     return out
 

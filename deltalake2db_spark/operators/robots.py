@@ -179,11 +179,15 @@ def filter_by_robots(
                 if robots is None:
                     verdicts.append(True)
                     continue
-                key = id(robots) if len(robots) > 256 else robots
-                parsed = cache.get(key)
+                # Key the memo by content: the cache outlives the
+                # pandas batch, so an identity key (id()) could be
+                # recycled by a different host's robots body in a
+                # later batch and return stale rules. Hashing the
+                # string is cheap next to parsing it.
+                parsed = cache.get(robots)
                 if parsed is None:
                     parsed = parse_robots(robots)
-                    cache[key] = parsed
+                    cache[robots] = parsed
                 verdicts.append(
                     robots_allowed(parsed, path or "/", agent)
                 )

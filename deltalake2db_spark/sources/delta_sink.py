@@ -61,6 +61,10 @@ def _writer7_features(prev_writer_version: int) -> list:
         feats += ["checkConstraints"]
     if prev_writer_version >= 4:
         feats += ["changeDataFeed", "generatedColumns"]
+    if prev_writer_version >= 5:
+        feats += ["columnMapping"]
+    if prev_writer_version >= 6:
+        feats += ["identityColumns"]
     return feats
 
 

@@ -969,8 +969,13 @@ def set_table_properties(
         from .delta_sink import _writer7_features
 
         wv = int(proto.get("minWriterVersion", 2))
+        # Spell out the REAL prior writer version's legacy features —
+        # clamping would drop columnMapping (v5) / identityColumns
+        # (v6) from a table that declared them, which external Delta
+        # clients treat as a protocol violation. A malformed v7
+        # protocol with no feature list gets the full legacy superset.
         feats = list(proto.get("writerFeatures") or _writer7_features(
-            wv if wv < 7 else 4
+            min(wv, 6)
         ))
         if "inCommitTimestamp" not in feats:
             feats.append("inCommitTimestamp")
@@ -982,8 +987,17 @@ def set_table_properties(
         cfg["delta.inCommitTimestampEnablementVersion"] = str(
             enable_version
         )
+        # The spec requires this property to EQUAL the enablement
+        # commit's stamped inCommitTimestamp. Compute it with the same
+        # monotonic rule DeltaWriter.commit applies (max(prev ICT + 1,
+        # base + version)) instead of fabricating base + version,
+        # which desynchronizes when a prior commit carried a higher
+        # timestamp.
+        _probe = DeltaWriter(path)
+        _probe.version = enable_version
+        _prev_ict = _probe._prev_in_commit_ts()
         cfg["delta.inCommitTimestampEnablementTimestamp"] = str(
-            1700000000000 + enable_version
+            max((_prev_ict or 0) + 1, 1700000000000 + enable_version)
         )
         md["configuration"] = cfg
     actions.append({"metaData": md})

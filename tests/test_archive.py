@@ -114,3 +114,30 @@ def test_archive_members_spark(spark):
     assert rows[0].text == "doc 0 member 0"
     assert rows[2].path == "raw.bin" and rows[2].text is None
     assert rows[2].n_bytes == 3
+
+
+def test_total_budget_counts_actual_bytes(monkeypatch):
+    """A zip whose headers all declare tiny sizes must not bypass the
+    total-inflated cap: the budget is charged with the ACTUAL bytes
+    read, not the untrusted header's file_size."""
+    members = [(f"f{i}.bin", b"C" * 500) for i in range(8)]
+    payload = A.encode_zip(members)
+    content = dict(members)
+    real_zip = zipfile.ZipFile
+
+    class LyingZip(real_zip):
+        def infolist(self):
+            infos = super().infolist()
+            for i in infos:
+                i.file_size = 1  # header lies: declares 1 byte
+            return infos
+
+        def open(self, info, *a, **k):
+            # bypass zipfile's declared-size truncation to model a
+            # decoder that inflates past the header's claim
+            return io.BytesIO(content[info.filename])
+
+    monkeypatch.setattr(A.zipfile, "ZipFile", LyingZip)
+    got = A._zip_members(payload, max_total=1400)
+    assert got is not None
+    assert sum(len(d) for _, d in got) <= 1400

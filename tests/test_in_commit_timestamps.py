@@ -126,3 +126,55 @@ def test_post_hoc_enablement(spark, tmp_path):
     assert i2 > i1
     # v0 (pre-enablement) has no ICT
     assert "inCommitTimestamp" not in _commit_info(path, 0)
+
+
+def test_enablement_timestamp_matches_stamped_ict(spark, tmp_path):
+    """Spec: delta.inCommitTimestampEnablementTimestamp must EQUAL the
+    enablement commit's stamped inCommitTimestamp — including when a
+    prior commit carried a timestamp above the default clock base, so
+    the monotonic max(prev+1, base+version) rule is what decides."""
+    path = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id"), path)
+    # a non-default, high clock on the pre-enablement commit
+    state = get_meta(path)
+    w = DeltaWriter(path)
+    w.version = state.version
+    w.commit(
+        [{"metaData": dict(state.last_metadata)}],
+        timestamp_ms=1800000000000,
+        operation="SET TBLPROPERTIES",
+    )
+    out = set_table_properties(spark, path, {ICT_PROP: "true"})
+    cfg = out["configuration"]
+    enable_v = int(cfg["delta.inCommitTimestampEnablementVersion"])
+    stamped = _commit_info(path, enable_v)["inCommitTimestamp"]
+    assert cfg["delta.inCommitTimestampEnablementTimestamp"] == str(
+        stamped
+    )
+    # and the monotonic rule actually bit: the stamp rides above the
+    # fabricated-base value the old code would have written
+    assert stamped > 1700000000000 + enable_v
+
+
+def test_post_hoc_enablement_keeps_column_mapping_feature(tmp_path):
+    """Upgrading a writer-v5 (columnMapping) table to v7 for ICT must
+    keep columnMapping in writerFeatures — dropping it is a protocol
+    violation for external Delta clients."""
+    import pyspark.sql.types as T
+
+    path = str(tmp_path / "t")
+    w = DeltaWriter(path)
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    md = w.metadata_action(
+        json.loads(schema.json()),
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    w.commit(
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}, md],
+        operation="CREATE TABLE",
+    )
+    out = set_table_properties(None, path, {ICT_PROP: "true"})
+    proto = get_meta(path).protocol
+    assert proto["minWriterVersion"] == 7
+    feats = set(proto["writerFeatures"])
+    assert {"columnMapping", "inCommitTimestamp"} <= feats

@@ -96,3 +96,42 @@ def test_filter_by_robots_spark(spark):
         r.url_id for r in filter_by_robots(urls, robots).collect()
     )
     assert kept == [0, 3, 4]
+
+
+def test_large_bodies_cached_by_content_across_batches(spark):
+    """Regression for the id()-keyed memo: two DISTINCT >256-char
+    robots bodies flowing through consecutive 1-row Arrow batches must
+    each be evaluated against their own rules — an identity cache key
+    could be recycled between batches and return the wrong host's
+    parse. Content keying makes this impossible."""
+    filler = "\n".join(f"# pad {i}" for i in range(40))  # >256 chars
+    body_a = f"{filler}\nUser-agent: *\nDisallow: /blocked-a/\n"
+    body_b = f"{filler}\nUser-agent: *\nDisallow: /blocked-b/\n"
+    assert len(body_a) > 256 and body_a != body_b
+    robots = spark.createDataFrame(
+        [("a.test", body_a), ("b.test", body_b)],
+        ["host", "robots_txt"],
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "https://a.test/blocked-a/x"),
+            (1, "https://a.test/blocked-b/x"),
+            (2, "https://b.test/blocked-a/x"),
+            (3, "https://b.test/blocked-b/x"),
+        ],
+        ["url_id", "url"],
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        out = {
+            r.url_id: r.allowed
+            for r in filter_by_robots(
+                urls.coalesce(1), robots, keep_blocked=True
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    assert out == {0: False, 1: True, 2: True, 3: False}

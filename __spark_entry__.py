@@ -2021,11 +2021,14 @@ def q_html_extract(spark, sf_dir):
     from deltalake2db_spark.operators import html as H
 
     # single parquet split at test SFs + a Python extraction kernel:
-    # spread the mapInPandas across cores (same move as q_pdf_extract;
-    # at 100 TB the scan provides the splits)
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    ).repartition(32)
+    # spread_scan widens ONLY when the scan is narrower than the core
+    # count — at 100 TB the scan provides the splits and no exchange
+    # is inserted (same move as q_pdf_extract)
+    from deltalake2db_spark.operators.parallel import spread_scan
+
+    docs = spread_scan(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     words = F.split(F.trim(F.col("text")), r"\s+")
     nch = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
     paras = F.transform(
@@ -2084,12 +2087,16 @@ def q_pdf_extract(spark, sf_dir):
     from deltalake2db_spark.operators import pdf as P
 
     # documents is a single parquet split at these SFs; the PDF
-    # encode+parse kernels are Python-heavy, so spread them across
-    # the cores explicitly (at 100 TB the scan itself provides the
-    # splits and this repartition is a no-op in spirit)
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    ).select("doc_id", "text").repartition(32)
+    # encode+parse kernels are Python-heavy, so spread_scan widens
+    # the scan to the core count ONLY when it is narrower — at 100 TB
+    # the scan itself provides the splits and no exchange is inserted
+    from deltalake2db_spark.operators.parallel import spread_scan
+
+    docs = spread_scan(
+        _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+        ).select("doc_id", "text")
+    )
 
     def gen(it):
         for pdf in it:

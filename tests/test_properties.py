@@ -418,3 +418,81 @@ def test_bpe_chain_equals_ranked_property(words, num_merges):
         assert chain == bpe_encode_word(w, merges), (w, merges)
         # tokens reassemble the word exactly
         assert "".join(chain) == w + "</w>"
+
+
+# -- URL normalizer vs urllib.parse (guards the site-dedup key and the
+#    robots host join) --------------------------------------------------
+
+_SCHEME = st.from_regex(r"[A-Za-z][A-Za-z0-9+.\-]{0,5}", fullmatch=True)
+_LABEL = st.from_regex(r"[A-Za-z0-9]([A-Za-z0-9\-]{0,8}[A-Za-z0-9])?", fullmatch=True)
+_HOST = st.one_of(
+    st.lists(_LABEL, min_size=1, max_size=4).map(".".join),
+    st.tuples(*(st.integers(0, 255) for _ in range(4))).map(
+        lambda t: ".".join(map(str, t))
+    ),
+)
+_PATHSEG = st.from_regex(r"[A-Za-z0-9._~:@\-]{0,8}", fullmatch=True)
+_QUERY = st.from_regex(r"[A-Za-z0-9=&._\-]{1,16}", fullmatch=True)
+_FRAG = st.from_regex(r"[A-Za-z0-9]{1,8}", fullmatch=True)
+
+
+@st.composite
+def _abs_url(draw):
+    scheme = draw(_SCHEME)
+    host = draw(_HOST)
+    port = draw(st.one_of(st.none(), st.integers(1, 65535)))
+    nseg = draw(st.integers(0, 3))
+    path = "".join("/" + draw(_PATHSEG) for _ in range(nseg))
+    query = draw(st.one_of(st.none(), st.just(""), _QUERY))
+    frag = draw(st.one_of(st.none(), _FRAG))
+    url = f"{scheme}://{host}"
+    if port is not None:
+        url += f":{port}"
+    url += path
+    if query is not None:
+        url += "?" + query
+    if frag is not None:
+        url += "#" + frag
+    return url
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_abs_url(), min_size=1, max_size=24))
+def test_url_parts_and_normalize_match_urllib(urls):
+    """`url_parts` / `normalize_url` agree with `urllib.parse.urlsplit`
+    on generated absolute URLs over the supported subset.  Documented
+    deviations (not generated): userinfo (`user:pass@host`), IPv6
+    bracket hosts, an empty-port colon (`http://h:/p`), and non-ASCII /
+    percent-encoding passthrough — the curation key only needs the
+    crawlable-web subset."""
+    from urllib.parse import urlsplit
+
+    from deltalake2db_spark import get_spark
+    from deltalake2db_spark.operators.urls import normalize_url, url_parts
+
+    spark = get_spark("props", cpus=8)
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        url_parts("url").alias("p"),
+        normalize_url("url").alias("norm"),
+    ).collect()
+    for r in rows:
+        s = urlsplit(r["url"])
+        p = r["p"]
+        assert p["scheme"] == s.scheme.lower(), r["url"]
+        assert p["host"] == (s.hostname or ""), r["url"]
+        assert p["port"] == s.port, r["url"]
+        assert p["path"] == s.path, r["url"]
+        assert p["query"] == (s.query or None), r["url"]
+        # the normalizer's law, replayed on urlsplit's parse
+        port = s.port
+        if (s.scheme.lower(), port) in (("http", 80), ("https", 443)):
+            port = None
+        expect = f"{s.scheme.lower()}://{(s.hostname or '')}"
+        if port is not None:
+            expect += f":{port}"
+        expect += s.path or "/"
+        if s.query:
+            expect += "?" + s.query
+        assert r["norm"] == expect, r["url"]

@@ -79,20 +79,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # money sums accumulate in DECIMAL(18,6) (order-independent under
+    # shuffle reordering — the r12 q9/q10 last-cent lesson applied to
+    # the pre-r12 relational gates); averages divide the same decimal
+    # sums so both engines see identical numerators
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc_price = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    disc = F.col("l_discount").cast("decimal(18,6)")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= "1999-12-31")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, 2).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 2).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -105,7 +118,13 @@ def q3_top_orders(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            ).cast("double").alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -127,7 +146,13 @@ def q5_nation_revenue(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            ).cast("double").alias("revenue")
+        )
     )
 
 
@@ -142,7 +167,11 @@ def q6_revenue_filter(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.round(
+                F.sum((F.col("l_extendedprice")
+                       * F.col("l_discount")).cast("decimal(18,6)")),
+                2,
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -4455,13 +4484,13 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 2) AS avg_qty,
-                   round(avg(l_extendedprice), 2) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 2) AS avg_price,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1999-12-31'
@@ -4469,7 +4498,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_top_orders": """
             SELECT l_orderkey, o_orderdate,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -4482,7 +4512,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_nation_revenue": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -4495,7 +4526,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "q6_revenue_filter": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+            SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                                       AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'

@@ -2377,6 +2377,183 @@ def q_fix_mojibake(spark, sf_dir):
     )
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """The full crawl-to-training-text pipeline as ONE gate (r13):
+    WARC ingest -> robots screen -> HTML extract -> mojibake fix ->
+    quality screen -> exact dedup -> near dedup -> sliding chunks.
+    Proves the stages COMPOSE (schemas line up, no hidden collects
+    between them); each stage is the same operator its standalone
+    gate certifies.
+
+    Fixture law (everything the oracle replays from `documents`):
+    each doc's body = 'Tom & Jerry <3 ' + ws-normalized text + ' ' +
+    tail(doc_id%4), where the tails are latin-1/cp1252 mojibake of
+    'café résumé' / 'naïve – “quoted” … fin', a CLEAN accented
+    phrase, and plain ASCII.  The body is escaped into a one-<p>
+    HTML page (nav/footer/script boilerplate around it), served as
+    2 WARC response records (copy0 at host doc_id%12, copy1 at host
+    (doc_id+5)%12 — an exact duplicate pair) plus, for doc_id%7==0,
+    a near-duplicate variant (body + ' extraprime') at host
+    (doc_id+1)%12.  Hosts h%3==0 carry 'Disallow: /' robots (hosts
+    10, 11 have no robots entry -> allow-all).  rec_id = doc_id*4 +
+    record index.  Pipeline: robots drops blocked hosts; extraction
+    recovers exactly the body (boilerplate dies by link density,
+    entities decode); fix_mojibake repairs the two broken tails and
+    leaves the clean/ASCII ones; quality keeps 40 <= n_tokens <=
+    20000; exact dedup keeps the min rec_id per normalized text;
+    near dedup drops the higher id of every 3-shingle Jaccard >= 0.8
+    pair (the variants: J=(n-2)/(n-1) >= 0.8 for n >= 7 words);
+    survivors window into 24-word chunks every 16 words.
+
+    Scale shape: synthesis + WARC parse + extraction are map-side
+    mapInPandas; robots is one host equi-join; the only corpus
+    shuffles are the two dedup exchanges ((id, fingerprint) pairs and
+    shingle-hash index — never full text); chunking is one
+    posexplode.  No collects anywhere."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import html as H
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators import warc as W
+    from deltalake2db_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from deltalake2db_spark.operators.parallel import spread_scan
+    from deltalake2db_spark.operators.robots import filter_by_robots
+    from deltalake2db_spark.operators.text import (
+        fix_mojibake,
+        sliding_chunks,
+    )
+
+    def _moj(s, enc):
+        out = []
+        for b in s.encode("utf-8"):
+            try:
+                out.append(bytes([b]).decode(enc))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    # no U+00E0 in the broken tails: its UTF-8 carries an A0 byte,
+    # whose mojibake char is NBSP — which HTML whitespace
+    # normalization rightly folds to ' ', corrupting the byte stream
+    # before the repair stage (discovered building this gate)
+    tails = [
+        _moj("café résumé", "latin-1"),
+        _moj("naïve – “quoted” … fin", "cp1252"),
+        "déjà vu clean",
+        "plain ascii tail",
+    ]
+
+    docs = spread_scan(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select("doc_id", "text")
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = (
+                    "Tom & Jerry <3 " + " ".join(str(text).split())
+                    + " " + tails[did % 4]
+                )
+
+                def page_for(b):
+                    e = (
+                        b.replace("&", "&amp;")
+                        .replace("<", "&lt;")
+                        .replace(">", "&gt;")
+                    )
+                    return (
+                        f"<html><head><title>Doc {did}</title>"
+                        '<script>var nav="DECOY MUST NOT LEAK";'
+                        "</script></head><body>"
+                        '<nav><a href="/">home</a> <a href="/a">about'
+                        '</a> <a href="/c">contact us</a></nav>'
+                        f"<p>{e}</p>"
+                        '<footer>&copy; 2026 <a href="/p">privacy '
+                        'policy</a> <a href="/t">terms</a></footer>'
+                        "</body></html>"
+                    )
+
+                recs = [
+                    ("response", f"https://host{did % 12}.test/d{did}c0",
+                     "2024-03-01T00:00:00Z", 200, "text/html",
+                     page_for(body)),
+                    ("response",
+                     f"https://host{(did + 5) % 12}.test/d{did}c1",
+                     "2024-03-01T00:00:01Z", 200, "text/html",
+                     page_for(body)),
+                ]
+                if did % 7 == 0:
+                    recs.append((
+                        "response",
+                        f"https://host{(did + 1) % 12}.test/d{did}c2",
+                        "2024-03-01T00:00:02Z", 200, "text/html",
+                        page_for(body + " extraprime"),
+                    ))
+                rows.append((
+                    did, "document",
+                    W.encode_warc(recs, gzip_members=True),
+                    {"mime": "application/warc", "width": None,
+                     "height": None, "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = docs.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    pages = W.warc_records(media).select(
+        (F.col("media_id") * 4 + F.col("record_idx")).alias("rec_id"),
+        "url",
+        F.col("text").alias("html"),
+    )
+
+    robots = spark.range(10).select(
+        F.concat(F.lit("host"), F.col("id"), F.lit(".test")).alias("host"),
+        F.when(F.col("id") % 3 == 0, F.lit("User-agent: *\nDisallow: /\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /private/\n"))
+        .alias("robots_txt"),
+    )
+    allowed = filter_by_robots(pages, robots)
+
+    extracted = H.extract_html(allowed, html_col="html", id_col="rec_id")
+    fixed = extracted.select(
+        "rec_id", fix_mojibake(F.col("text")).alias("text")
+    )
+
+    n_tok = F.size(F.split(F.col("text"), " "))
+    # The dedup stages fan the plan out (exact dedup's winners
+    # semi-join + the shingle index + the survivor anti-join each
+    # re-read this frame): persist the post-extraction text — the
+    # point where the corpus is smallest — so the Python-heavy
+    # synthesize/parse/extract chain runs ONCE instead of 5x.  At
+    # 100 TB this materialization is the standard checkpoint between
+    # the ingest tier and the dedup tier.
+    quality = fixed.filter((n_tok >= 40) & (n_tok <= 20000)).persist()
+
+    uniq = exact_dedup(quality, id_col="rec_id", text_col="text")
+    # max_shingle_df is the stop-shingle guard doing its designed job:
+    # the fixture's header/tail phrases are corpus-wide boilerplate
+    # (df ~ n_docs), and without the guard their inverted-index join
+    # cost is df^2 per shingle (~40M tuples at sf0.1, measured 28 s).
+    # With it the join touches only discriminative shingles (~2 s).
+    pairs = ngram_jaccard_pairs(
+        uniq, id_col="rec_id", text_col="text", n=3, threshold=0.8,
+        max_shingle_df=64,
+    )
+    losers = pairs.select(F.col("id_b").alias("rec_id")).distinct()
+    survivors = uniq.join(losers, "rec_id", "left_anti")
+
+    return sliding_chunks(
+        survivors, chunk_words=24, stride_words=16, id_col="rec_id"
+    )
+
+
 def q_code_secrets(spark, sf_dir):
     """Secrets screen end-to-end (r12): each document gets a planted
     credential by doc_id%4 — AWS access key (AKIA + 16 digits),
@@ -3646,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_code_secrets": q_code_secrets,
         "q_markdown_extract": q_markdown_extract,
         "q_fix_mojibake": q_fix_mojibake,
+        "q_pipeline_e2e": q_pipeline_e2e,
         "q_robots_filter": q_robots_filter,
         "q_sitemap_entries": q_sitemap_entries,
         "q_cdx_index": q_cdx_index,
@@ -6009,6 +6187,104 @@ SELECT query_id, vec_id, sim, rank FROM (
                    doc_id % 4 < 2 AS changed
             FROM documents
             WHERE text IS NOT NULL AND trim(text) != ''
+        """,
+        "q_pipeline_e2e": r"""
+            WITH src AS (
+                SELECT doc_id,
+                       'Tom & Jerry <3 '
+                       || array_to_string(
+                              regexp_split_to_array(trim(text), '\s+'),
+                              ' ')
+                       || ' '
+                       || CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN 'café résumé'
+                            WHEN 1 THEN 'naïve – “quoted” … fin'
+                            WHEN 2 THEN 'déjà vu clean'
+                            ELSE 'plain ascii tail' END AS fixed
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) != ''
+            ), copies AS (
+                SELECT doc_id * 4 + 0 AS rec_id,
+                       CAST(doc_id % 12 AS INT) AS host,
+                       fixed AS text
+                FROM src
+                UNION ALL
+                SELECT doc_id * 4 + 1, CAST((doc_id + 5) % 12 AS INT),
+                       fixed
+                FROM src
+                UNION ALL
+                SELECT doc_id * 4 + 2, CAST((doc_id + 1) % 12 AS INT),
+                       fixed || ' extraprime'
+                FROM src WHERE doc_id % 7 = 0
+            ), quality AS (
+                SELECT rec_id, text FROM copies
+                WHERE host % 3 <> 0
+                  AND len(regexp_split_to_array(text, ' '))
+                      BETWEEN 40 AND 20000
+            ), uniq AS (
+                SELECT rec_id, text FROM (
+                    SELECT rec_id, text,
+                           row_number() OVER (
+                               PARTITION BY regexp_replace(
+                                   lower(trim(text)), '\s+', ' ', 'g')
+                               ORDER BY rec_id) AS rn
+                    FROM quality)
+                WHERE rn = 1
+            ), w AS (
+                SELECT rec_id,
+                       regexp_split_to_array(
+                           regexp_replace(lower(trim(text)),
+                                          '\s+', ' ', 'g'),
+                           ' ') AS words
+                FROM uniq
+            ), sh AS (
+                SELECT DISTINCT rec_id,
+                       unnest(list_transform(
+                           range(1, len(words) - 1),
+                           i -> words[i] || ' ' || words[i+1]
+                                || ' ' || words[i+2])) AS sh
+                FROM w
+            ), shr AS (
+                -- stop-shingle guard (max_shingle_df=64): shingles in
+                -- more than 64 docs leave BOTH the index and the sizes
+                SELECT s.rec_id, s.sh FROM sh s
+                JOIN (SELECT sh FROM sh GROUP BY sh
+                      HAVING count(*) <= 64) r USING (sh)
+            ), sizes AS (
+                SELECT rec_id, count(*) AS n_sh FROM shr GROUP BY 1
+            ), shared AS (
+                SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+                       count(*) AS shared
+                FROM shr a JOIN shr b
+                  ON a.sh = b.sh AND a.rec_id < b.rec_id
+                GROUP BY 1, 2
+            ), losers AS (
+                SELECT DISTINCT id_b AS rec_id
+                FROM shared
+                JOIN sizes sa ON sa.rec_id = shared.id_a
+                JOIN sizes sb ON sb.rec_id = shared.id_b
+                WHERE shared.shared
+                      >= 0.8 * (sa.n_sh + sb.n_sh - shared.shared)
+            ), sv AS (
+                SELECT u.rec_id,
+                       regexp_split_to_array(trim(u.text), '\s+') AS w2
+                FROM uniq u
+                WHERE u.rec_id NOT IN (SELECT rec_id FROM losers)
+            ), st AS (
+                SELECT rec_id, w2, len(w2) AS n,
+                       1 + CAST(ceil(greatest(len(w2) - 24, 0)/16.0)
+                                AS INT) AS n_starts
+                FROM sv
+            )
+            SELECT rec_id, CAST(i.v AS INT) AS chunk_idx,
+                   CAST(16 * i.v AS INT) AS start_word,
+                   CAST(least(24, n - 16 * i.v) AS INT) AS n_words,
+                   array_to_string(
+                       w2[CAST(16*i.v + 1 AS BIGINT)
+                          :CAST(least(16*i.v + 24, n) AS BIGINT)],
+                       ' ') AS chunk
+            FROM st, range(16) i(v)
+            WHERE i.v < n_starts
         """,
         "q_code_secrets": """
             SELECT doc_id,

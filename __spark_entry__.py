@@ -3770,32 +3770,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sources/ or streaming/) was edited this round — "the function looks
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
-    # 51+; all 86 stay covered by tools/check_correctness.py locally.
-    # Round 11: the ELEVEN NEW never-certified gates (q_span_dedup_exact,
-    # q_media_decode_webp_lossy, q_media_video_decode, q_ivf_pq_upsert,
-    # q_media_anim_frames, q_media_webm_frames, q_media_exif,
-    # q_media_flac, q_warc_ingest, q_url_filter, q_media_mp3_meta)
-    # enter, and every gate over an
-    # r11-touched module stays/returns in-window: dedup.py (span
-    # extension + word_shingles guard -> all dedup/span/jaccard/
-    # minhash/cross/simhash/chunk gates), text.py (keyword_hits fix ->
-    # keyword/text_stats/lang_id/pii), bpe.py (marker check), bm25.py
-    # (single-scan), multimodal.py + jpeg.py + vp8.py (-> ALL media
-    # gates).  Parked to make room: q_profile_orders, q_tfidf_terms,
-    # q_unimax, q_perplexity, q_ppl_buckets, q_quality_rules,
-    # q_classifier_score, q_doc_entropy, q_dsir_weights,
-    # q_delta_schema_ddl, q_delta_clone (all r6/r9+r10 multi-certified;
-    # profile/tfidf/sampling/lm/quality/dsir/schema_ddl/maintenance
-    # modules + their closures untouched in r11).  The
-    # r10 parked set (delta restore/history/time_travel/column_mapping/
-    # dv_scan/optimize/changes/merge, events/sessions/asof/range_join,
-    # cosine_neardup) stays parked — their closures are r11-untouched
-    # and they are r6+r9 double-certified.  The full 98 run locally
-    # each round via tools/check_correctness.py --json
-    # (CORRECTNESS_LOCAL_r11.json).
+    # 51+; all 139 stay covered by tools/check_correctness.py locally.
+    # Round 13 (restoring the rotation the r12 verdict flagged): the
+    # window leads with every never-certified gate — the 11 TPC-H
+    # adaptations, q_delta_ict_travel, and the new q_pipeline_e2e —
+    # then the full delta-lifecycle family (time_travel/restore/history/
+    # column_mapping/dv_scan/optimize/changes/merge/scan_roundtrip/
+    # sink_roundtrip/sql_emission/convert/schema_ddl/clone/cdf/update/
+    # stream), whose closure was edited in r12 (plans/meta.py ICT,
+    # delta_writer/delta_sink/maintenance) AND again in r13
+    # (delta_sink._writer7_features, maintenance ICT enablement).
+    # r13 rule-b entries: q_robots_filter + q_pipeline_e2e (robots.py
+    # memo-key fix), q_archive_ingest (zip budget fix), q_pdf_extract +
+    # q_markdown_extract (spread_scan swap), q1/q3/q5/q6 (DECIMAL money
+    # sums).  The remaining slots refresh the OLDEST certifications
+    # (events/sessions/asof/range_join/cosine_neardup r6+r9;
+    # profile/tfidf/quality/dsir/unimax r6/r9+r10).  Parked to make
+    # room: the entire r12-certified media/ingestion/text/dedup/ANN
+    # tier — closures untouched in r13 except robots/archive (which
+    # are in-window).
     return {
-        # -- r6-era gates re-certified in r9; kept while their delta/
-        #    streaming import closure keeps changing --
+        # -- never driver-certified (rule a): 11 TPC-H + ICT + pipeline --
+        "q4_order_priority": q4_order_priority,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_distribution": q13_order_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_volume": q18_large_volume,
+        "q22_idle_customers": q22_idle_customers,
+        "q_delta_ict_travel": q_delta_ict_travel,
+        "q_pipeline_e2e": q_pipeline_e2e,
+        # -- delta-lifecycle family (rule b: r12+r13 write-path edits) --
+        "q_delta_time_travel": q_delta_time_travel,
+        "q_delta_restore": q_delta_restore,
+        "q_delta_history": q_delta_history,
+        "q_delta_column_mapping": q_delta_column_mapping,
+        "q_delta_dv_scan": q_delta_dv_scan,
+        "q_delta_optimize": q_delta_optimize,
+        "q_delta_changes": q_delta_changes,
+        "q_delta_merge": q_delta_merge,
+        "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
+        "q_delta_sink_roundtrip": q_delta_sink_roundtrip,
+        "q_delta_sql_emission": q_delta_sql_emission,
+        "q_delta_convert": q_delta_convert,
+        "q_delta_schema_ddl": q_delta_schema_ddl,
+        "q_delta_clone": q_delta_clone,
+        "q_delta_cdf": q_delta_cdf,
+        "q_delta_update": q_delta_update,
+        "q_delta_stream": q_delta_stream,
+        # -- r13 rule-b: modules/gate code edited this round --
+        "q_robots_filter": q_robots_filter,
+        "q_archive_ingest": q_archive_ingest,
+        "q_pdf_extract": q_pdf_extract,
+        "q_markdown_extract": q_markdown_extract,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_revenue_filter": q6_revenue_filter,
+        # -- certification refresh: oldest multi-certified gates --
+        "q_events_hourly": q_events_hourly,
+        "q_events_pivot": q_events_pivot,
+        "q_event_gaps": q_event_gaps,
+        "q_sessions": q_sessions,
+        "q_asof_events_orders": q_asof_events_orders,
+        "q_range_join": q_range_join,
+        "q_cosine_neardup": q_cosine_neardup,
+        "q_profile_orders": q_profile_orders,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_quality_rules": q_quality_rules,
+        "q_dsir_weights": q_dsir_weights,
+        "q_unimax": q_unimax,
+        # -- positions 51+: multi-round-certified gates whose import
+        # closure is untouched this round (rotation rule above) --
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_decode_webp": q_media_decode_webp,
@@ -3817,25 +3867,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_flac": q_media_flac,
         "q_warc_ingest": q_warc_ingest,
         "q_html_extract": q_html_extract,
-        "q_pdf_extract": q_pdf_extract,
         "q_code_stats": q_code_stats,
-        "q_archive_ingest": q_archive_ingest,
         "q_code_secrets": q_code_secrets,
-        "q_markdown_extract": q_markdown_extract,
         "q_fix_mojibake": q_fix_mojibake,
-        "q_pipeline_e2e": q_pipeline_e2e,
-        "q_robots_filter": q_robots_filter,
         "q_sitemap_entries": q_sitemap_entries,
         "q_cdx_index": q_cdx_index,
         "q_sliding_chunks": q_sliding_chunks,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
-        "q_delta_cdf": q_delta_cdf,
-        "q_delta_stream": q_delta_stream,
-        "q_delta_update": q_delta_update,
         "q_pii_redaction": q_pii_redaction,
         "q_media_features": q_media_features,
-        # -- positions 23-50: round-9-touched families + r7/r8 fillers --
         "q_contamination": q_contamination,
         "q_bloom_decontam": q_bloom_decontam,
         "q_bm25_topk": q_bm25_topk,
@@ -3867,35 +3908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_pq_upsert": q_ivf_pq_upsert,
         "q_media_decode_pjpeg": q_media_decode_pjpeg,
         "q_media_decode_jpeg": q_media_decode_jpeg,
-        # -- positions 51+: multi-round-certified gates whose import
-        # closure is untouched this round (rotation rule above) --
-        "q_profile_orders": q_profile_orders,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_unimax": q_unimax,
         "q_perplexity": q_perplexity,
         "q_ppl_buckets": q_ppl_buckets,
-        "q_quality_rules": q_quality_rules,
         "q_classifier_score": q_classifier_score,
         "q_doc_entropy": q_doc_entropy,
-        "q_dsir_weights": q_dsir_weights,
-        "q_delta_schema_ddl": q_delta_schema_ddl,
-        "q_delta_clone": q_delta_clone,
-        "q_delta_merge": q_delta_merge,
-        "q_delta_restore": q_delta_restore,
-        "q_delta_history": q_delta_history,
-        "q_cosine_neardup": q_cosine_neardup,
-        "q_delta_time_travel": q_delta_time_travel,
-        "q_delta_ict_travel": q_delta_ict_travel,
-        "q_delta_column_mapping": q_delta_column_mapping,
-        "q_delta_dv_scan": q_delta_dv_scan,
-        "q_delta_optimize": q_delta_optimize,
-        "q_delta_changes": q_delta_changes,
-        "q_events_hourly": q_events_hourly,
-        "q_events_pivot": q_events_pivot,
-        "q_event_gaps": q_event_gaps,
-        "q_sessions": q_sessions,
-        "q_asof_events_orders": q_asof_events_orders,
-        "q_range_join": q_range_join,
         "q_quantized_topk": q_quantized_topk,
         "q_ivf_topk": q_ivf_topk,
         "q_quantize_int8": q_quantize_int8,
@@ -3903,23 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_topk": q_lsh_topk,
         "q_domain_mix": q_domain_mix,
         "q_pack_sequences": q_pack_sequences,
-        "q_delta_convert": q_delta_convert,
         "q_shard_stats": q_shard_stats,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q6_revenue_filter": q6_revenue_filter,
-        "q4_order_priority": q4_order_priority,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q13_order_distribution": q13_order_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q18_large_volume": q18_large_volume,
-        "q22_idle_customers": q22_idle_customers,
         "q_window_top_customers": q_window_top_customers,
         "q_semi_high_quantity": q_semi_high_quantity,
         "q_anti_low_spenders": q_anti_low_spenders,
@@ -3932,9 +3932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_counts": q_distinct_counts,
         "q_grouping_sets": q_grouping_sets,
         "q_json_props": q_json_props,
-        "q_delta_scan_roundtrip": q_delta_scan_roundtrip,
-        "q_delta_sql_emission": q_delta_sql_emission,
-        "q_delta_sink_roundtrip": q_delta_sink_roundtrip,
         "q_salted_agg": q_salted_agg,
         "q_hash_sample": q_hash_sample,
         "q_stratified_sample": q_stratified_sample,

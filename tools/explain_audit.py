@@ -266,6 +266,34 @@ def main() -> int:
         failures.append("q17 avg-quantity join is not broadcast")
     sections.append(("TPC-H q17 avg broadcast-back", formatted(df)))
 
+    # 15. pipeline e2e (r13): the composed crawl->training-text chain
+    # must stay map-side through ingest (no cartesian, no collect),
+    # persist the post-extraction checkpoint exactly once (InMemory
+    # scan present), and shuffle only pair/fingerprint-level rows —
+    # every Exchange keys on ids/shingles/fingerprints, never raw text
+    # round-robin (the one RoundRobin is the spread_scan of the source
+    # docs ahead of the Python ingest kernels)
+    df = entry.q_pipeline_e2e(spark, sf)
+    p = plan_of(df)
+    if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+        failures.append("pipeline_e2e plans a nested-loop/cartesian join")
+    if "InMemoryTableScan" not in p:
+        failures.append(
+            "pipeline_e2e lost its persist checkpoint between the "
+            "ingest and dedup tiers"
+        )
+    # the cached ingest subtree prints once per consuming branch, so
+    # count DISTINCT exchange plan ids, not textual occurrences
+    rr = len(set(re.findall(
+        r"RoundRobinPartitioning\(\d+\), [A-Z_]+, \[plan_id=(\d+)\]", p
+    )))
+    if rr > 2:
+        failures.append(
+            f"pipeline_e2e has {rr} distinct round-robin exchanges; "
+            "only the source spread_scan is allowed"
+        )
+    sections.append(("pipeline e2e shape", formatted(df)))
+
     if "--dump" in sys.argv:
         with open("/root/repo/PLANS.md", "w") as fh:
             fh.write("# Physical plan audit (generated by tools/explain_audit.py)\n")

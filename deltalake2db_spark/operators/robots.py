@@ -183,9 +183,17 @@ def filter_by_robots(
                 # pandas batch, so an identity key (id()) could be
                 # recycled by a different host's robots body in a
                 # later batch and return stale rules. Hashing the
-                # string is cheap next to parsing it.
+                # string is cheap next to parsing it. Bounded: a
+                # partition spanning millions of hosts (each body up
+                # to ~500 KB) must not accumulate them all — reset
+                # past 4096 entries. After a sort-merge host join the
+                # rows arrive host-clustered so evictions rarely
+                # recur; under a broadcast join an interleaved reset
+                # costs a re-parse, the safe side of the trade.
                 parsed = cache.get(robots)
                 if parsed is None:
+                    if len(cache) >= 4096:
+                        cache.clear()
                     parsed = parse_robots(robots)
                     cache[robots] = parsed
                 verdicts.append(

@@ -83,20 +83,20 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
             # unstable pair (JIT recompile / GC hiccup): one more sample
             if max(runs) > 1.4 * min(runs) and min(runs) > 0.5:
                 runs.append(sample())
-            # sub-2s queries are dominated by scheduling/JIT noise
-            # (GC pause or a late JIT recompile doubles them run to
-            # run, where DuckDB's 10-50ms runs are stable).  The
-            # settle can also take >2 executions: a JVM occasionally
-            # draws a mode where BOTH first samples land pre-settle
-            # and look like a stable pair (measured r12:
-            # q_prototype_prune [1.41, 1.44] with a 0.85s steady
-            # state reached on sample 3) — so a third sample is taken
-            # for the whole class, and a fourth when the third shows
-            # the plan was still settling (>=20% improvement).
-            if min(runs) < 2.0:
+            # The JIT settle can take >2 executions, with BOTH first
+            # samples landing pre-settle and looking like a stable
+            # pair — so neither rule above fires (measured r12:
+            # q_prototype_prune [1.41, 1.44] settling to 0.85s on
+            # sample 3; measured r13: q_pipeline_e2e [8.75, 10.18]
+            # settling to 4.3s on sample 3).  A third sample is
+            # therefore unconditional, and a fourth is taken when the
+            # third shows the plan was still settling (>=20%
+            # improvement).  Costs one extra steady-state run per
+            # query per draw — the price of not recording a 2x
+            # pre-settle artifact as the query's time.
+            runs.append(sample())
+            if runs[-1] < 0.8 * min(runs[:-1]):
                 runs.append(sample())
-                if runs[-1] < 0.8 * min(runs[:-1]):
-                    runs.append(sample())
         except Exception as exc:  # keep the bench line parseable
             times[name] = -1.0
             print(f"# {name} failed: {exc}", file=sys.stderr)

@@ -2554,6 +2554,52 @@ def q_pipeline_e2e(spark, sf_dir):
     )
 
 
+def q_wet_ingest(spark, sf_dir):
+    """WET (Common Crawl pre-extracted text) ingestion (r13): .wet.gz
+    shards — a warcinfo record followed by ``conversion`` records
+    whose body IS the page text (no HTTP envelope, text/plain WARC
+    content-type, NULL status) — are synthesized distributed
+    (archive i: 3 + i%3 conversions, url https://h{i}.test/p{k},
+    body 'wet doc {i} rec {k} ' + 'w' * (5 + (i+k)%9)) and parsed by
+    the same WARC reader with record_types=('conversion',).  Most
+    production pipelines start from WET, not WARC; this closes that
+    entry point.  The oracle replays every field from the law
+    (record_idx = k + 1: the warcinfo record holds position 0)."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators import warc as W
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                recs = [
+                    ("warcinfo", "urn:warcinfo", "2024-04-01T00:00:00Z",
+                     None, "application/warc-fields",
+                     b"software: wet-fixture\r\n"),
+                ]
+                for k in range(3 + i % 3):
+                    recs.append((
+                        "conversion", f"https://h{i}.test/p{k}",
+                        f"2024-04-01T00:00:{k:02d}Z", None,
+                        "text/plain",
+                        f"wet doc {i} rec {k} " + "w" * (5 + (i + k) % 9),
+                    ))
+                rows.append((
+                    i, "document", W.encode_warc(recs, gzip_members=True),
+                    {"mime": "application/warc", "width": None,
+                     "height": None, "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return W.warc_records(media, record_types=("conversion",))
+
+
 def q_code_secrets(spark, sf_dir):
     """Secrets screen end-to-end (r12): each document gets a planted
     credential by doc_id%4 — AWS access key (AKIA + 16 digits),
@@ -3804,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "q_delta_ict_travel": q_delta_ict_travel,
         "q_pipeline_e2e": q_pipeline_e2e,
+        "q_wet_ingest": q_wet_ingest,
         # -- delta-lifecycle family (rule b: r12+r13 write-path edits) --
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_restore": q_delta_restore,
@@ -3840,12 +3887,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_cosine_neardup": q_cosine_neardup,
         "q_profile_orders": q_profile_orders,
-        "q_tfidf_terms": q_tfidf_terms,
         "q_quality_rules": q_quality_rules,
-        "q_dsir_weights": q_dsir_weights,
-        "q_unimax": q_unimax,
+        # -- r13 rule-b late additions: warc.py gained record_types
+        # (WET/WAT support) AFTER the initial reorder, so every gate
+        # whose callable imports it re-enters: q_warc_ingest,
+        # q_cdx_index (+ q_pipeline_e2e and q_wet_ingest, above).
+        # q_unimax/q_tfidf_terms/q_dsir_weights yielded their refresh
+        # slots (r6-r12 multi-certified, closures untouched).
+        "q_warc_ingest": q_warc_ingest,
+        "q_cdx_index": q_cdx_index,
         # -- positions 51+: multi-round-certified gates whose import
         # closure is untouched this round (rotation rule above) --
+        "q_unimax": q_unimax,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_dsir_weights": q_dsir_weights,
         "q_media_decode": q_media_decode,
         "q_media_decode_png": q_media_decode_png,
         "q_media_decode_webp": q_media_decode_webp,
@@ -3865,13 +3920,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_exif": q_media_exif,
         "q_media_exif_scrub": q_media_exif_scrub,
         "q_media_flac": q_media_flac,
-        "q_warc_ingest": q_warc_ingest,
         "q_html_extract": q_html_extract,
         "q_code_stats": q_code_stats,
         "q_code_secrets": q_code_secrets,
         "q_fix_mojibake": q_fix_mojibake,
         "q_sitemap_entries": q_sitemap_entries,
-        "q_cdx_index": q_cdx_index,
         "q_sliding_chunks": q_sliding_chunks,
         "q_url_filter": q_url_filter,
         "q_media_mp3_meta": q_media_mp3_meta,
@@ -6184,6 +6237,26 @@ SELECT query_id, vec_id, sim, rank FROM (
                    doc_id % 4 < 2 AS changed
             FROM documents
             WHERE text IS NOT NULL AND trim(text) != ''
+        """,
+        "q_wet_ingest": """
+            SELECT i.v AS media_id, CAST(k.v + 1 AS INT) AS record_idx,
+                   'https://h' || CAST(i.v AS VARCHAR) || '.test/p'
+                       || CAST(k.v AS VARCHAR) AS url,
+                   '2024-04-01T00:00:' || lpad(CAST(k.v AS VARCHAR), 2, '0')
+                       || 'Z' AS warc_date,
+                   CAST(NULL AS INT) AS status,
+                   'text/plain' AS content_type,
+                   CAST(length('wet doc ' || CAST(i.v AS VARCHAR)
+                               || ' rec ' || CAST(k.v AS VARCHAR) || ' '
+                               || repeat('w', CAST(5 + (i.v + k.v) % 9
+                                                   AS INT)))
+                        AS BIGINT) AS body_len,
+                   'wet doc ' || CAST(i.v AS VARCHAR) || ' rec '
+                       || CAST(k.v AS VARCHAR) || ' '
+                       || repeat('w', CAST(5 + (i.v + k.v) % 9 AS INT))
+                       AS text
+            FROM range(60) i(v), range(6) k(v)
+            WHERE k.v < 3 + i.v % 3
         """,
         "q_pipeline_e2e": r"""
             WITH src AS (

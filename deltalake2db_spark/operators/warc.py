@@ -134,16 +134,29 @@ def parse_warc(payload: bytes) -> Optional[list]:
     return records or None
 
 
-def warc_records(df: DataFrame, text_only: bool = True) -> DataFrame:
+def warc_records(
+    df: DataFrame,
+    text_only: bool = True,
+    record_types: tuple = ("response",),
+) -> DataFrame:
     """(media_id, record_idx, url, warc_date, status, content_type,
-    body_len, text) for response records in WARC payloads.  ``text``
-    is the UTF-8-decoded body for text/* content types (NULL
+    body_len, text) for the selected record types in WARC payloads.
+    ``text`` is the UTF-8-decoded body for text/* content types (NULL
     otherwise); ``text_only=True`` keeps only records with text —
-    the corpus-ingestion default."""
+    the corpus-ingestion default.
+
+    ``record_types`` selects Common Crawl's three shard families with
+    the same reader: ``("response",)`` for .warc.gz (raw HTTP, the
+    default), ``("conversion",)`` for .wet.gz (pre-extracted
+    text/plain — no HTTP envelope, so ``status`` is NULL), and
+    ``("metadata",)`` for .wat.gz (JSON metadata; pair with
+    ``F.from_json`` downstream).  ``record_idx`` stays the record's
+    position within the payload regardless of the filter."""
     out_schema = (
         "media_id long, record_idx int, url string, warc_date string, "
         "status int, content_type string, body_len long, text string"
     )
+    wanted = set(record_types)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -154,10 +167,13 @@ def warc_records(df: DataFrame, text_only: bool = True) -> DataFrame:
                     continue
                 for j, r in enumerate(recs):
                     h = r["headers"]
-                    if h.get("warc-type") != "response":
+                    if h.get("warc-type") not in wanted:
                         continue
-                    is_text = r["content_type"].split(";")[0].strip() \
-                        .startswith("text/")
+                    base_ct = r["content_type"].split(";")[0].strip()
+                    is_text = base_ct.startswith("text/") or base_ct in (
+                        "application/json",  # WAT metadata payloads
+                        "application/warc-fields",
+                    )
                     text = (
                         r["body"].decode("utf-8", "replace")
                         if is_text

@@ -1785,6 +1785,43 @@ def test_warc_parse_and_ingest(spark):
     assert len(W.warc_records(df, text_only=False).collect()) == 3
 
 
+def test_wet_wat_record_types(spark):
+    """record_types selects Common Crawl's WET (conversion: bare
+    text/plain bodies, NULL status) and WAT (metadata: JSON decoded as
+    text) families through the same reader; record_idx keeps the
+    record's position in the payload regardless of the filter."""
+    from deltalake2db_spark.operators import warc as W
+    from deltalake2db_spark.operators.multimodal import MEDIA_SCHEMA
+
+    recs = [
+        ("warcinfo", "urn:info", "2024-01-01T00:00:00Z", None,
+         "application/warc-fields", b"software: t\r\n"),
+        ("conversion", "http://a.example/x", "2024-01-01T00:00:01Z",
+         None, "text/plain", "extracted page text"),
+        ("metadata", "http://a.example/x", "2024-01-01T00:00:01Z",
+         None, "application/json", '{"links": 3}'),
+        ("conversion", "http://a.example/y", "2024-01-01T00:00:02Z",
+         None, "text/plain", "another page"),
+    ]
+    df = spark.createDataFrame(
+        [(1, "document", bytearray(W.encode_warc(recs)), None)],
+        schema=MEDIA_SCHEMA,
+    )
+    wet = sorted(
+        W.warc_records(df, record_types=("conversion",)).collect(),
+        key=lambda r: r["record_idx"],
+    )
+    assert [(r["record_idx"], r["url"], r["text"], r["status"])
+            for r in wet] == [
+        (1, "http://a.example/x", "extracted page text", None),
+        (3, "http://a.example/y", "another page", None),
+    ]
+    wat = W.warc_records(df, record_types=("metadata",)).collect()
+    assert len(wat) == 1 and wat[0]["text"] == '{"links": 3}'
+    # default stays response-only: nothing here qualifies
+    assert W.warc_records(df).collect() == []
+
+
 def test_exif_parse_and_gps_scrub(spark):
     """EXIF writer -> parser round trip (both byte orders on parse),
     GPS scrub leaves pixels bit-identical and every non-GPS field

@@ -134,10 +134,43 @@ def parse_warc(payload: bytes) -> Optional[list]:
     return records or None
 
 
+def sniff_decode(body: bytes, content_type: str = "") -> str:
+    """Charset-aware text decode for crawl payloads, the order real
+    browsers/crawlers resolve it: BOM, then the ``charset=`` parameter
+    of the (HTTP or WARC) content-type header, then an HTML
+    ``<meta charset=...>`` / http-equiv scan of the first 2 KB, then
+    strict UTF-8 with a cp1252 fallback (the web's dominant
+    mislabeling: pages declared — or defaulted — utf-8 that actually
+    carry cp1252 bytes; decoding them as cp1252 is what the mojibake
+    repair stage would otherwise have to undo)."""
+    import re as _re
+
+    if body[:3] == b"\xef\xbb\xbf":
+        return body[3:].decode("utf-8", "replace")
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return body.decode("utf-16", "replace")
+    m = _re.search(r"charset=[\"']?([\w\-]+)", content_type or "", _re.I)
+    enc = m.group(1).lower() if m else None
+    if enc is None:
+        head = body[:2048].decode("latin-1", "replace").lower()
+        m2 = _re.search(r"<meta[^>]+charset=[\"']?([\w\-]+)", head)
+        enc = m2.group(1).lower() if m2 else None
+    if enc in (None, "utf-8", "utf8"):
+        try:
+            return body.decode("utf-8")
+        except UnicodeDecodeError:
+            return body.decode("cp1252", "replace")
+    try:
+        return body.decode(enc, "replace")
+    except (LookupError, UnicodeDecodeError):
+        return body.decode("utf-8", "replace")
+
+
 def warc_records(
     df: DataFrame,
     text_only: bool = True,
     record_types: tuple = ("response",),
+    decode: str = "utf-8",
 ) -> DataFrame:
     """(media_id, record_idx, url, warc_date, status, content_type,
     body_len, text) for the selected record types in WARC payloads.
@@ -151,7 +184,13 @@ def warc_records(
     text/plain — no HTTP envelope, so ``status`` is NULL), and
     ``("metadata",)`` for .wat.gz (JSON metadata; pair with
     ``F.from_json`` downstream).  ``record_idx`` stays the record's
-    position within the payload regardless of the filter."""
+    position within the payload regardless of the filter.
+
+    ``decode="sniff"`` resolves each body's charset like a browser
+    (BOM -> header charset= -> meta tag -> UTF-8 w/ cp1252 fallback,
+    see ``sniff_decode``); the default ``"utf-8"`` is
+    replacement-decoded UTF-8 (correct for WET, which is UTF-8 by
+    spec)."""
     out_schema = (
         "media_id long, record_idx int, url string, warc_date string, "
         "status int, content_type string, body_len long, text string"
@@ -174,11 +213,12 @@ def warc_records(
                         "application/json",  # WAT metadata payloads
                         "application/warc-fields",
                     )
-                    text = (
-                        r["body"].decode("utf-8", "replace")
-                        if is_text
-                        else None
-                    )
+                    if not is_text:
+                        text = None
+                    elif decode == "sniff":
+                        text = sniff_decode(r["body"], r["content_type"])
+                    else:
+                        text = r["body"].decode("utf-8", "replace")
                     if text_only and text is None:
                         continue
                     rows.append((

@@ -2123,3 +2123,39 @@ def test_apply_exif_orientation_all_eight():
     # unknown / null orientations pass through
     assert apply_exif_orientation(a, None) is a
     assert apply_exif_orientation(a, 9) is a
+
+
+def test_sniff_decode_charsets(spark):
+    """Browser-order charset resolution: BOM > header charset= > meta
+    tag > strict UTF-8 with cp1252 fallback for mislabeled pages."""
+    from deltalake2db_spark.operators import warc as W
+    from deltalake2db_spark.operators.multimodal import MEDIA_SCHEMA
+
+    s = W.sniff_decode
+    # BOMs win over everything
+    assert s(b"\xef\xbb\xbfh\xc3\xa9", "text/html; charset=latin-1") == "hé"
+    assert s("café".encode("utf-16"), "") == "café"
+    # header charset
+    assert s("café".encode("latin-1"), "text/html; charset=ISO-8859-1") == "café"
+    # meta tag (both forms), only when the header is silent
+    assert s(b'<meta charset="windows-1252"><p>caf\xe9</p>', "text/html") \
+        == '<meta charset="windows-1252"><p>caf\xe9</p>'.replace("\xe9", "é")
+    assert s(b'<meta http-equiv="Content-Type" content="text/html; '
+             b'charset=iso-8859-1"><p>d\xe9j\xe0</p>', "") .endswith("d\xe9j\xe0</p>".replace("\xe9", "é").replace("\xe0", "à"))
+    # clean UTF-8 stays UTF-8
+    assert s("déjà".encode("utf-8"), "text/plain") == "déjà"
+    # mislabeled/undeclared cp1252 bytes fall back instead of U+FFFD
+    assert s(b"caf\xe9 \x93quoted\x94", "text/plain") == "café “quoted”"
+    # unknown encodings fall back to replacement utf-8, never raise
+    assert s(b"abc\xff", "text/plain; charset=not-a-charset") == "abc�"
+
+    # Spark tier: decode="sniff" repairs a latin-1 response map-side
+    recs = [("response", "http://a.example/l1", "2024-01-01T00:00:00Z",
+             200, "text/html; charset=latin-1", "résumé".encode("latin-1"))]
+    df = spark.createDataFrame(
+        [(1, "document", bytearray(W.encode_warc(recs)), None)],
+        schema=MEDIA_SCHEMA,
+    )
+    assert W.warc_records(df, decode="sniff").collect()[0]["text"] == "résumé"
+    # default utf-8 mode shows the mojibake the repair stage handles
+    assert "�" in W.warc_records(df).collect()[0]["text"]

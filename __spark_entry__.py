@@ -2600,6 +2600,47 @@ def q_wet_ingest(spark, sf_dir):
     return W.warc_records(media, record_types=("conversion",))
 
 
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization end-to-end (r13): each document gets
+    a tail by doc_id%4 — DECOMPOSED 'cafe' + COMBINING ACUTE,
+    already-composed 'déjà vu' (must pass untouched), decomposed
+    'a' + COMBINING GRAVE + ' la carte', plain ASCII — and
+    text.nfc_normalize (Arrow-batched unicodedata kernel) must
+    compose exactly the decomposed ones.  The oracle replays with
+    DuckDB's own nfc_normalize over the same chr()-constructed tails
+    — two independent Unicode NFC implementations must agree
+    byte-for-byte."""
+    from deltalake2db_spark.operators.normalize import nfc_normalize
+
+    tails = [
+        "cafe\u0301",          # decomposed: e + U+0301 -> \u00e9
+        "d\u00e9j\u00e0 vu",    # already NFC: must pass untouched
+        "a\u0300 la carte",    # decomposed: a + U+0300 -> \u00e0
+        "plain ascii tail",
+    ]
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    did = F.col("doc_id")
+    tail = (
+        F.when(did % 4 == 0, F.lit(tails[0]))
+        .when(did % 4 == 1, F.lit(tails[1]))
+        .when(did % 4 == 2, F.lit(tails[2]))
+        .otherwise(F.lit(tails[3]))
+    )
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), tail).alias("text"),
+    )
+    norm = nfc_normalize(F.col("text"))
+    return staged.select(
+        "doc_id",
+        F.substring(norm, -12, 12).alias("norm_tail"),
+        (norm != F.col("text")).alias("changed"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
 def q_code_secrets(spark, sf_dir):
     """Secrets screen end-to-end (r12): each document gets a planted
     credential by doc_id%4 — AWS access key (AKIA + 16 digits),
@@ -3886,7 +3927,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_events_orders": q_asof_events_orders,
         "q_range_join": q_range_join,
         "q_cosine_neardup": q_cosine_neardup,
-        "q_profile_orders": q_profile_orders,
+        # q_nfc_normalize (r13, never certified; its kernel lives in the
+        # NEW operators/normalize.py, so no existing closure is flagged)
+        # takes q_profile_orders' refresh slot
+        "q_nfc_normalize": q_nfc_normalize,
         "q_quality_rules": q_quality_rules,
         # -- r13 rule-b late additions: warc.py gained record_types
         # (WET/WAT support) AFTER the initial reorder, so every gate
@@ -6237,6 +6281,25 @@ SELECT query_id, vec_id, sim, rank FROM (
                    doc_id % 4 < 2 AS changed
             FROM documents
             WHERE text IS NOT NULL AND trim(text) != ''
+        """,
+        "q_nfc_normalize": """
+            WITH staged AS (
+                SELECT doc_id,
+                       text || ' ' ||
+                       CASE CAST(doc_id % 4 AS INT)
+                         WHEN 0 THEN 'cafe' || chr(769)
+                         WHEN 1 THEN 'd' || chr(233) || 'j'
+                                   || chr(224) || ' vu'
+                         WHEN 2 THEN 'a' || chr(768) || ' la carte'
+                         ELSE 'plain ascii tail' END AS t
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) != ''
+            )
+            SELECT doc_id,
+                   right(nfc_normalize(t), 12) AS norm_tail,
+                   nfc_normalize(t) != t AS changed,
+                   CAST(length(nfc_normalize(t)) AS INT) AS norm_len
+            FROM staged
         """,
         "q_wet_ingest": """
             SELECT i.v AS media_id, CAST(k.v + 1 AS INT) AS record_idx,

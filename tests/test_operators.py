@@ -2159,3 +2159,35 @@ def test_sniff_decode_charsets(spark):
     assert W.warc_records(df, decode="sniff").collect()[0]["text"] == "résumé"
     # default utf-8 mode shows the mojibake the repair stage handles
     assert "�" in W.warc_records(df).collect()[0]["text"]
+
+
+def test_unicode_normalizers(spark):
+    """nfc_normalize composes decomposed sequences and leaves NFC text
+    untouched; nfkc_casefold collapses compatibility forms + case for
+    dedup keys; NULLs pass through."""
+    import pyspark.sql.functions as F
+
+    from deltalake2db_spark.operators.normalize import (
+        nfc_normalize,
+        nfkc_casefold,
+    )
+
+    rows = [
+        (0, "cafe\u0301"),   # DECOMPOSED: e + U+0301
+        (1, "déjà"),      # already NFC
+        (2, "ﬁle Ａ x² STRAßE"),  # fi A ² ß
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {
+        r["i"]: (r["nfc"], r["key"])
+        for r in df.select(
+            "i",
+            nfc_normalize(F.col("t")).alias("nfc"),
+            nfkc_casefold(F.col("t")).alias("key"),
+        ).collect()
+    }
+    assert got[0] == ("caf\u00e9", "caf\u00e9")
+    assert got[1] == ("déjà", "déjà")
+    assert got[2][1] == "file a x2 strasse"
+    assert got[3] == (None, None)

@@ -3943,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- positions 51+: multi-round-certified gates whose import
         # closure is untouched this round (rotation rule above) --
         "q_unimax": q_unimax,
+        "q_profile_orders": q_profile_orders,
         "q_tfidf_terms": q_tfidf_terms,
         "q_dsir_weights": q_dsir_weights,
         "q_media_decode": q_media_decode,

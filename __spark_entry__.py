@@ -3857,25 +3857,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sources/ or streaming/) was edited this round — "the function looks
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
-    # 51+; all 139 stay covered by tools/check_correctness.py locally.
+    # 51+; all 141 stay covered by tools/check_correctness.py locally.
     # Round 13 (restoring the rotation the r12 verdict flagged): the
     # window leads with every never-certified gate — the 11 TPC-H
-    # adaptations, q_delta_ict_travel, and the new q_pipeline_e2e —
-    # then the full delta-lifecycle family (time_travel/restore/history/
-    # column_mapping/dv_scan/optimize/changes/merge/scan_roundtrip/
-    # sink_roundtrip/sql_emission/convert/schema_ddl/clone/cdf/update/
-    # stream), whose closure was edited in r12 (plans/meta.py ICT,
-    # delta_writer/delta_sink/maintenance) AND again in r13
-    # (delta_sink._writer7_features, maintenance ICT enablement).
-    # r13 rule-b entries: q_robots_filter + q_pipeline_e2e (robots.py
-    # memo-key fix), q_archive_ingest (zip budget fix), q_pdf_extract +
+    # adaptations, q_delta_ict_travel, and the r13-new q_pipeline_e2e,
+    # q_wet_ingest, q_nfc_normalize — then the full delta-lifecycle
+    # family (time_travel/restore/history/column_mapping/dv_scan/
+    # optimize/changes/merge/scan_roundtrip/sink_roundtrip/sql_emission/
+    # convert/schema_ddl/clone/cdf/update/stream), whose closure was
+    # edited in r12 (plans/meta.py ICT, delta_writer/delta_sink/
+    # maintenance) AND again in r13 (delta_sink._writer7_features,
+    # maintenance ICT enablement).  r13 rule-b entries: q_robots_filter
+    # + q_pipeline_e2e (robots.py memo-key fix + cache bound),
+    # q_archive_ingest (zip budget fix), q_warc_ingest + q_cdx_index
+    # (warc.py record_types/sniff_decode), q_pdf_extract +
     # q_markdown_extract (spread_scan swap), q1/q3/q5/q6 (DECIMAL money
     # sums).  The remaining slots refresh the OLDEST certifications
     # (events/sessions/asof/range_join/cosine_neardup r6+r9;
-    # profile/tfidf/quality/dsir/unimax r6/r9+r10).  Parked to make
-    # room: the entire r12-certified media/ingestion/text/dedup/ANN
-    # tier — closures untouched in r13 except robots/archive (which
-    # are in-window).
+    # quality_rules r6/r9+r10) — unimax/tfidf/dsir/profile_orders
+    # yielded their refresh slots to the late r13 additions and sit at
+    # 51+ (multi-certified, closures untouched).  Parked to make room:
+    # the entire r12-certified media/ingestion/text/dedup/ANN tier —
+    # closures untouched in r13 except robots/archive/warc (which are
+    # in-window).
     return {
         # -- never driver-certified (rule a): 11 TPC-H + ICT + pipeline --
         "q4_order_priority": q4_order_priority,

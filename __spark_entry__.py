@@ -2419,7 +2419,6 @@ def q_pipeline_e2e(spark, sf_dir):
         exact_dedup,
         ngram_jaccard_pairs,
     )
-    from deltalake2db_spark.operators.parallel import spread_scan
     from deltalake2db_spark.operators.robots import filter_by_robots
     from deltalake2db_spark.operators.text import (
         fix_mojibake,
@@ -2446,10 +2445,26 @@ def q_pipeline_e2e(spark, sf_dir):
         "plain ascii tail",
     ]
 
-    docs = spread_scan(
+    # Chain-depth-aware scan width (spread_scan's law with the target
+    # divided by the Python-stage chain depth): each task of the
+    # ingest stage pipelines FOUR chained Python kernels (synthesize,
+    # WARC parse, robots eval, HTML extract), so a full-cores width
+    # runs ~4x cores worker processes at once and thrashes (measured
+    # at local[32]: width 32 -> 8-22 s erratic; width 8-16 -> stable
+    # 3.1-3.5 s).  TODO(r14): promote as spread_scan(chain_depth=)
+    # once the rotation budget lets parallel.py's closure re-certify.
+    from deltalake2db_spark.operators.parallel import _session_cores
+
+    src = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
         .select("doc_id", "text")
+    )
+    width = max(2, _session_cores(spark) // 4)
+    docs = (
+        src.repartition(width)
+        if src.rdd.getNumPartitions() * 4 <= width
+        else src
     )
 
     def gen(it):

@@ -6212,16 +6212,19 @@ SELECT query_id, vec_id, sim, rank FROM (
                        1 + CAST(ceil(greatest(len(w) - 24, 0)/16.0)
                                 AS INT) AS n_starts
                 FROM d
+            ), ex AS (
+                -- per-row range: no hardcoded window cap
+                SELECT doc_id, w, n, unnest(range(n_starts)) AS v
+                FROM st
             )
-            SELECT doc_id, CAST(i.v AS INT) AS chunk_idx,
-                   CAST(16 * i.v AS INT) AS start_word,
-                   CAST(least(24, n - 16 * i.v) AS INT) AS n_words,
+            SELECT doc_id, CAST(v AS INT) AS chunk_idx,
+                   CAST(16 * v AS INT) AS start_word,
+                   CAST(least(24, n - 16 * v) AS INT) AS n_words,
                    array_to_string(
-                       w[CAST(16*i.v + 1 AS BIGINT)
-                         :CAST(least(16*i.v + 24, n) AS BIGINT)],
+                       w[CAST(16*v + 1 AS BIGINT)
+                         :CAST(least(16*v + 24, n) AS BIGINT)],
                        ' ') AS chunk
-            FROM st, range(16) i(v)
-            WHERE i.v < n_starts
+            FROM ex
         """,
         "q_sitemap_entries": """
             SELECT i.v AS media_id, 'urlset' AS kind,
@@ -6428,16 +6431,21 @@ SELECT query_id, vec_id, sim, rank FROM (
                        1 + CAST(ceil(greatest(len(w2) - 24, 0)/16.0)
                                 AS INT) AS n_starts
                 FROM sv
+            ), ex AS (
+                -- per-row range: no hardcoded window cap (a surviving
+                -- document longer than 264 words would have outrun a
+                -- fixed range(16))
+                SELECT rec_id, w2, n, unnest(range(n_starts)) AS v
+                FROM st
             )
-            SELECT rec_id, CAST(i.v AS INT) AS chunk_idx,
-                   CAST(16 * i.v AS INT) AS start_word,
-                   CAST(least(24, n - 16 * i.v) AS INT) AS n_words,
+            SELECT rec_id, CAST(v AS INT) AS chunk_idx,
+                   CAST(16 * v AS INT) AS start_word,
+                   CAST(least(24, n - 16 * v) AS INT) AS n_words,
                    array_to_string(
-                       w2[CAST(16*i.v + 1 AS BIGINT)
-                          :CAST(least(16*i.v + 24, n) AS BIGINT)],
+                       w2[CAST(16*v + 1 AS BIGINT)
+                          :CAST(least(16*v + 24, n) AS BIGINT)],
                        ' ') AS chunk
-            FROM st, range(16) i(v)
-            WHERE i.v < n_starts
+            FROM ex
         """,
         "q_code_secrets": """
             SELECT doc_id,

@@ -147,18 +147,33 @@ def sniff_decode(body: bytes, content_type: str = "") -> str:
 
     if body[:3] == b"\xef\xbb\xbf":
         return body[3:].decode("utf-8", "replace")
+    # UTF-32 BOMs first: the UTF-32 LE BOM (FF FE 00 00) starts with
+    # the UTF-16 LE BOM bytes, so a 2-byte check alone would decode
+    # UTF-32 content as NUL-interleaved UTF-16 garbage.
+    if body[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return body.decode("utf-32", "replace")
     if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return body.decode("utf-16", "replace")
     m = _re.search(r"charset=[\"']?([\w\-]+)", content_type or "", _re.I)
     enc = m.group(1).lower() if m else None
+    declared = enc is not None
     if enc is None:
         head = body[:2048].decode("latin-1", "replace").lower()
         m2 = _re.search(r"<meta[^>]+charset=[\"']?([\w\-]+)", head)
-        enc = m2.group(1).lower() if m2 else None
+        if m2:
+            enc = m2.group(1).lower()
+            declared = True
     if enc in (None, "utf-8", "utf8"):
         try:
             return body.decode("utf-8")
         except UnicodeDecodeError:
+            # cp1252 rescue ONLY for undeclared/defaulted pages (the
+            # web's dominant mislabeling).  A page that EXPLICITLY
+            # declared utf-8 keeps its declared charset — one stray
+            # invalid byte must not mojibake every valid multibyte
+            # sequence in the document.
+            if declared:
+                return body.decode("utf-8", "replace")
             return body.decode("cp1252", "replace")
     try:
         return body.decode(enc, "replace")
@@ -195,6 +210,12 @@ def warc_records(
         "media_id long, record_idx int, url string, warc_date string, "
         "status int, content_type string, body_len long, text string"
     )
+    if decode not in ("utf-8", "sniff"):
+        # fail loudly: any other value (typo, or a caller passing
+        # 'latin-1') would otherwise silently fall back to utf-8
+        raise ValueError(
+            f"decode must be 'utf-8' or 'sniff', got {decode!r}"
+        )
     wanted = set(record_types)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

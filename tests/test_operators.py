@@ -2148,6 +2148,16 @@ def test_sniff_decode_charsets(spark):
     assert s(b"caf\xe9 \x93quoted\x94", "text/plain") == "café “quoted”"
     # unknown encodings fall back to replacement utf-8, never raise
     assert s(b"abc\xff", "text/plain; charset=not-a-charset") == "abc�"
+    # UTF-32 BOMs resolve before the UTF-16 check (the UTF-32 LE BOM
+    # starts with the UTF-16 LE BOM bytes)
+    assert s("café".encode("utf-32"), "") == "café"  # BOM-prefixed LE
+    assert s(b"\x00\x00\xfe\xff" + "café".encode("utf-32-be"), "") == "café"
+    # a page that EXPLICITLY declares utf-8 keeps utf-8 (replacement
+    # for the one bad byte) — no wholesale cp1252 mojibake
+    assert s("déjà vu".encode("utf-8") + b"\xff",
+             "text/html; charset=utf-8") == "déjà vu�"
+    # same bytes undeclared: cp1252 rescue applies (legacy default)
+    assert "\xff" not in s("x".encode() + b"\x93q\x94", "text/plain")
 
     # Spark tier: decode="sniff" repairs a latin-1 response map-side
     recs = [("response", "http://a.example/l1", "2024-01-01T00:00:00Z",
@@ -2159,6 +2169,10 @@ def test_sniff_decode_charsets(spark):
     assert W.warc_records(df, decode="sniff").collect()[0]["text"] == "résumé"
     # default utf-8 mode shows the mojibake the repair stage handles
     assert "�" in W.warc_records(df).collect()[0]["text"]
+    # decode accepts only the two defined modes — a typo or a charset
+    # name must not silently become utf-8 replacement decoding
+    with pytest.raises(ValueError, match="decode"):
+        W.warc_records(df, decode="latin-1")
 
 
 def test_unicode_normalizers(spark):

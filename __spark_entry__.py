@@ -2117,14 +2117,17 @@ def q_pdf_extract(spark, sf_dir):
 
     # documents is a single parquet split at these SFs; the PDF
     # encode+parse kernels are Python-heavy, so spread_scan widens
-    # the scan to the core count ONLY when it is narrower — at 100 TB
-    # the scan itself provides the splits and no exchange is inserted
+    # the scan ONLY when it is narrower than the width — at 100 TB
+    # the scan itself provides the splits and no exchange is
+    # inserted.  chain_depth=2: the encode and parse kernels pipeline
+    # with no exchange between them (see spread_scan's law).
     from deltalake2db_spark.operators.parallel import spread_scan
 
     docs = spread_scan(
         _t(spark, sf_dir, "documents").filter(
             F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-        ).select("doc_id", "text")
+        ).select("doc_id", "text"),
+        chain_depth=2,
     )
 
     def gen(it):
@@ -2445,26 +2448,18 @@ def q_pipeline_e2e(spark, sf_dir):
         "plain ascii tail",
     ]
 
-    # Chain-depth-aware scan width (spread_scan's law with the target
-    # divided by the Python-stage chain depth): each task of the
-    # ingest stage pipelines FOUR chained Python kernels (synthesize,
-    # WARC parse, robots eval, HTML extract), so a full-cores width
-    # runs ~4x cores worker processes at once and thrashes (measured
-    # at local[32]: width 32 -> 8-22 s erratic; width 8-16 -> stable
-    # 3.1-3.5 s).  TODO(r14): promote as spread_scan(chain_depth=)
-    # once the rotation budget lets parallel.py's closure re-certify.
-    from deltalake2db_spark.operators.parallel import _session_cores
+    # Chain-depth-aware scan width (operators/parallel.py): each task
+    # of the ingest stage pipelines FOUR chained Python kernels
+    # (synthesize, WARC parse, robots eval, HTML extract), so the
+    # scan width is cores ÷ 4 — see spread_scan's docstring for the
+    # measured law.
+    from deltalake2db_spark.operators.parallel import spread_scan
 
-    src = (
+    docs = spread_scan(
         _t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
-        .select("doc_id", "text")
-    )
-    width = max(2, _session_cores(spark) // 4)
-    docs = (
-        src.repartition(width)
-        if src.rdd.getNumPartitions() * 4 <= width
-        else src
+        .select("doc_id", "text"),
+        chain_depth=4,
     )
 
     def gen(it):

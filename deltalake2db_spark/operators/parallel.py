@@ -39,8 +39,10 @@ def _session_cores(spark) -> int:
     return sc.defaultParallelism
 
 
-def spread_scan(df: DataFrame, min_ratio: int = 4) -> DataFrame:
-    """Round-robin repartition ``df`` to the session's core count when
+def spread_scan(
+    df: DataFrame, min_ratio: int = 4, chain_depth: int = 1
+) -> DataFrame:
+    """Round-robin repartition ``df`` to the session's scan width when
     its current parallelism is more than ``min_ratio``× below it;
     otherwise return ``df`` unchanged.
 
@@ -49,8 +51,23 @@ def spread_scan(df: DataFrame, min_ratio: int = 4) -> DataFrame:
     partition-independent downstream (aggregates, windows keyed by
     row-local ids), so the round-robin placement never changes
     results.
+
+    ``chain_depth`` is the number of CHAINED Python kernels
+    (mapInPandas / pandas-UDF stages with no exchange or
+    materialization between them) each task of the downstream stage
+    pipelines.  Each chained kernel runs in its own Python worker
+    process, so a stage of width W with depth D runs ~W×D workers at
+    once; at full-cores width that oversubscribes the host D× and
+    thrashes.  Measured at local[32] on the crawl-pipeline gate
+    (synthesize → WARC parse → robots eval → HTML extract, depth 4):
+    width 32 → 8-22 s erratic, some JVMs never settling; width 8-16 →
+    stable 3.1-3.5 s.  The law: ``width = cores ÷ chain_depth``.  On
+    a cluster the same rule applies per-executor
+    (``spark.executor.cores ÷ chain_depth``); alternatively
+    materialize between Python tiers so each stage's depth is 1.
     """
-    target = _session_cores(df.sparkSession)
+    cores = _session_cores(df.sparkSession)
+    target = max(2, cores // max(chain_depth, 1))
     if df.rdd.getNumPartitions() * min_ratio <= target:
         return df.repartition(target)
     return df

@@ -2125,6 +2125,36 @@ def test_apply_exif_orientation_all_eight():
     assert apply_exif_orientation(a, 9) is a
 
 
+def test_spread_scan_chain_depth(spark):
+    """spread_scan widens a parallelism-deficient scan to
+    cores ÷ chain_depth (each chained Python kernel runs its own
+    worker process, so full-cores width at depth D oversubscribes
+    D×); an already-wide frame passes through untouched."""
+    from deltalake2db_spark.operators.parallel import (
+        _session_cores,
+        spread_scan,
+    )
+
+    cores = _session_cores(spark)
+    assert cores >= 8  # conftest pins cpus=8
+    narrow = spark.range(100).coalesce(1)
+    assert spread_scan(narrow).rdd.getNumPartitions() == cores
+    assert (
+        spread_scan(narrow, chain_depth=2).rdd.getNumPartitions()
+        == max(2, cores // 2)
+    )
+    # deep chains shrink the target BELOW the min_ratio deficiency
+    # bar for a 1-partition scan: no exchange inserted (the guard
+    # only widens genuinely starved scans)
+    deep = spread_scan(narrow, chain_depth=cores)
+    assert deep is narrow
+    # already-wide: identity, no exchange inserted
+    wide = spark.range(1000).repartition(cores)
+    assert spread_scan(wide, chain_depth=2) is wide
+    # row preservation under the round-robin widen
+    assert spread_scan(narrow, chain_depth=2).count() == 100
+
+
 def test_sniff_decode_charsets(spark):
     """Browser-order charset resolution: BOM > header charset= > meta
     tag > strict UTF-8 with cp1252 fallback for mislabeled pages."""

@@ -2610,6 +2610,114 @@ def q_wet_ingest(spark, sf_dir):
     return W.warc_records(media, record_types=("conversion",))
 
 
+def q_wat_ingest(spark, sf_dir):
+    """WAT (Common Crawl per-page metadata) ingestion (r14): .wat.gz
+    shards — a warcinfo record followed by ``metadata`` records whose
+    body is a JSON envelope (application/json) describing the crawled
+    page — are synthesized distributed and parsed by the same WARC
+    reader with ``record_types=("metadata",)``, then the envelope is
+    decoded JVM-side with ``F.from_json`` (Common Crawl's
+    Envelope / Payload-Metadata / HTTP-Response-Metadata /
+    HTML-Metadata nesting).  WAT is how real users get link graphs,
+    titles and response metadata without shipping bodies; this
+    certifies the decode path q_wet_ingest's text path doesn't touch.
+
+    Law (closed-form, replayed by the oracle): archive i in
+    range(60) holds 3 + i%3 metadata records; record k describes url
+    https://h{i}.test/p{k} with Title 'Page {i}-{k}', Status 301
+    when (i+k)%5 == 0 else 200, and (i+k)%4 + 1 links /l0../ln.
+    record_idx = k + 1 (the warcinfo record holds position 0)."""
+    import json as _json
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators import warc as W
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                recs = [
+                    ("warcinfo", "urn:warcinfo", "2024-05-01T00:00:00Z",
+                     None, "application/warc-fields",
+                     b"software: wat-fixture\r\n"),
+                ]
+                for k in range(3 + i % 3):
+                    env = {
+                        "Envelope": {
+                            "WARC-Header-Metadata": {
+                                "WARC-Target-URI":
+                                    f"https://h{i}.test/p{k}",
+                            },
+                            "Payload-Metadata": {
+                                "HTTP-Response-Metadata": {
+                                    "Response-Message": {
+                                        "Status": "301"
+                                        if (i + k) % 5 == 0 else "200",
+                                    },
+                                    "HTML-Metadata": {
+                                        "Head": {
+                                            "Title": f"Page {i}-{k}",
+                                        },
+                                        "Links": [
+                                            {"url": f"/l{j}"}
+                                            for j in range((i + k) % 4 + 1)
+                                        ],
+                                    },
+                                },
+                            },
+                        },
+                    }
+                    recs.append((
+                        "metadata", f"https://h{i}.test/p{k}",
+                        f"2024-05-01T00:00:{k:02d}Z", None,
+                        "application/json", _json.dumps(env),
+                    ))
+                rows.append((
+                    i, "document", W.encode_warc(recs, gzip_members=True),
+                    {"mime": "application/warc", "width": None,
+                     "height": None, "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    recs = W.warc_records(media, record_types=("metadata",))
+
+    s = T.StructType
+    f = T.StructField
+    env_schema = s([f("Envelope", s([
+        f("Payload-Metadata", s([
+            f("HTTP-Response-Metadata", s([
+                f("Response-Message", s([
+                    f("Status", T.StringType()),
+                ])),
+                f("HTML-Metadata", s([
+                    f("Head", s([f("Title", T.StringType())])),
+                    f("Links", T.ArrayType(
+                        s([f("url", T.StringType())])
+                    )),
+                ])),
+            ])),
+        ])),
+    ]))])
+    env = F.from_json(F.col("text"), env_schema)
+    http = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+    return recs.select(
+        "media_id",
+        "record_idx",
+        "url",
+        http["HTML-Metadata"]["Head"]["Title"].alias("title"),
+        http["Response-Message"]["Status"].cast("int").alias("status"),
+        F.size(http["HTML-Metadata"]["Links"]).alias("n_links"),
+        http["HTML-Metadata"]["Links"][0]["url"].alias("first_link"),
+    )
+
+
 def q_nfc_normalize(spark, sf_dir):
     """Unicode NFC normalization end-to-end (r13): each document gets
     a tail by doc_id%4 — DECOMPOSED 'cafe' + COMBINING ACUTE,
@@ -3906,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_ict_travel": q_delta_ict_travel,
         "q_pipeline_e2e": q_pipeline_e2e,
         "q_wet_ingest": q_wet_ingest,
+        "q_wat_ingest": q_wat_ingest,
         # -- delta-lifecycle family (rule b: r12+r13 write-path edits) --
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_restore": q_delta_restore,
@@ -6336,6 +6445,19 @@ SELECT query_id, vec_id, sim, rank FROM (
                        || CAST(k.v AS VARCHAR) || ' '
                        || repeat('w', CAST(5 + (i.v + k.v) % 9 AS INT))
                        AS text
+            FROM range(60) i(v), range(6) k(v)
+            WHERE k.v < 3 + i.v % 3
+        """,
+        "q_wat_ingest": """
+            SELECT i.v AS media_id, CAST(k.v + 1 AS INT) AS record_idx,
+                   'https://h' || CAST(i.v AS VARCHAR) || '.test/p'
+                       || CAST(k.v AS VARCHAR) AS url,
+                   'Page ' || CAST(i.v AS VARCHAR) || '-'
+                       || CAST(k.v AS VARCHAR) AS title,
+                   CAST(CASE WHEN (i.v + k.v) % 5 = 0 THEN 301
+                        ELSE 200 END AS INT) AS status,
+                   CAST((i.v + k.v) % 4 + 1 AS INT) AS n_links,
+                   '/l0' AS first_link
             FROM range(60) i(v), range(6) k(v)
             WHERE k.v < 3 + i.v % 3
         """,

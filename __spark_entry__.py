@@ -2394,8 +2394,13 @@ def q_pipeline_e2e(spark, sf_dir):
     'café résumé' / 'naïve – “quoted” … fin', a CLEAN accented
     phrase, and plain ASCII.  The body is escaped into a one-<p>
     HTML page (nav/footer/script boilerplate around it), served as
-    2 WARC response records (copy0 at host doc_id%12, copy1 at host
-    (doc_id+5)%12 — an exact duplicate pair) plus, for doc_id%7==0,
+    2 WARC response records (copy0 at host doc_id%12 in UTF-8; copy1
+    at host (doc_id+5)%12 CP1252-ENCODED with a declared
+    charset=windows-1252 whenever encodable — the reader runs
+    decode="sniff", so the browser-order charset resolution is part
+    of the certified law: a broken sniff mojibakes copy1, breaks the
+    exact-dup pairing, and fails the hash — an exact duplicate pair)
+    plus, for doc_id%7==0,
     a near-duplicate variant (body + ' extraprime') at host
     (doc_id+1)%12.  Hosts h%3==0 carry 'Disallow: /' robots (hosts
     10, 11 have no robots entry -> allow-all).  rec_id = doc_id*4 +
@@ -2490,14 +2495,27 @@ def q_pipeline_e2e(spark, sf_dir):
                         "</body></html>"
                     )
 
+                def leg1(page):
+                    # the copy1 leg ships cp1252-encoded with a
+                    # DECLARED charset whenever the page is
+                    # cp1252-encodable — the reader's sniff path must
+                    # round-trip it exactly (a broken sniff mojibakes
+                    # the page, breaks the exact-dup pairing with
+                    # copy0, and fails the oracle hash)
+                    try:
+                        return (page.encode("cp1252"),
+                                "text/html; charset=windows-1252")
+                    except UnicodeEncodeError:
+                        return page, "text/html"
+
+                p1, ct1 = leg1(page_for(body))
                 recs = [
                     ("response", f"https://host{did % 12}.test/d{did}c0",
                      "2024-03-01T00:00:00Z", 200, "text/html",
                      page_for(body)),
                     ("response",
                      f"https://host{(did + 5) % 12}.test/d{did}c1",
-                     "2024-03-01T00:00:01Z", 200, "text/html",
-                     page_for(body)),
+                     "2024-03-01T00:00:01Z", 200, ct1, p1),
                 ]
                 if did % 7 == 0:
                     recs.append((
@@ -2517,7 +2535,7 @@ def q_pipeline_e2e(spark, sf_dir):
             )
 
     media = docs.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
-    pages = W.warc_records(media).select(
+    pages = W.warc_records(media, decode="sniff").select(
         (F.col("media_id") * 4 + F.col("record_idx")).alias("rec_id"),
         "url",
         F.col("text").alias("html"),

@@ -156,6 +156,65 @@ def test_enablement_timestamp_matches_stamped_ict(spark, tmp_path):
     assert stamped > 1700000000000 + enable_v
 
 
+def test_reenablement_over_high_ict_span(spark, tmp_path):
+    """Read-back differential for re-enablement over a HIGH prior ICT
+    span: a table runs with ICT on and a far-future clock (every
+    commit stamps ~9e12), disables ICT (the disable commit carries
+    only its plain commitInfo timestamp, same high clock), then
+    re-enables post-hoc with the default low clock.  The enablement
+    commit's stamped ICT must ride the monotonic rule over the high
+    watermark (prev + 1, NOT the fabricated default base), and the
+    delta.inCommitTimestampEnablementTimestamp property must EQUAL
+    that stamped value — the exact desync the r13 ADVICE described."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(3).selectExpr("id"), path,
+        configuration={ICT_PROP: "true"},
+    )
+    HIGH = 9000000000000
+    state = get_meta(path)
+    w = DeltaWriter(path)
+    w.version = state.version
+    # ICT-stamped commit at the far-future clock
+    w.commit(
+        [{"metaData": dict(state.last_metadata)}],
+        timestamp_ms=HIGH,
+        operation="SET TBLPROPERTIES",
+    )
+    high_ict = _commit_info(path, w.version)["inCommitTimestamp"]
+    assert high_ict >= HIGH
+    # disable: this commit is NOT stamped (property turns false in
+    # the same commit) but its commitInfo timestamp carries the high
+    # clock forward
+    md = dict(get_meta(path).last_metadata)
+    cfg = dict(md.get("configuration") or {})
+    cfg[ICT_PROP] = "false"
+    md["configuration"] = cfg
+    w.commit(
+        [{"metaData": md}],
+        timestamp_ms=HIGH,
+        operation="SET TBLPROPERTIES",
+    )
+    assert "inCommitTimestamp" not in _commit_info(path, w.version)
+    # re-enable with the default (low) clock: post-hoc enablement
+    out = set_table_properties(spark, path, {ICT_PROP: "true"})
+    cfg = out["configuration"]
+    enable_v = int(cfg["delta.inCommitTimestampEnablementVersion"])
+    stamped = _commit_info(path, enable_v)["inCommitTimestamp"]
+    # property == stamped ICT (spec), and the monotonic rule carried
+    # the high watermark: prev (the disable commit's timestamp) + 1
+    # beats the fabricated 1700000000000 + version by ~7e12
+    assert cfg["delta.inCommitTimestampEnablementTimestamp"] == str(
+        stamped
+    )
+    assert stamped > HIGH
+    assert stamped > high_ict
+    # the span stays monotonic for subsequent writers
+    write_delta(spark.range(3, 5).selectExpr("id"), path, mode="append")
+    nxt = _commit_info(path, enable_v + 1)["inCommitTimestamp"]
+    assert nxt > stamped
+
+
 def test_post_hoc_enablement_keeps_column_mapping_feature(tmp_path):
     """Upgrading a writer-v5 (columnMapping) table to v7 for ICT must
     keep columnMapping in writerFeatures — dropping it is a protocol

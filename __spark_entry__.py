@@ -3993,31 +3993,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sources/ or streaming/) was edited this round — "the function looks
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
-    # 51+; all 141 stay covered by tools/check_correctness.py locally.
-    # Round 13 (restoring the rotation the r12 verdict flagged): the
-    # window leads with every never-certified gate — the 11 TPC-H
-    # adaptations, q_delta_ict_travel, and the r13-new q_pipeline_e2e,
-    # q_wet_ingest, q_nfc_normalize — then the full delta-lifecycle
-    # family (time_travel/restore/history/column_mapping/dv_scan/
-    # optimize/changes/merge/scan_roundtrip/sink_roundtrip/sql_emission/
-    # convert/schema_ddl/clone/cdf/update/stream), whose closure was
-    # edited in r12 (plans/meta.py ICT, delta_writer/delta_sink/
-    # maintenance) AND again in r13 (delta_sink._writer7_features,
-    # maintenance ICT enablement).  r13 rule-b entries: q_robots_filter
-    # + q_pipeline_e2e (robots.py memo-key fix + cache bound),
-    # q_archive_ingest (zip budget fix), q_warc_ingest + q_cdx_index
-    # (warc.py record_types/sniff_decode), q_pdf_extract +
-    # q_markdown_extract (spread_scan swap), q1/q3/q5/q6 (DECIMAL money
-    # sums).  The remaining slots refresh the OLDEST certifications
-    # (events/sessions/asof/range_join/cosine_neardup r6+r9;
-    # quality_rules r6/r9+r10) — unimax/tfidf/dsir/profile_orders
-    # yielded their refresh slots to the late r13 additions and sit at
-    # 51+ (multi-certified, closures untouched).  Parked to make room:
-    # the entire r12-certified media/ingestion/text/dedup/ANN tier —
-    # closures untouched in r13 except robots/archive/warc (which are
-    # in-window).
+    # 51+; all 142 stay covered by tools/check_correctness.py locally.
+    # Round 14: rule a contributes ONE gate (q_wat_ingest, new this
+    # round; r13 left the never-certified set empty).  Rule b is large
+    # because operators/parallel.py gained chain_depth (every
+    # spread_scan consumer re-enters: dedup.py/bm25/bpe/tfidf/dsir
+    # importers and their dependents cluster.py/contamination.py) and
+    # operators/warc.py changed decode behavior (sniff hardening +
+    # validation: warc/wet/cdx/pipeline consumers re-enter).
+    # q_pipeline_e2e also had gate-code edits (sniffed cp1252 leg);
+    # q_pdf_extract passes chain_depth=2; q_sliding_chunks re-enters
+    # because its ORACLE was rewritten (per-row unnest replaced the
+    # hardcoded range(16) cap — same edit as the pipeline oracle).
+    # The remaining 25 slots refresh the OLDEST certifications: the
+    # r12-certified media/codec tier, 2 rounds parked (verdict r13
+    # task 5 names it the refresh priority).  Parked at 51+: the 15
+    # TPC-H adaptations, the delta-lifecycle family, and the
+    # events/text/ANN tiers — all r13-driver-certified with closures
+    # untouched this round (write path, meta planner, kmeans,
+    # similarity, normalize, robots, archive, markdown: no edits).
     return {
-        # -- never driver-certified (rule a): 11 TPC-H + ICT + pipeline --
+        # -- rule a: never driver-certified --
+        "q_wat_ingest": q_wat_ingest,
+        # -- rule b: warc.py closure (sniff/validation edits) +
+        #    pipeline gate-code edit --
+        "q_pipeline_e2e": q_pipeline_e2e,
+        "q_wet_ingest": q_wet_ingest,
+        "q_warc_ingest": q_warc_ingest,
+        "q_cdx_index": q_cdx_index,
+        "q_pdf_extract": q_pdf_extract,
+        # -- rule b: parallel.py closure via dedup.py (chain_depth) --
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_cross_dedup": q_cross_dedup,
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_span_dedup": q_span_dedup,
+        "q_span_dedup_exact": q_span_dedup_exact,
+        "q_repeated_spans": q_repeated_spans,
+        "q_dup_clusters": q_dup_clusters,
+        "q_neardup_dedup": q_neardup_dedup,
+        # -- rule b: parallel.py closure via bm25/bpe/tfidf/dsir +
+        #    their dependents (contamination, classifier score) --
+        "q_bm25_topk": q_bm25_topk,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_dsir_weights": q_dsir_weights,
+        "q_classifier_score": q_classifier_score,
+        "q_contamination": q_contamination,
+        "q_bloom_decontam": q_bloom_decontam,
+        # -- rule b: oracle rewritten this round (range cap fix) --
+        "q_html_extract": q_html_extract,
+        "q_sliding_chunks": q_sliding_chunks,
+        # -- certification refresh: r12 media/codec tier (oldest,
+        #    2 rounds parked) --
+        "q_media_decode": q_media_decode,
+        "q_media_decode_png": q_media_decode_png,
+        "q_media_decode_webp": q_media_decode_webp,
+        "q_media_decode_webp_lossy": q_media_decode_webp_lossy,
+        "q_media_decode_pjpeg": q_media_decode_pjpeg,
+        "q_media_decode_jpeg": q_media_decode_jpeg,
+        "q_media_mp4_meta": q_media_mp4_meta,
+        "q_media_frame_sample": q_media_frame_sample,
+        "q_media_video_decode": q_media_video_decode,
+        "q_media_anim_frames": q_media_anim_frames,
+        "q_media_gif_frames": q_media_gif_frames,
+        "q_media_orientation": q_media_orientation,
+        "q_media_ico": q_media_ico,
+        "q_media_decode_tiff": q_media_decode_tiff,
+        "q_media_webm_frames": q_media_webm_frames,
+        "q_media_exif": q_media_exif,
+        "q_media_exif_scrub": q_media_exif_scrub,
+        "q_media_flac": q_media_flac,
+        "q_media_ogg_meta": q_media_ogg_meta,
+        "q_media_mp3_meta": q_media_mp3_meta,
+        "q_subtitle_cues": q_subtitle_cues,
+        "q_svg_meta": q_svg_meta,
+        "q_code_stats": q_code_stats,
+        "q_code_secrets": q_code_secrets,
+        "q_fix_mojibake": q_fix_mojibake,
+        # -- positions 51+: multi-round-certified gates whose import
+        # closure is untouched this round (rotation rule above) --
         "q4_order_priority": q4_order_priority,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -4030,10 +4086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": q18_large_volume,
         "q22_idle_customers": q22_idle_customers,
         "q_delta_ict_travel": q_delta_ict_travel,
-        "q_pipeline_e2e": q_pipeline_e2e,
-        "q_wet_ingest": q_wet_ingest,
-        "q_wat_ingest": q_wat_ingest,
-        # -- delta-lifecycle family (rule b: r12+r13 write-path edits) --
         "q_delta_time_travel": q_delta_time_travel,
         "q_delta_restore": q_delta_restore,
         "q_delta_history": q_delta_history,
@@ -4051,16 +4103,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_delta_cdf": q_delta_cdf,
         "q_delta_update": q_delta_update,
         "q_delta_stream": q_delta_stream,
-        # -- r13 rule-b: modules/gate code edited this round --
         "q_robots_filter": q_robots_filter,
         "q_archive_ingest": q_archive_ingest,
-        "q_pdf_extract": q_pdf_extract,
         "q_markdown_extract": q_markdown_extract,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_revenue_filter": q6_revenue_filter,
-        # -- certification refresh: oldest multi-certified gates --
         "q_events_hourly": q_events_hourly,
         "q_events_pivot": q_events_pivot,
         "q_event_gaps": q_event_gaps,
@@ -4068,73 +4117,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_events_orders": q_asof_events_orders,
         "q_range_join": q_range_join,
         "q_cosine_neardup": q_cosine_neardup,
-        # q_nfc_normalize (r13, never certified; its kernel lives in the
-        # NEW operators/normalize.py, so no existing closure is flagged)
-        # takes q_profile_orders' refresh slot
         "q_nfc_normalize": q_nfc_normalize,
         "q_quality_rules": q_quality_rules,
-        # -- r13 rule-b late additions: warc.py gained record_types
-        # (WET/WAT support) AFTER the initial reorder, so every gate
-        # whose callable imports it re-enters: q_warc_ingest,
-        # q_cdx_index (+ q_pipeline_e2e and q_wet_ingest, above).
-        # q_unimax/q_tfidf_terms/q_dsir_weights yielded their refresh
-        # slots (r6-r12 multi-certified, closures untouched).
-        "q_warc_ingest": q_warc_ingest,
-        "q_cdx_index": q_cdx_index,
-        # -- positions 51+: multi-round-certified gates whose import
-        # closure is untouched this round (rotation rule above) --
         "q_unimax": q_unimax,
         "q_profile_orders": q_profile_orders,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_dsir_weights": q_dsir_weights,
-        "q_media_decode": q_media_decode,
-        "q_media_decode_png": q_media_decode_png,
-        "q_media_decode_webp": q_media_decode_webp,
-        "q_media_decode_webp_lossy": q_media_decode_webp_lossy,
-        "q_media_mp4_meta": q_media_mp4_meta,
-        "q_media_frame_sample": q_media_frame_sample,
-        "q_media_video_decode": q_media_video_decode,
-        "q_media_anim_frames": q_media_anim_frames,
-        "q_media_gif_frames": q_media_gif_frames,
-        "q_media_orientation": q_media_orientation,
-        "q_media_ico": q_media_ico,
-        "q_media_decode_tiff": q_media_decode_tiff,
-        "q_subtitle_cues": q_subtitle_cues,
-        "q_media_ogg_meta": q_media_ogg_meta,
-        "q_svg_meta": q_svg_meta,
-        "q_media_webm_frames": q_media_webm_frames,
-        "q_media_exif": q_media_exif,
-        "q_media_exif_scrub": q_media_exif_scrub,
-        "q_media_flac": q_media_flac,
-        "q_html_extract": q_html_extract,
-        "q_code_stats": q_code_stats,
-        "q_code_secrets": q_code_secrets,
-        "q_fix_mojibake": q_fix_mojibake,
         "q_sitemap_entries": q_sitemap_entries,
-        "q_sliding_chunks": q_sliding_chunks,
         "q_url_filter": q_url_filter,
-        "q_media_mp3_meta": q_media_mp3_meta,
         "q_pii_redaction": q_pii_redaction,
         "q_media_features": q_media_features,
-        "q_contamination": q_contamination,
-        "q_bloom_decontam": q_bloom_decontam,
-        "q_bm25_topk": q_bm25_topk,
         "q_knn_classify": q_knn_classify,
-        "q_jaccard_pairs": q_jaccard_pairs,
-        "q_repeated_spans": q_repeated_spans,
-        "q_span_dedup": q_span_dedup,
-        "q_span_dedup_exact": q_span_dedup_exact,
-        "q_bpe_tokens": q_bpe_tokens,
         "q_keyword_filter": q_keyword_filter,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_dedup_exact": q_dedup_exact,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_cross_dedup": q_cross_dedup,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_dup_clusters": q_dup_clusters,
-        "q_neardup_dedup": q_neardup_dedup,
         "q_semantic_dedup": q_semantic_dedup,
         "q_d4_prune": q_d4_prune,
         "q_semantic_decontam": q_semantic_decontam,
@@ -4145,11 +4140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_pq_topk": q_ivf_pq_topk,
         "q_ivf_pq_index": q_ivf_pq_index,
         "q_ivf_pq_upsert": q_ivf_pq_upsert,
-        "q_media_decode_pjpeg": q_media_decode_pjpeg,
-        "q_media_decode_jpeg": q_media_decode_jpeg,
         "q_perplexity": q_perplexity,
         "q_ppl_buckets": q_ppl_buckets,
-        "q_classifier_score": q_classifier_score,
         "q_doc_entropy": q_doc_entropy,
         "q_quantized_topk": q_quantized_topk,
         "q_ivf_topk": q_ivf_topk,

@@ -92,7 +92,24 @@ def _jaccard(spark, sf_dir: str, mult: int):
     )
 
 
-BUILDERS = {"minhash": _minhash, "jaccard": _jaccard}
+def _jaccard_guarded(spark, sf_dir: str, mult: int):
+    # the stop-shingle guard (max_shingle_df) is the operator's scale
+    # control: shingles in more than df_max docs leave the index, so
+    # the candidate join is bounded by df_max^2 per shingle instead
+    # of the corpus's stopword-bigram df^2
+    from deltalake2db_spark.operators import dedup as D
+
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir, mult), n=2, threshold=0.05,
+        max_shingle_df=64,
+    )
+
+
+BUILDERS = {
+    "minhash": _minhash,
+    "jaccard": _jaccard,
+    "jaccard_guarded": _jaccard_guarded,
+}
 
 
 def _shuffle_totals(spark) -> tuple[int, int]:

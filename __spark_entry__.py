@@ -2570,9 +2570,15 @@ def q_pipeline_e2e(spark, sf_dir):
     # (df ~ n_docs), and without the guard their inverted-index join
     # cost is df^2 per shingle (~40M tuples at sf0.1, measured 28 s).
     # With it the join touches only discriminative shingles (~2 s).
+    # impl="index" pinned: the corpus is open-vocabulary web text, so
+    # the 'auto' router would pick the index path anyway — but its
+    # routing probe is a SERIAL bounded job whose plan embeds the full
+    # ingest lineage, costing ~0.8 s of the gate's floor (paired A/B,
+    # SCALE.md §7s: auto 3.90 s vs index 3.10 s steady, same rows).
+    # At 100 TB the probe is negligible; at the local floor it is 20%.
     pairs = ngram_jaccard_pairs(
         uniq, id_col="rec_id", text_col="text", n=3, threshold=0.8,
-        max_shingle_df=64,
+        max_shingle_df=64, impl="index",
     )
     losers = pairs.select(F.col("id_b").alias("rec_id")).distinct()
     survivors = uniq.join(losers, "rec_id", "left_anti")

@@ -496,3 +496,50 @@ def test_url_parts_and_normalize_match_urllib(urls):
         if s.query:
             expect += "?" + s.query
         assert r["norm"] == expect, r["url"]
+
+
+# --------------------------------------------------------------- sniff
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_sniff_decode_utf8_roundtrip(text):
+    """sniff_decode inverts utf-8 encoding for ANY unicode text (no
+    declared charset, no meta tag): clean utf-8 must never take the
+    cp1252 rescue path.  Leading U+FEFF is excluded — its utf-8 bytes
+    ARE the BOM, which the resolver strips by design."""
+    from hypothesis import assume
+
+    from deltalake2db_spark.operators.warc import sniff_decode
+
+    assume(not text.startswith("﻿"))
+    assert sniff_decode(text.encode("utf-8"), "text/plain") == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        # printable latin-1/cp1252-safe range plus the cp1252-only
+        # punctuation block (curly quotes, dashes, euro)
+        alphabet=st.sampled_from(
+            [chr(c) for c in range(0x20, 0x7F)]
+            + [chr(c) for c in range(0xA0, 0x100)]
+            + list("€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ")
+        ),
+        max_size=400,
+    )
+)
+def test_sniff_decode_declared_cp1252_roundtrip(text):
+    """A DECLARED windows-1252 page round-trips exactly through the
+    sniff path (the pipeline gate's copy1 law), except when its first
+    bytes collide with a UTF-16/32 BOM — byte order marks outrank the
+    header by design, like real browsers."""
+    from hypothesis import assume
+
+    from deltalake2db_spark.operators.warc import sniff_decode
+
+    body = text.encode("cp1252")
+    assume(body[:2] not in (b"\xff\xfe", b"\xfe\xff"))
+    assume(body[:3] != b"\xef\xbb\xbf")
+    got = sniff_decode(body, "text/html; charset=windows-1252")
+    assert got == text

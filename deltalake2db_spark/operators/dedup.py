@@ -211,7 +211,14 @@ def ngram_jaccard_pairs(
     * ``impl='index'`` — inverted-index self-join on shingle hashes.
       The scale default for real text: cost is sum(df(sh)^2) over
       shingles, linear in corpus size when the shingle vocabulary grows
-      with the corpus (docs per shingle stays bounded).
+      with the corpus (docs per shingle stays bounded).  Measured
+      caveat (SCALE.md §7q): once the index outgrows the broadcast
+      threshold the join becomes sort-merge partitioned BY SHINGLE,
+      the pair-count partial-combine loses doc locality, and the
+      exchange carries the raw sum(df^2) candidate tuples — at low
+      thresholds over boilerplate-bearing corpora set
+      ``max_shingle_df`` (measured to restore linear scaling) or use
+      ``minhash_lsh_pairs`` (measured linear).
     * ``impl='dense'`` — blocked bitmap GEMM.  When the shingle
       VOCABULARY is small (bounded label/token sets, templated text),
       every shingle appears in a large fraction of docs and the

@@ -34,17 +34,37 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 _MAX_RECORDS = 1 << 20
+_MAX_INFLATED_BYTES = 1 << 30  # 1 GiB inflated per payload
 
 
-def _gunzip_members(payload: bytes) -> bytes:
+def _gunzip_members(
+    payload: bytes, max_total: int = _MAX_INFLATED_BYTES
+) -> bytes:
     """Concatenated gzip members -> concatenated plaintext (the
-    .warc.gz layout: one member per record)."""
+    .warc.gz layout: one member per record).
+
+    Decompression is BUDGETED at ``max_total`` actual inflated bytes
+    (same discipline as ``archive._zip_members``): crawl shards are
+    untrusted input, and an unbudgeted loop would let one
+    gzip-bomb member inflate until the executor OOMs.  On budget
+    exhaustion the decoded prefix is returned — the record parser
+    fail-opens on the truncated tail, so well-formed records before
+    the bomb still ingest."""
     out = bytearray()
     pos = 0
     n = len(payload)
-    while pos < n:
+    while pos < n and len(out) < max_total:
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(payload[pos:])
+        # bounded inflate: never request more than the remaining
+        # budget (+1 so exhaustion is detectable), letting zlib stop
+        # mid-member instead of materializing the whole bomb
+        room = max_total - len(out)
+        out += d.decompress(payload[pos:], room + 1)
+        if len(out) > max_total or d.unconsumed_tail:
+            # budget hit mid-member (unconsumed_tail holds the rest of
+            # the bomb; flush() would ignore the cap) — stop here
+            del out[max_total:]
+            break
         out += d.flush()
         used = n - pos - len(d.unused_data)
         if used <= 0:

@@ -2125,6 +2125,35 @@ def test_apply_exif_orientation_all_eight():
     assert apply_exif_orientation(a, 9) is a
 
 
+def test_warc_gunzip_budget():
+    """A gzip-bomb member in a .warc.gz must not inflate past the
+    budget (crawl shards are untrusted input); records BEFORE the
+    bomb still parse from the returned prefix."""
+    import gzip
+
+    from deltalake2db_spark.operators import warc as W
+
+    recs = [("response", "http://x.test/0", "2024-01-01T00:00:00Z",
+             200, "text/plain", "body 0")]
+    good = W.encode_warc(recs, gzip_members=True)
+    bomb = gzip.compress(b"\x00" * (8 << 20))
+    out = W._gunzip_members(good + bomb, max_total=1 << 20)
+    assert len(out) <= (1 << 20)
+    assert out.startswith(b"WARC/1.0")
+    # the parser fail-opens on the truncated tail: the good record
+    # survives (here under the DEFAULT budget the bomb also fits and
+    # simply yields a non-WARC tail the parser stops at)
+    parsed = W.parse_warc(good + bomb)
+    assert parsed and parsed[0]["body"] == b"body 0"
+    # multi-member round-trip unaffected by the budget machinery
+    many = W.encode_warc(
+        [("response", f"http://x.test/{k}", "2024-01-01T00:00:00Z",
+          200, "text/plain", f"b{k}") for k in range(5)],
+        gzip_members=True,
+    )
+    assert len(W.parse_warc(many)) == 5
+
+
 def test_spread_scan_chain_depth(spark):
     """spread_scan widens a parallelism-deficient scan to
     cores ÷ chain_depth (each chained Python kernel runs its own

@@ -230,7 +230,21 @@ def decode_png(payload: bytes) -> Optional[np.ndarray]:
                 break
         if not w or not h or not idat:
             return None
-        raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+        # budget the inflate by the header-derived raw size (the dims
+        # cap bounds THIS, not the stream): a bomb IDAT declaring a
+        # tiny image must not inflate past what that image can hold.
+        # Adam7 re-filters each of 7 sub-images, so allow 2x the
+        # non-interlaced size plus slack; a well-formed PNG inflates
+        # to exactly its raw size, so hitting the cap means corrupt
+        # or hostile input -> None (fail-open like every other codec
+        # guard here).
+        row_bytes = (w * ch * depth + 7) // 8
+        expected = 2 * h * (1 + row_bytes) + 1024
+        d = zlib.decompressobj()
+        raw_b = d.decompress(bytes(idat), expected)
+        if d.unconsumed_tail:
+            return None
+        raw = np.frombuffer(raw_b, np.uint8)
     except Exception:
         return None
     if interlace == 0:

@@ -2125,6 +2125,37 @@ def test_apply_exif_orientation_all_eight():
     assert apply_exif_orientation(a, 9) is a
 
 
+def test_png_idat_bomb_rejected():
+    """A PNG whose IDAT inflates far beyond its declared dimensions is
+    hostile/corrupt input: the decoder must reject it without
+    materializing the inflation (budgeted decompress), while a
+    well-formed image of the same header still decodes."""
+    import binascii
+    import struct
+    import zlib
+
+    from deltalake2db_spark.operators import multimodal as M
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", binascii.crc32(t + d)))
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+    bomb = sig + ihdr + chunk(
+        b"IDAT", zlib.compress(b"\x00" * (100 << 20))
+    ) + chunk(b"IEND", b"")
+    assert M.decode_png(bomb) is None
+    rows = b"".join(
+        b"\x00" + bytes(range(4 * i, 4 * i + 4)) for i in range(4)
+    )
+    good = sig + ihdr + chunk(b"IDAT", zlib.compress(rows)) + chunk(
+        b"IEND", b""
+    )
+    assert M.decode_png(good).shape == (4, 4, 1)
+
+
 def test_warc_gunzip_budget():
     """A gzip-bomb member in a .warc.gz must not inflate past the
     budget (crawl shards are untrusted input); records BEFORE the

@@ -4011,13 +4011,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_pdf_extract passes chain_depth=2; q_sliding_chunks re-enters
     # because its ORACLE was rewritten (per-row unnest replaced the
     # hardcoded range(16) cap — same edit as the pipeline oracle).
-    # The remaining 25 slots refresh the OLDEST certifications: the
-    # r12-certified media/codec tier, 2 rounds parked (verdict r13
-    # task 5 names it the refresh priority).  Parked at 51+: the 15
-    # TPC-H adaptations, the delta-lifecycle family, and the
-    # events/text/ANN tiers — all r13-driver-certified with closures
-    # untouched this round (write path, meta planner, kmeans,
-    # similarity, normalize, robots, archive, markdown: no edits).
+    # The remaining 25 slots hold the media/codec tier — initially the
+    # r13-verdict-named refresh priority (r12-certified, 2 rounds
+    # parked), and then REQUIRED by rule b anyway once the late-round
+    # PNG IDAT-budget edit dirtied multimodal.py's closure (every
+    # media gate + q_media_features, which displaced clean-closure
+    # q_svg_meta to 51+).  Parked at 51+: the 15 TPC-H adaptations,
+    # the delta-lifecycle family, and the events/text/ANN tiers — all
+    # r13-driver-certified with closures untouched this round (write
+    # path, meta planner, kmeans, similarity, normalize, robots,
+    # archive, markdown, svg: no edits).
     return {
         # -- rule a: never driver-certified --
         "q_wat_ingest": q_wat_ingest,
@@ -4074,7 +4077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_ogg_meta": q_media_ogg_meta,
         "q_media_mp3_meta": q_media_mp3_meta,
         "q_subtitle_cues": q_subtitle_cues,
-        "q_svg_meta": q_svg_meta,
+        "q_media_features": q_media_features,  # rule b: multimodal.py
+        # PNG-budget edit dirties its closure; q_svg_meta (svg.py, clean
+        # closure, refresh-only) yields its slot and parks at 51+
         "q_code_stats": q_code_stats,
         "q_code_secrets": q_code_secrets,
         "q_fix_mojibake": q_fix_mojibake,
@@ -4130,7 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_entries": q_sitemap_entries,
         "q_url_filter": q_url_filter,
         "q_pii_redaction": q_pii_redaction,
-        "q_media_features": q_media_features,
+        "q_svg_meta": q_svg_meta,
         "q_knn_classify": q_knn_classify,
         "q_keyword_filter": q_keyword_filter,
         "q_text_stats": q_text_stats,

@@ -105,10 +105,28 @@ def _jaccard_guarded(spark, sf_dir: str, mult: int):
     )
 
 
+def _cross(spark, sf_dir: str, mult: int):
+    # incremental-ingest shape: NEW = perturbed copies, REF = the
+    # scaled corpus; bipartite banding must pay for new-vs-ref band
+    # matches only, never intra-ref candidates
+    from deltalake2db_spark.operators import dedup as D
+
+    d = _docs(spark, sf_dir, mult)
+    new = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return D.minhash_lsh_pairs_cross(
+        new, d, n=2, num_hashes=64, bands=16, threshold=0.5,
+        max_bucket=200,
+    )
+
+
 BUILDERS = {
     "minhash": _minhash,
     "jaccard": _jaccard,
     "jaccard_guarded": _jaccard_guarded,
+    "cross": _cross,
 }
 
 

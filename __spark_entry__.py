@@ -6465,7 +6465,8 @@ SELECT query_id, vec_id, sim, rank FROM (
                    'wet doc ' || CAST(i.v AS VARCHAR) || ' rec '
                        || CAST(k.v AS VARCHAR) || ' '
                        || repeat('w', CAST(5 + (i.v + k.v) % 9 AS INT))
-                       AS text
+                       AS text,
+                   FALSE AS truncated
             FROM range(60) i(v), range(6) k(v)
             WHERE k.v < 3 + i.v % 3
         """,
@@ -6613,12 +6614,13 @@ SELECT query_id, vec_id, sim, rank FROM (
                                || chr(10)) AS BIGINT) AS n_bytes,
                    '# doc ' || CAST(i.v AS VARCHAR) || ' file '
                        || CAST(k.v AS VARCHAR) || chr(10) || 'x = '
-                       || CAST(i.v + k.v AS VARCHAR) || chr(10) AS text
+                       || CAST(i.v + k.v AS VARCHAR) || chr(10) AS text,
+                   FALSE AS truncated
             FROM range(60) i(v), range(5) k(v)
             WHERE k.v < 3 + i.v % 3
             UNION ALL
             SELECT i.v, CAST(3 + i.v % 3 AS INT), 'bin/data.bin',
-                   CAST(4 + i.v % 4 AS BIGINT), NULL
+                   CAST(4 + i.v % 4 AS BIGINT), NULL, FALSE
             FROM range(60) i(v)
         """,
         "q_warc_ingest": """
@@ -6639,7 +6641,8 @@ SELECT query_id, vec_id, sim, rank FROM (
                    'doc ' || CAST(i.v AS VARCHAR) || ' rec '
                        || CAST(k.v AS VARCHAR) || ' '
                        || repeat('x', CAST(10 + (i.v + k.v) % 20
-                                           AS INT)) AS text
+                                           AS INT)) AS text,
+                   FALSE AS truncated
             FROM range(60) i(v), range(4) k(v)
         """,
         "q_media_flac": """

@@ -57,21 +57,32 @@ def _zip_members(
     payload: bytes,
     max_member: int = _MAX_MEMBER_BYTES,
     max_total: int = _MAX_TOTAL_BYTES,
-) -> Optional[list]:
+    with_truncated: bool = False,
+):
+    truncated = False
+
+    def _ret(v):
+        return (v, truncated) if with_truncated else v
+
     try:
         zf = zipfile.ZipFile(io.BytesIO(payload))
     except (zipfile.BadZipFile, NotImplementedError, ValueError,
             OSError):
-        return None
+        return _ret(None)
     out = []
     total = 0
     with zf:
-        for info in zf.infolist()[:_MAX_MEMBERS]:
+        infos = zf.infolist()
+        if len(infos) > _MAX_MEMBERS:
+            truncated = True  # member-count cap drops the tail
+        for info in infos[:_MAX_MEMBERS]:
             if info.is_dir():
                 continue
             if info.file_size > max_member:
+                truncated = True
                 continue  # fail-open: skip the oversized member
             if total + info.file_size > max_total:
+                truncated = True
                 break
             try:
                 with zf.open(info) as fh:
@@ -80,78 +91,109 @@ def _zip_members(
                     ValueError, OSError, EOFError):
                 continue
             if len(data) > max_member:  # header lied about the size
+                truncated = True
                 continue
             # Charge the total budget with the ACTUAL inflated bytes,
             # not the untrusted header's file_size: a zip whose
             # entries all declare tiny sizes must not bypass the cap.
             total += len(data)
             if total > max_total:
+                truncated = True
                 break
             out.append((info.filename, data))
-    return out
+    return _ret(out)
 
 
 def _tar_members(
     payload: bytes,
     max_member: int = _MAX_MEMBER_BYTES,
     max_total: int = _MAX_TOTAL_BYTES,
-) -> Optional[list]:
+    with_truncated: bool = False,
+):
     import zlib
+
+    truncated = False
+
+    def _ret(v):
+        return (v, truncated) if with_truncated else v
 
     try:
         tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:*")
     except (tarfile.TarError, ValueError, OSError, EOFError,
             zlib.error):
-        return None
+        return _ret(None)
     out = []
     total = 0
     with tf:
         try:
             for info in tf:
                 if len(out) >= _MAX_MEMBERS:
+                    truncated = True
                     break
-                if not info.isfile() or info.size > max_member:
+                if not info.isfile():
+                    continue
+                if info.size > max_member:
+                    truncated = True
                     continue
                 total += info.size
                 if total > max_total:
+                    truncated = True
                     break
                 fh = tf.extractfile(info)
                 if fh is None:
                     continue
                 data = fh.read(max_member + 1)
                 if len(data) > max_member:
+                    truncated = True
                     continue
                 out.append((info.name, data))
         except (tarfile.TarError, ValueError, OSError, EOFError,
                 zlib.error):
-            return out or None
-    return out
+            return _ret(out or None)
+    return _ret(out)
 
 
-def archive_member_list(payload: bytes) -> Optional[list]:
+def archive_member_list(
+    payload: bytes, with_truncated: bool = False
+):
     """[(path, content_bytes)] for any supported archive, or None
-    when the payload is not a parseable archive."""
+    when the payload is not a parseable archive.
+
+    ``with_truncated=True`` returns ``(members, truncated)`` where
+    ``truncated`` reports whether any zip-bomb budget (member size,
+    total inflated bytes, member count) dropped content — the audit
+    flag ``archive_members`` surfaces per row so a pipeline can count
+    what the budgets rejected instead of mistaking a clipped archive
+    for a complete one."""
+    def _ret(v, t=False):
+        return (v, t) if with_truncated else v
+
     kind = sniff_archive(bytes(payload)) if payload is not None else None
     if kind is None:
-        return None
+        return _ret(None)
     if kind == "zip":
-        return _zip_members(bytes(payload))
-    members = _tar_members(bytes(payload))
-    if members is not None:
-        return members
+        m, t = _zip_members(bytes(payload), with_truncated=True)
+        return _ret(m, t)
+    m, t = _tar_members(bytes(payload), with_truncated=True)
+    if m is not None:
+        return _ret(m, t)
     if kind == "tgz":
-        # a bare gzip that is not a tar: surface the single member
-        import gzip
+        # a bare gzip that is not a tar: surface the single member.
+        # BUDGETED inflate (decompressobj with a bounded request, the
+        # same discipline as warc._gunzip_members) — plain
+        # gzip.decompress would materialize a whole bomb before the
+        # size check ran.
         import zlib
 
+        d = zlib.decompressobj(wbits=31)
         try:
-            data = gzip.decompress(bytes(payload))
-        except (OSError, EOFError, ValueError, zlib.error):
-            return None
-        if len(data) > _MAX_MEMBER_BYTES:
-            return None
-        return [("", data)]
-    return None
+            data = d.decompress(bytes(payload), _MAX_MEMBER_BYTES + 1)
+        except zlib.error:
+            return _ret(None)
+        if len(data) > _MAX_MEMBER_BYTES or d.unconsumed_tail:
+            return _ret(None, True)  # budget-rejected, not malformed
+        return _ret([("", data)])
+    return _ret(None)
 
 
 def encode_zip(members: list) -> bytes:
@@ -184,16 +226,19 @@ def archive_members(
     id_col: str = "media_id",
     max_member_bytes: int = _MAX_MEMBER_BYTES,
 ) -> DataFrame:
-    """(id, member_idx, path, n_bytes, text) — one row per file member
-    of every parseable archive payload, extracted map-side
+    """(id, member_idx, path, n_bytes, text, truncated) — one row per
+    file member of every parseable archive payload, extracted map-side
     (``mapInPandas``): archive bytes never cross a shuffle.  ``text``
     is the UTF-8 decode when the member is valid UTF-8, else NULL
     (binary members keep their size but don't ship bytes onward —
     select the raw member via a second pass when needed).
-    Unparseable payloads are skipped fail-open."""
+    Unparseable payloads are skipped fail-open.  ``truncated`` is True
+    on every row of an archive whose zip-bomb budgets dropped content
+    (oversized member, total-bytes cap, member-count cap) — surviving
+    members still ingest, but the clip is countable, never silent."""
     out_schema = (
         f"{id_col} long, member_idx int, path string, n_bytes long, "
-        "text string"
+        "text string, truncated boolean"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,9 +247,17 @@ def archive_members(
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                members = archive_member_list(bytes(payload))
+                members, trunc = archive_member_list(
+                    bytes(payload), with_truncated=True
+                )
                 if members is None:
                     continue
+                # per-payload flag: resolve the caller-level member
+                # cap BEFORE emitting so every row of the payload
+                # carries the same audit value
+                trunc = trunc or any(
+                    len(data) > max_member_bytes for _, data in members
+                )
                 for j, (path, data) in enumerate(members):
                     if len(data) > max_member_bytes:
                         continue
@@ -212,11 +265,13 @@ def archive_members(
                         text = data.decode("utf-8")
                     except UnicodeDecodeError:
                         text = None
-                    rows.append((int(rid), j, path, len(data), text))
+                    rows.append(
+                        (int(rid), j, path, len(data), text, trunc)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "member_idx", "path", "n_bytes",
-                         "text"],
+                         "text", "truncated"],
             )
 
     return df.select(id_col, payload_col).mapInPandas(

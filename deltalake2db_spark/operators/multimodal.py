@@ -244,6 +244,12 @@ def decode_png(payload: bytes) -> Optional[np.ndarray]:
         raw_b = d.decompress(bytes(idat), expected)
         if d.unconsumed_tail:
             return None
+        # stream-completeness check the old whole-buffer
+        # zlib.decompress did implicitly: a truncated/corrupt IDAT
+        # whose deflate stream never terminates (d.eof False) is
+        # rejected AT decode, not left for downstream size checks
+        if not d.eof:
+            return None
         raw = np.frombuffer(raw_b, np.uint8)
     except Exception:
         return None

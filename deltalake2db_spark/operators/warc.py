@@ -10,7 +10,8 @@ files.  This module parses that format with the stdlib only:
   content-type + body bytes, from plain or multi-member-gzip input.
 * ``warc_records(df)``: the Spark tier — one row per response record
   ``(media_id, record_idx, url, warc_date, status, content_type,
-  body_len, text)`` with the body decoded to text for text/* payloads
+  body_len, text, truncated)`` with the body decoded to text for
+  text/* payloads
   (the downstream dedup/quality/lang-id operators take it from
   there).  Map-side mapInPandas over the binary column; only the
   extracted rows leave the scan.
@@ -34,23 +35,39 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 _MAX_RECORDS = 1 << 20
-_MAX_INFLATED_BYTES = 1 << 30  # 1 GiB inflated per payload
+_MAX_INFLATED_BYTES = 1 << 30  # 1 GiB inflated-bytes floor per payload
+# Inflate budget scales with the COMPRESSED input: real .warc.gz text
+# shards inflate ~3-5x, so 32x is a generous legitimate-content bound
+# while a gzip bomb (~1000x) still hits the cap almost immediately.  A
+# fixed 1 GiB alone would silently truncate a legitimate ~1 GB shard
+# (3-5 GB inflated); max(floor, ratio * len) keeps small-payload bombs
+# capped tightly AND lets big real shards through.
+_MAX_INFLATE_RATIO = 32
 
 
 def _gunzip_members(
-    payload: bytes, max_total: int = _MAX_INFLATED_BYTES
-) -> bytes:
-    """Concatenated gzip members -> concatenated plaintext (the
+    payload: bytes, max_total: int | None = None
+) -> tuple[bytes, bool]:
+    """Concatenated gzip members -> ``(plaintext, truncated)`` (the
     .warc.gz layout: one member per record).
 
-    Decompression is BUDGETED at ``max_total`` actual inflated bytes
-    (same discipline as ``archive._zip_members``): crawl shards are
-    untrusted input, and an unbudgeted loop would let one
-    gzip-bomb member inflate until the executor OOMs.  On budget
-    exhaustion the decoded prefix is returned — the record parser
-    fail-opens on the truncated tail, so well-formed records before
-    the bomb still ingest."""
+    Decompression is BUDGETED in actual inflated bytes (same
+    discipline as ``archive._zip_members``): crawl shards are
+    untrusted input, and an unbudgeted loop would let one gzip-bomb
+    member inflate until the executor OOMs.  The default budget is
+    ``max(_MAX_INFLATED_BYTES, _MAX_INFLATE_RATIO * len(payload))`` —
+    scaled to the input so legitimate multi-GB shards are not silently
+    clipped.  On budget exhaustion the decoded prefix is returned with
+    ``truncated=True`` — the record parser fail-opens on the truncated
+    tail, so well-formed records before the bomb still ingest, and the
+    flag surfaces through ``warc_records``'s ``truncated`` column so a
+    pipeline can audit what the budget rejected instead of mistaking a
+    clipped shard for a clean parse."""
+    if max_total is None:
+        max_total = max(_MAX_INFLATED_BYTES,
+                        _MAX_INFLATE_RATIO * len(payload))
     out = bytearray()
+    truncated = False
     pos = 0
     n = len(payload)
     while pos < n and len(out) < max_total:
@@ -64,28 +81,46 @@ def _gunzip_members(
             # budget hit mid-member (unconsumed_tail holds the rest of
             # the bomb; flush() would ignore the cap) — stop here
             del out[max_total:]
+            truncated = True
             break
         out += d.flush()
         used = n - pos - len(d.unused_data)
         if used <= 0:
             break
         pos += used
-    return bytes(out)
+    return bytes(out), truncated
 
 
-def parse_warc(payload: bytes) -> Optional[list]:
+def parse_warc(
+    payload: bytes,
+    with_truncated: bool = False,
+    max_inflated_bytes: int | None = None,
+):
     """WARC bytes (plain or .warc.gz) -> list of records
     ``{headers: {name_lower: value}, http_status, content_type,
-    body: bytes}``.  Returns None for non-WARC payloads."""
+    body: bytes}``.  Returns None for non-WARC payloads.
+
+    ``with_truncated=True`` returns ``(records, truncated)`` instead,
+    where ``truncated`` reports whether the gzip inflate budget
+    clipped the payload (records parsed from the surviving prefix are
+    still returned — fail-open — but the caller can tell a clean
+    parse from a budget-clipped one)."""
+    truncated = False
+
+    def _ret(records):
+        return (records, truncated) if with_truncated else records
+
     if payload is None or len(payload) < 8:
-        return None
+        return _ret(None)
     if payload[:2] == b"\x1f\x8b":
         try:
-            payload = _gunzip_members(payload)
+            payload, truncated = _gunzip_members(
+                payload, max_inflated_bytes
+            )
         except zlib.error:
-            return None
+            return _ret(None)
     if not payload.startswith(b"WARC/"):
-        return None
+        return _ret(None)
     records = []
     pos = 0
     n = len(payload)
@@ -99,7 +134,7 @@ def parse_warc(payload: bytes) -> Optional[list]:
             if pos >= n:
                 break
             if not payload.startswith(b"WARC/", pos):
-                return records or None
+                return _ret(records or None)
             hdr_end = payload.find(b"\r\n\r\n", pos)
             sep = 4
             if hdr_end < 0:
@@ -150,8 +185,8 @@ def parse_warc(payload: bytes) -> Optional[list]:
                 "body": http_body,
             })
     except (ValueError, IndexError):
-        return records or None
-    return records or None
+        return _ret(records or None)
+    return _ret(records or None)
 
 
 def sniff_decode(body: bytes, content_type: str = "") -> str:
@@ -169,8 +204,14 @@ def sniff_decode(body: bytes, content_type: str = "") -> str:
         return body[3:].decode("utf-8", "replace")
     # UTF-32 BOMs first: the UTF-32 LE BOM (FF FE 00 00) starts with
     # the UTF-16 LE BOM bytes, so a 2-byte check alone would decode
-    # UTF-32 content as NUL-interleaved UTF-16 garbage.
-    if body[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+    # UTF-32 content as NUL-interleaved UTF-16 garbage.  The length
+    # gate (code units are 4 bytes) shrinks the false-positive window
+    # for the one ambiguous prefix — a UTF-16 LE page whose first
+    # character is U+0000 shares the FF FE 00 00 prefix but is only
+    # 4-byte-aligned half the time.
+    if len(body) % 4 == 0 and body[:4] in (
+        b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"
+    ):
         return body.decode("utf-32", "replace")
     if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return body.decode("utf-16", "replace")
@@ -206,9 +247,11 @@ def warc_records(
     text_only: bool = True,
     record_types: tuple = ("response",),
     decode: str = "utf-8",
+    max_inflated_bytes: int | None = None,
 ) -> DataFrame:
     """(media_id, record_idx, url, warc_date, status, content_type,
-    body_len, text) for the selected record types in WARC payloads.
+    body_len, text, truncated) for the selected record types in WARC
+    payloads.
     ``text`` is the UTF-8-decoded body for text/* content types (NULL
     otherwise); ``text_only=True`` keeps only records with text —
     the corpus-ingestion default.
@@ -225,10 +268,19 @@ def warc_records(
     (BOM -> header charset= -> meta tag -> UTF-8 w/ cp1252 fallback,
     see ``sniff_decode``); the default ``"utf-8"`` is
     replacement-decoded UTF-8 (correct for WET, which is UTF-8 by
-    spec)."""
+    spec).
+
+    ``truncated`` is the decompression-budget audit flag: True on
+    every row of a payload whose gzip inflate hit the zip-bomb budget
+    (``_gunzip_members``) — the surviving prefix's records still
+    ingest fail-open, but a 100 TB pipeline can count/quarantine what
+    the budget clipped instead of mistaking it for a clean parse.
+    ``max_inflated_bytes`` overrides the default scaled budget
+    (``max(1 GiB, 32 x compressed_len)``) per deployment."""
     out_schema = (
         "media_id long, record_idx int, url string, warc_date string, "
-        "status int, content_type string, body_len long, text string"
+        "status int, content_type string, body_len long, text string, "
+        "truncated boolean"
     )
     if decode not in ("utf-8", "sniff"):
         # fail loudly: any other value (typo, or a caller passing
@@ -242,7 +294,10 @@ def warc_records(
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                recs = parse_warc(bytes(payload))
+                recs, trunc = parse_warc(
+                    bytes(payload), with_truncated=True,
+                    max_inflated_bytes=max_inflated_bytes,
+                )
                 if not recs:
                     continue
                 for j, r in enumerate(recs):
@@ -266,11 +321,13 @@ def warc_records(
                         int(mid), j, h.get("warc-target-uri"),
                         h.get("warc-date"), r["http_status"],
                         r["content_type"], len(r["body"]), text,
+                        trunc,
                     ))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "record_idx", "url", "warc_date",
-                         "status", "content_type", "body_len", "text"],
+                         "status", "content_type", "body_len", "text",
+                         "truncated"],
             )
 
     return df.select("media_id", "payload").mapInPandas(

@@ -116,6 +116,42 @@ def test_archive_members_spark(spark):
     assert rows[2].n_bytes == 3
 
 
+def test_truncation_surfaced_not_silent(spark):
+    """Budget-clipped archives flag every surviving row
+    truncated=True (countable/quarantinable); clean archives flag
+    False; a bare-gzip bomb is budget-rejected WITHOUT materializing
+    (budgeted decompressobj, not gzip.decompress)."""
+    import pandas as pd
+
+    # zip with one member over the per-member cap -> flag
+    clipped = A.encode_zip([
+        ("big.bin", b"A" * (A._MAX_MEMBER_BYTES + 1)),
+        ("ok.txt", b"fine"),
+    ])
+    m, t = A.archive_member_list(clipped, with_truncated=True)
+    assert m == [("ok.txt", b"fine")] and t is True
+    clean = A.encode_zip([("ok.txt", b"fine")])
+    m, t = A.archive_member_list(clean, with_truncated=True)
+    assert t is False
+    # bare-gzip bomb: budget-rejected with the flag, prefix never
+    # materialized past the cap
+    import gzip
+    # 0x01 fill: an all-zero stream would parse as an EMPTY tar
+    # (zero blocks are the tar end marker) and never reach the
+    # bare-gzip branch
+    bomb = gzip.compress(b"\x01" * (A._MAX_MEMBER_BYTES + 100))
+    m, t = A.archive_member_list(bomb, with_truncated=True)
+    assert m is None and t is True
+    # Spark tier: the flag is a per-payload column
+    df = spark.createDataFrame(
+        [(1, bytearray(clipped)), (2, bytearray(clean))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in A.archive_members(df).collect()}
+    assert rows[1]["truncated"] is True
+    assert rows[2]["truncated"] is False
+
+
 def test_total_budget_counts_actual_bytes(monkeypatch):
     """A zip whose headers all declare tiny sizes must not bypass the
     total-inflated cap: the budget is charged with the ACTUAL bytes

@@ -2168,14 +2168,23 @@ def test_warc_gunzip_budget():
              200, "text/plain", "body 0")]
     good = W.encode_warc(recs, gzip_members=True)
     bomb = gzip.compress(b"\x00" * (8 << 20))
-    out = W._gunzip_members(good + bomb, max_total=1 << 20)
+    out, trunc = W._gunzip_members(good + bomb, max_total=1 << 20)
     assert len(out) <= (1 << 20)
     assert out.startswith(b"WARC/1.0")
+    assert trunc is True  # budget hit is REPORTED, not silent
+    # a clean parse reports truncated=False
+    clean, ctrunc = W._gunzip_members(good)
+    assert ctrunc is False and clean.startswith(b"WARC/1.0")
     # the parser fail-opens on the truncated tail: the good record
     # survives (here under the DEFAULT budget the bomb also fits and
     # simply yields a non-WARC tail the parser stops at)
     parsed = W.parse_warc(good + bomb)
     assert parsed and parsed[0]["body"] == b"body 0"
+    # the default budget SCALES with compressed input (ratio x len,
+    # floored at 1 GiB): a legitimate big shard is never clipped by
+    # the fixed floor alone
+    assert (W._MAX_INFLATE_RATIO * (3 << 30)) == max(
+        W._MAX_INFLATED_BYTES, W._MAX_INFLATE_RATIO * (3 << 30))
     # multi-member round-trip unaffected by the budget machinery
     many = W.encode_warc(
         [("response", f"http://x.test/{k}", "2024-01-01T00:00:00Z",
@@ -2183,6 +2192,44 @@ def test_warc_gunzip_budget():
         gzip_members=True,
     )
     assert len(W.parse_warc(many)) == 5
+
+
+def test_warc_truncated_column(spark):
+    """A gzip-bomb payload whose budget is hit must surface rows
+    flagged truncated=True — countable/quarantinable, NOT silently
+    vanished — while a clean payload's rows carry truncated=False."""
+    import gzip
+
+    from deltalake2db_spark.operators import warc as W
+
+    recs = [("response", "http://x.test/0", "2024-01-01T00:00:00Z",
+             200, "text/plain", "body zero " * 5)]
+    good = W.encode_warc(recs, gzip_members=True)
+    bomb = gzip.compress(b"\x00" * (8 << 20))
+    bombed = good + bomb
+    df = spark.createDataFrame(
+        [(1, "document", bytearray(bombed), None),
+         (2, "document", bytearray(good), None)],
+        "media_id long, kind string, payload binary, "
+        "meta map<string,string>",
+    )
+    # explicit budget (the 100 TB deployment knob): 64 KiB clips the
+    # 8 MiB bomb mid-member, AFTER the good record inflated whole
+    out = {
+        r["media_id"]: r
+        for r in W.warc_records(
+            df, max_inflated_bytes=64 << 10
+        ).collect()
+    }
+    # the bombed payload's surviving record still ingests (fail-open)
+    # but every row is flagged; the clean payload's rows are not
+    assert out[1]["truncated"] is True
+    assert out[1]["text"].startswith("body zero")
+    assert out[2]["truncated"] is False
+    # default scaled budget: the 8 MiB bomb fits under the 1 GiB
+    # floor -> clean parse, no flag
+    dflt = {r["media_id"]: r for r in W.warc_records(df).collect()}
+    assert dflt[1]["truncated"] is False
 
 
 def test_spread_scan_chain_depth(spark):

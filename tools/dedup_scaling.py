@@ -136,19 +136,45 @@ def _shuffle_totals(spark) -> tuple[int, int]:
     Reads the driver's AppStatusStore (the same numbers the UI shows;
     the UI itself is disabled in get_spark)."""
     store = spark.sparkContext._jsc.sc().statusStore()
-    # Scala signature with 4 defaulted params (Spark 4): pass the
-    # compiler-generated defaults explicitly through py4j
-    empty = spark.sparkContext._jvm.java.util.ArrayList()
-    defaults = [
-        getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
-    ]
-    seq = store.stageList(empty, *defaults)
-    w = r = 0
-    for i in range(seq.size()):
-        st = seq.apply(i)
-        w += st.shuffleWriteBytes()
-        r += st.shuffleReadBytes()
-    return w, r
+    try:
+        # Scala signature with 4 defaulted params (verified on Spark
+        # 4.1): pass the compiler-generated defaults explicitly
+        # through py4j.  $default$N accessor names are NOT a stable
+        # API across Spark minors, hence the guarded fallback below.
+        empty = spark.sparkContext._jvm.java.util.ArrayList()
+        defaults = [
+            getattr(store, f"stageList$default${i}")()
+            for i in (2, 3, 4, 5)
+        ]
+        seq = store.stageList(empty, *defaults)
+        w = r = 0
+        for i in range(seq.size()):
+            st = seq.apply(i)
+            w += st.shuffleWriteBytes()
+            r += st.shuffleReadBytes()
+        return w, r
+    except Exception:
+        # fallback for a changed Scala signature: the REST status API
+        # (stable, versioned) over the driver's own UI port; when the
+        # UI is disabled too, return zeros rather than crash a
+        # measurement tool
+        try:
+            import json as _json
+            import urllib.request
+
+            base = spark.sparkContext.uiWebUrl
+            if not base:
+                return 0, 0
+            app_id = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages", timeout=5
+            ) as fh:
+                stages = _json.load(fh)
+            w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+            r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+            return w, r
+        except Exception:
+            return 0, 0
 
 
 def main() -> None:

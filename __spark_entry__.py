@@ -1266,8 +1266,22 @@ def q_pii_redaction(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs — certified with the GUARDED plan
+    (r15): ``max_shingle_df=64`` drops corpus-wide boilerplate
+    shingles from both the inverted index and the set sizes, which is
+    the plan you'd run at 100x — SCALE.md §7q measured the unguarded
+    self-join at 350x shuffle growth per 10x corpus once the index
+    outgrows the broadcast threshold, vs 9.19x (linear) with the df
+    cap.  The oracle replays the SAME df cap in SQL, so the guard is
+    part of the certified law, not a hidden approximation.
+    ``impl="index"`` pinned: open-vocabulary text routes there anyway
+    and skipping the serial probe saves its bounded job (§7s).  The
+    unguarded exact-demonstration lives in
+    tests/test_operators.py::test_jaccard_unguarded_exact_oracle."""
     d = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, n=2, threshold=0.05)
+    return D.ngram_jaccard_pairs(
+        d, n=2, threshold=0.05, max_shingle_df=64, impl="index"
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -4633,11 +4647,18 @@ WITH w AS (
          unnest(list_transform(range(1, len(words)),
                                i -> words[i] || ' ' || words[i+1])) AS sh
   FROM w
+), shr AS (
+  -- stop-shingle guard (max_shingle_df=64), replayed from the Spark
+  -- plan: shingles in more than 64 docs leave BOTH the index and the
+  -- set sizes
+  SELECT s.doc_id, s.sh FROM sh s
+  JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64) r
+    USING (sh)
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+  SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1
 ), shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, shared,

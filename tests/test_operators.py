@@ -96,6 +96,71 @@ def test_ngram_jaccard_dense_matches_index(spark):
     assert len(idx) > 0
 
 
+def test_jaccard_unguarded_exact_oracle(spark):
+    """The UNGUARDED exact-Jaccard demonstration, demoted from the
+    q_jaccard_pairs gate (r15): without max_shingle_df the operator is
+    the exact all-shingles oracle, bit-matching DuckDB's brute
+    self-join.  The gate now certifies the GUARDED plan — SCALE.md §7q
+    measured the unguarded self-join at 350x shuffle growth per 10x
+    corpus past the broadcast->SMJ transition, so the scale-shaped
+    plan is the certified one and exactness lives here."""
+    import os
+
+    import duckdb
+
+    from conftest import SF_DIR
+
+    path = os.path.join(SF_DIR, "documents.parquet")
+    corpus = spark.read.parquet(path)
+    got = sorted(
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            corpus, n=2, threshold=0.05, impl="index"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(
+                  regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                  ' ') AS words
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(words)),
+                            i -> words[i] || ' ' || words[i+1])) AS sh
+              FROM w
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS shared
+              FROM sh a JOIN sh b
+                ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, shared,
+                   round(shared / (sa.n_sh + sb.n_sh - shared), 4)
+                       AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE shared >= 0.05 * (sa.n_sh + sb.n_sh - shared)
+            ORDER BY 1, 2
+        """).fetchall()
+    )
+    assert len(got) > 0
+    assert [(a, b) for a, b, *_ in got] == [(a, b) for a, b, *_ in exp]
+    for g, e in zip(got, exp):
+        assert g[:5] == e[:5]
+        assert abs(g[5] - e[5]) < 1e-9
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in
              D.minhash_lsh_pairs(docs, n=2, num_hashes=32, bands=16, threshold=0.5).collect()}

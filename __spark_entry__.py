@@ -2465,7 +2465,9 @@ def q_pipeline_e2e(spark, sf_dir):
     phrase, and plain ASCII.  The body is escaped into a one-<p>
     HTML page (nav/footer/script boilerplate around it), served as
     2 WARC response records (copy0 at host doc_id%12 in UTF-8; copy1
-    at host (doc_id+5)%12 CP1252-ENCODED with a declared
+    at host (doc_id+5)%12 in a non-UTF-8 wire charset — UTF-16 LE
+    with BOM and NO declared charset for doc_id%5==0 (the BOM branch,
+    gate-certified since r15), else CP1252-ENCODED with a declared
     charset=windows-1252 whenever encodable — the reader runs
     decode="sniff", so the browser-order charset resolution is part
     of the certified law: a broken sniff mojibakes copy1, breaks the
@@ -2566,12 +2568,18 @@ def q_pipeline_e2e(spark, sf_dir):
                     )
 
                 def leg1(page):
-                    # the copy1 leg ships cp1252-encoded with a
-                    # DECLARED charset whenever the page is
-                    # cp1252-encodable — the reader's sniff path must
-                    # round-trip it exactly (a broken sniff mojibakes
-                    # the page, breaks the exact-dup pairing with
-                    # copy0, and fails the oracle hash)
+                    # the copy1 leg ships in a NON-UTF-8 wire charset
+                    # the sniff must resolve exactly (a broken sniff
+                    # mojibakes the page, breaks the exact-dup pairing
+                    # with copy0, and fails the oracle hash):
+                    # did%5==0 -> UTF-16 LE WITH BOM and NO declared
+                    # charset (certifies the BOM branch in a gate law,
+                    # r15 — unit/hypothesis-tested only before);
+                    # otherwise cp1252 with a DECLARED charset
+                    # whenever the page is cp1252-encodable.
+                    if did % 5 == 0:
+                        return (b"\xff\xfe" + page.encode("utf-16-le"),
+                                "text/html")
                     try:
                         return (page.encode("cp1252"),
                                 "text/html; charset=windows-1252")

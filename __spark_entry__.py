@@ -3210,7 +3210,17 @@ def q_media_exif_scrub(spark, sf_dir):
             )
 
     media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
-    scrubbed = E.scrub_gps(media)
+    # carry the ORIGINAL payload through the scrub as a column
+    # (scrub_gps preserves its input schema): the pre/post pixel
+    # compare then needs no self-join back to the synthesis lineage.
+    # persist the 50-row scrubbed frame so the fixture synthesis runs
+    # ONCE for both consumers (stats re-parse + pixel compare) — §7s
+    # floor decomposition measured the old shape as 3 redundant
+    # synthesis stages + 2 shuffle joins stacking to ~0.96 s of pure
+    # plan floor over ~0.04 s of codec CPU.
+    scrubbed = E.scrub_gps(
+        media.withColumn("p0", F.col("payload"))
+    ).persist()
     post = E.exif_stats(scrubbed)
 
     def pixcmp(it):
@@ -3231,14 +3241,9 @@ def q_media_exif_scrub(spark, sf_dir):
                 rows, columns=["media_id", "pixels_same"]
             )
 
-    pix = (
-        media.select("media_id", F.col("payload").alias("p0"))
-        .join(
-            scrubbed.select("media_id", F.col("payload").alias("p1")),
-            "media_id",
-        )
-        .mapInPandas(pixcmp, "media_id long, pixels_same boolean")
-    )
+    pix = scrubbed.select(
+        "media_id", "p0", F.col("payload").alias("p1")
+    ).mapInPandas(pixcmp, "media_id long, pixels_same boolean")
     return post.join(pix, "media_id").select(
         "media_id", "make", "model", "datetime", "orientation",
         "software", "has_gps", "gps_lat", "gps_lon", "pixels_same",

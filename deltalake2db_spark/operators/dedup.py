@@ -675,23 +675,29 @@ def _cut_lineage_pairs(
     from pyspark import StorageLevel
 
     spark = candidates.sparkSession
-    c = candidates.persist(StorageLevel.MEMORY_AND_DISK)
-    # limit(N+1) probe: ONE job both sizes the set and supplies the
-    # rows when it fits (r9 — previously a count job + a toPandas job;
-    # r10 — arrow end to end: toArrow collect, arrow group_by dedup,
-    # createDataFrame(LocalRelation) — no pandas build on either side)
-    tbl = c.limit(max_driver_rows + 1).toArrow()
+    # limit(N+1) probe WITHOUT an upfront persist (r15): the common
+    # case is candidates ≪ limit, where the old
+    # persist→probe→unpersist sequence serialized every partition
+    # into the memory store just to throw it away — measured 0.4 s of
+    # the minhash gate's steady state.  Optimistic probe first; only
+    # the spill path (set exceeds the driver cap) pays a persist plus
+    # ONE pipeline recompute (the probe's partial run is lost — at
+    # that size the extra waves are noise against the distinct()).
+    tbl = candidates.limit(max_driver_rows + 1).toArrow()
     if tbl.num_rows <= max_driver_rows:
-        schema = c.schema
-        c.unpersist()
         if dedup:
             tbl = tbl.group_by(tbl.column_names).aggregate([])
-        return spark.createDataFrame(tbl, schema=schema), True
+        return (
+            spark.createDataFrame(tbl, schema=candidates.schema),
+            True,
+        )
+    c = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     if dedup:
         d = c.distinct().persist(StorageLevel.MEMORY_AND_DISK)
         d.count()
         c.unpersist()
         return d, False
+    c.count()
     return c, False
 
 

@@ -233,16 +233,16 @@ def _cut_lineage_ids(ids: DataFrame, max_driver_rows: int = 1_000_000):
     from pyspark import StorageLevel
 
     spark = ids.sparkSession
-    c = ids.persist(StorageLevel.MEMORY_AND_DISK)
-    # limit(N+1) probe: ONE job both sizes the set and supplies the
-    # rows when it fits (r9 — previously a count job + a toPandas job);
-    # r10: arrow round-trip end to end (toArrow -> createDataFrame
-    # LocalRelation), no pandas Series build on either side
-    tbl = c.limit(max_driver_rows + 1).toArrow()
+    # optimistic probe WITHOUT an upfront persist (r15, same change as
+    # dedup._cut_lineage_pairs): the common case fits on the driver and
+    # the old sequence serialized every partition into the memory store
+    # just to unpersist it; only the genuine spill path pays a persist
+    # plus one recompute
+    tbl = ids.limit(max_driver_rows + 1).toArrow()
     if tbl.num_rows <= max_driver_rows:
-        schema = c.schema
-        c.unpersist()
-        return F.broadcast(spark.createDataFrame(tbl, schema=schema))
+        return F.broadcast(spark.createDataFrame(tbl, schema=ids.schema))
+    c = ids.persist(StorageLevel.MEMORY_AND_DISK)
+    c.count()
     return c
 
 

@@ -2103,6 +2103,63 @@ def q_warc_ingest(spark, sf_dir):
     return W.warc_records(media)
 
 
+def q_warc_truncation(spark, sf_dir):
+    """Decompression-budget truncation telemetry end-to-end (r15):
+    odd archives carry a gzip-bomb member (40 KB of 'z' compressed to
+    ~100 bytes) AFTER two clean text records; ``warc_records`` runs
+    with an 8 KiB inflate budget, so the bomb archives clip mid-bomb —
+    the clean prefix records still ingest (fail-open) but every
+    surviving row is flagged ``truncated=true``, while even (clean)
+    archives flag false.  The bomb record itself is
+    application/octet-stream, so its clipped remnant dies on
+    ``text_only`` wherever the budget lands — the oracle replays the
+    whole law (urls, dates, lengths, texts, and the per-payload flag)
+    from first principles.  This certifies the zip-bomb discipline
+    the 100 TB ingest path depends on: a budget-clipped shard is
+    COUNTABLE downstream, never mistaken for a clean parse."""
+    import pandas as _pd
+
+    from deltalake2db_spark.operators import multimodal as M
+    from deltalake2db_spark.operators import warc as W
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                recs = [
+                    ("warcinfo", "urn:warcinfo", "2024-03-01T00:00:00Z",
+                     None, "application/warc-fields", b"software: g\r\n"),
+                    ("request", f"http://tr{i}.test/0",
+                     "2024-03-01T00:00:00Z", None,
+                     "application/http; msgtype=request",
+                     b"GET / HTTP/1.1\r\n\r\n"),
+                ]
+                for k in range(2):
+                    recs.append((
+                        "response", f"http://tr{i}.test/{k}",
+                        f"2024-03-01T00:00:0{k}Z", 200, "text/plain",
+                        f"doc {i} rec {k} " + "y" * (12 + (3 * i + k) % 17),
+                    ))
+                if i % 2 == 1:
+                    recs.append((
+                        "response", f"http://tr{i}.test/bomb",
+                        "2024-03-01T00:00:09Z", 200,
+                        "application/octet-stream", b"z" * 40000,
+                    ))
+                rows.append((
+                    i, "document", W.encode_warc(recs, gzip_members=True),
+                    {"mime": "application/warc", "width": None,
+                     "height": None, "duration_ms": None},
+                ))
+            yield _pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = spark.range(40).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    return W.warc_records(media, max_inflated_bytes=8192)
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> clean-text extraction end-to-end (r12): every document
     is wrapped in a closed-form HTML page — title 'Doc <id>', a styled
@@ -4083,7 +4140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # result-neutral" does not exempt it.  Only multi-round-certified
     # gates whose full import closure is untouched this round may park at
     # 51+; all 142 stay covered by tools/check_correctness.py locally.
-    # Round 15: rule a is empty (q_wat_ingest was certified r14).  Rule b
+    # Round 15: rule a holds ONE entry — q_warc_truncation, new this
+    # round (certifies the truncated-column budget telemetry against a
+    # bomb-bearing fixture law; registry goes 142 -> 143); it takes the
+    # slot q_markdown_extract held, which parks at 51 (r13-certified,
+    # closure untouched, first in the r16 refresh line).  Rule b
     # covers five edits: (1) operators/warc.py + operators/archive.py
     # grew the `truncated` budget-telemetry column — warc/wet/wat/cdx/
     # archive/pipeline results CHANGED, all in; (2) gate-law edits —
@@ -4114,6 +4175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_archive_ingest": q_archive_ingest,
         "q_wat_ingest": q_wat_ingest,
         "q_cdx_index": q_cdx_index,
+        # -- rule a: new r15 gate (budget-truncation telemetry law) --
+        "q_warc_truncation": q_warc_truncation,
         # -- rule b: gate-law edits (BOM leg; guarded jaccard) --
         "q_pipeline_e2e": q_pipeline_e2e,
         "q_jaccard_pairs": q_jaccard_pairs,
@@ -4164,9 +4227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         # -- refresh: displaced in r14 --
         "q_svg_meta": q_svg_meta,
-        "q_markdown_extract": q_markdown_extract,
         # -- positions 51+: multi-round-certified gates whose import
-        # closure is untouched this round (rotation rule above) --
+        # closure is untouched this round (rotation rule above);
+        # q_markdown_extract displaced at 51 by the rule-a entry --
+        "q_markdown_extract": q_markdown_extract,
         "q_pdf_extract": q_pdf_extract,
         "q_dup_clusters": q_dup_clusters,
         "q_neardup_dedup": q_neardup_dedup,
@@ -6744,6 +6808,26 @@ SELECT query_id, vec_id, sim, rank FROM (
                                            AS INT)) AS text,
                    FALSE AS truncated
             FROM range(60) i(v), range(4) k(v)
+        """,
+        "q_warc_truncation": """
+            SELECT i.v AS media_id, CAST(k.v + 2 AS INT) AS record_idx,
+                   'http://tr' || CAST(i.v AS VARCHAR) || '.test/'
+                       || CAST(k.v AS VARCHAR) AS url,
+                   '2024-03-01T00:00:0' || CAST(k.v AS VARCHAR)
+                       || 'Z' AS warc_date,
+                   CAST(200 AS INT) AS status,
+                   'text/plain' AS content_type,
+                   CAST(length('doc ' || CAST(i.v AS VARCHAR)
+                               || ' rec ' || CAST(k.v AS VARCHAR)
+                               || ' ')
+                        + 12 + (3 * i.v + k.v) % 17 AS BIGINT)
+                       AS body_len,
+                   'doc ' || CAST(i.v AS VARCHAR) || ' rec '
+                       || CAST(k.v AS VARCHAR) || ' '
+                       || repeat('y', CAST(12 + (3 * i.v + k.v) % 17
+                                           AS INT)) AS text,
+                   CAST(i.v % 2 = 1 AS BOOLEAN) AS truncated
+            FROM range(40) i(v), range(2) k(v)
         """,
         "q_media_flac": """
             WITH s AS (

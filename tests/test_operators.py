@@ -2259,6 +2259,47 @@ def test_warc_gunzip_budget():
     assert len(W.parse_warc(many)) == 5
 
 
+def test_warc_truncation_gate_law():
+    """The q_warc_truncation gate's fixture law, asserted without
+    Spark: an octet-stream bomb member AFTER two clean text records,
+    under an 8 KiB inflate budget, clips mid-bomb — both clean
+    records parse intact and the payload reports truncated=True;
+    wherever the budget lands, the bomb's clipped remnant is
+    non-text so ``text_only`` drops it (the law stays deterministic
+    regardless of the clip offset)."""
+    from deltalake2db_spark.operators import warc as W
+
+    for i in (2, 3):  # one clean archive, one bombed archive
+        recs = [
+            ("warcinfo", "urn:warcinfo", "2024-03-01T00:00:00Z",
+             None, "application/warc-fields", b"software: g\r\n"),
+        ]
+        for k in range(2):
+            recs.append(("response", f"http://tr{i}.test/{k}",
+                         f"2024-03-01T00:00:0{k}Z", 200, "text/plain",
+                         f"doc {i} rec {k} "
+                         + "y" * (12 + (3 * i + k) % 17)))
+        if i % 2 == 1:
+            recs.append(("response", f"http://tr{i}.test/bomb",
+                         "2024-03-01T00:00:09Z", 200,
+                         "application/octet-stream", b"z" * 40000))
+        payload = W.encode_warc(recs, gzip_members=True)
+        parsed, trunc = W.parse_warc(
+            payload, with_truncated=True, max_inflated_bytes=8192
+        )
+        assert trunc is (i % 2 == 1)
+        text_resp = [
+            r for r in parsed
+            if r["headers"].get("warc-type") == "response"
+            and r["content_type"].split(";")[0].startswith("text/")
+        ]
+        assert len(text_resp) == 2
+        for k, r in enumerate(text_resp):
+            assert r["body"].decode() == (
+                f"doc {i} rec {k} " + "y" * (12 + (3 * i + k) % 17)
+            )
+
+
 def test_warc_truncated_column(spark):
     """A gzip-bomb payload whose budget is hit must surface rows
     flagged truncated=True — countable/quarantinable, NOT silently

@@ -101,7 +101,7 @@ def _jaccard_guarded(spark, sf_dir: str, mult: int):
 
     return D.ngram_jaccard_pairs(
         _docs(spark, sf_dir, mult), n=2, threshold=0.05,
-        max_shingle_df=64,
+        max_shingle_df=64, impl="index",
     )
 
 

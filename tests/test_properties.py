@@ -543,3 +543,35 @@ def test_sniff_decode_declared_cp1252_roundtrip(text):
     assume(body[:3] != b"\xef\xbb\xbf")
     got = sniff_decode(body, "text/html; charset=windows-1252")
     assert got == text
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=8),
+    st.integers(min_value=16, max_value=2048),
+)
+@settings(max_examples=200, deadline=None)
+def test_gunzip_members_budget_properties(chunks, budget):
+    """_gunzip_members invariants over ARBITRARY member splits and
+    budgets: (a) within budget the concatenation round-trips exactly
+    with truncated=False; (b) under any budget the output is an exact
+    PREFIX of the full plaintext, never exceeds the budget, and
+    truncated is True iff the budget actually clipped (output shorter
+    than the full inflate)."""
+    import gzip
+
+    from deltalake2db_spark.operators.warc import _gunzip_members
+
+    payload = b"".join(gzip.compress(c) for c in chunks)
+    full = b"".join(chunks)
+
+    out, trunc = _gunzip_members(payload, max_total=budget)
+    assert len(out) <= budget
+    assert full.startswith(out)
+    if trunc:
+        assert len(out) < len(full)
+    else:
+        assert out == full
+
+    # unlimited default budget: always the exact round-trip
+    out2, trunc2 = _gunzip_members(payload)
+    assert out2 == full and trunc2 is False

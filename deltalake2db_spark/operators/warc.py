@@ -88,6 +88,12 @@ def _gunzip_members(
         if used <= 0:
             break
         pos += used
+    if pos < n and len(out) >= max_total:
+        # budget landed EXACTLY on a member boundary: the loop exits
+        # with compressed members still unread — that is a clip too
+        # (found by the r15 hypothesis property: [16, 5]-byte members
+        # under a 16-byte budget dropped the tail with truncated=False)
+        truncated = True
     return bytes(out), truncated
 
 

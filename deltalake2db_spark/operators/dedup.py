@@ -198,6 +198,7 @@ def ngram_jaccard_pairs(
     dense_max_vocab: int = 8192,
     max_block: int = 1024,
     packed_ids: bool = True,
+    cache_index: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs.
 
@@ -268,6 +269,21 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(rare, "sh", "left_semi")
+        if cache_index:
+            # materialize the guarded (id, sh) table — 16 bytes/row,
+            # the natural lineage cut before the quadratic self-join.
+            # Without it the df-guard semi-join (and its sorts) re-runs
+            # in all three consumers (join side a, side b, sizes) above
+            # the reused sh exchange: measured 1.29 -> 1.03 s on the
+            # standalone sf0.1 gate, hash-identical.  OPT-IN because a
+            # caller whose input is already a cached checkpoint (the
+            # crawl pipeline persists post-extraction text) measured
+            # WORSE with a second materialization serializing the job
+            # (2.6-3.1 -> 3.8-4.9 s paired draws) — double-caching a
+            # composed pipeline buys nothing and costs a sync point.
+            # InMemoryTableScan preserves the hash(sh) partitioning,
+            # so the self-join stays co-partitioned either way.
+            sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     # inverted-index self-join: AQE's skew-join splitting spreads hot

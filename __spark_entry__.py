@@ -4181,6 +4181,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r14).  Still parked and now FIRST in line for r16: q1/q3/q5/q6,
     # the 17-gate delta-lifecycle family, the non-PNG media tier, and
     # the events/text tiers — closures untouched, local sweep green.
+    # r15 OPTIMIZATION-phase resume (this session's edits) adds four
+    # rule-b entries: operators/text.py sliding_chunks was rewritten
+    # (explode-then-slice) -> q_sliding_chunks in (q_pipeline_e2e, its
+    # other consumer, already in); operators/dsir.py per_bucket persist
+    # -> q_dsir_weights (execution-path dirty) and q_classifier_score
+    # (same-module) in; the q_unimax gate function itself changed
+    # (counts persist) -> in.  operators/dedup.py's cache_index change
+    # touches only q_jaccard_pairs/q_pipeline_e2e paths — both already
+    # in; the rest of the dedup tier sits in-window regardless.  To
+    # make room, the four NEWEST refresh picks park (q15/q17/q18/q22,
+    # r13-certified, closures untouched — first in the r16 line with
+    # q1/q3/q5/q6); execution-path-dirty gates outrank refresh picks,
+    # same as the r15 media-tier precedent.
     return {
         # -- rule b: warc/archive truncated-column (results changed) --
         "q_warc_ingest": q_warc_ingest,
@@ -4234,15 +4247,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q13_order_distribution": q13_order_distribution,
         "q14_promo_revenue": q14_promo_revenue,
+        # -- refresh: displaced in r14 --
+        "q_svg_meta": q_svg_meta,
+        # -- rule b, r15 optimization-phase edits (see comment above) --
+        "q_sliding_chunks": q_sliding_chunks,
+        "q_dsir_weights": q_dsir_weights,
+        "q_classifier_score": q_classifier_score,
+        "q_unimax": q_unimax,
+        # -- positions 51+: multi-round-certified gates whose import
+        # closure is untouched this round (rotation rule above);
+        # q15/q17/q18/q22 park here (newest refresh picks displaced by
+        # the optimization-phase rule-b entries), then
+        # q_markdown_extract (displaced at 51 by the rule-a entry) --
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
         "q18_large_volume": q18_large_volume,
         "q22_idle_customers": q22_idle_customers,
-        # -- refresh: displaced in r14 --
-        "q_svg_meta": q_svg_meta,
-        # -- positions 51+: multi-round-certified gates whose import
-        # closure is untouched this round (rotation rule above);
-        # q_markdown_extract displaced at 51 by the rule-a entry --
         "q_markdown_extract": q_markdown_extract,
         "q_pdf_extract": q_pdf_extract,
         "q_dup_clusters": q_dup_clusters,
@@ -4250,10 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_topk": q_bm25_topk,
         "q_bpe_tokens": q_bpe_tokens,
         "q_tfidf_terms": q_tfidf_terms,
-        "q_dsir_weights": q_dsir_weights,
-        "q_classifier_score": q_classifier_score,
         "q_html_extract": q_html_extract,
-        "q_sliding_chunks": q_sliding_chunks,
         "q_media_decode": q_media_decode,
         "q_media_decode_webp": q_media_decode_webp,
         "q_media_decode_webp_lossy": q_media_decode_webp_lossy,
@@ -4307,7 +4324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_nfc_normalize": q_nfc_normalize,
         "q_quality_rules": q_quality_rules,
-        "q_unimax": q_unimax,
         "q_profile_orders": q_profile_orders,
         "q_sitemap_entries": q_sitemap_entries,
         "q_url_filter": q_url_filter,

@@ -2703,7 +2703,19 @@ def q_pipeline_e2e(spark, sf_dir):
     # synthesize/parse/extract chain runs ONCE instead of 5x.  At
     # 100 TB this materialization is the standard checkpoint between
     # the ingest tier and the dedup tier.
-    quality = fixed.filter((n_tok >= 40) & (n_tok <= 20000)).persist()
+    # cached_leaf truncates the ANALYZED lineage at the persist: the
+    # dedup fan-out references this frame many times (winners
+    # semi-join, shingle index, per-doc sizes, anti-join — 8
+    # InMemoryRelation embeddings in the r15 before-plan), and each
+    # reference re-analyzes + re-canonicalizes the whole 4-kernel
+    # Python ingest subtree on the driver.  Execution is unchanged
+    # (same persist, built once per run); only the per-action
+    # plan-processing cost drops.
+    from deltalake2db_spark.operators.parallel import cached_leaf
+
+    quality = cached_leaf(
+        fixed.filter((n_tok >= 40) & (n_tok <= 20000)).persist()
+    )
 
     uniq = exact_dedup(quality, id_col="rec_id", text_col="text")
     # max_shingle_df is the stop-shingle guard doing its designed job:
@@ -4194,6 +4206,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r13-certified, closures untouched — first in the r16 line with
     # q1/q3/q5/q6); execution-path-dirty gates outrank refresh picks,
     # same as the r15 media-tier precedent.
+    # r15 optimization-phase continuation: operators/parallel.py gains
+    # cached_leaf (persist-point lineage cut) and dedup.py's
+    # cache_index branch + the q_pipeline_e2e gate adopt it.  Its
+    # execution paths are q_pipeline_e2e and q_jaccard_pairs — both
+    # in-window.  Gates that import parallel.py for spread_scan only
+    # (bm25/bpe/tfidf/html/pdf, parked) are same-module-dirty but not
+    # on the new function's execution path: per the media-tier
+    # precedent they stay parked, covered by the 143/143 local sweep
+    # re-run after the change.  Window composition unchanged.
     return {
         # -- rule b: warc/archive truncated-column (results changed) --
         "q_warc_ingest": q_warc_ingest,

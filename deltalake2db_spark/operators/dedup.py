@@ -283,7 +283,12 @@ def ngram_jaccard_pairs(
             # composed pipeline buys nothing and costs a sync point.
             # InMemoryTableScan preserves the hash(sh) partitioning,
             # so the self-join stays co-partitioned either way.
-            sh = sh.persist()
+            # cached_leaf additionally truncates the ANALYZED lineage
+            # at the cache point (the three consumers otherwise embed
+            # and re-analyze the tokenize+guard subtree each).
+            from .parallel import cached_leaf
+
+            sh = cached_leaf(sh.persist())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     # inverted-index self-join: AQE's skew-join splitting spreads hot

@@ -2368,6 +2368,65 @@ def test_spread_scan_chain_depth(spark):
     assert spread_scan(narrow, chain_depth=2).count() == 100
 
 
+def test_cached_leaf_lineage_cut(spark):
+    """cached_leaf swaps a persisted frame for its InMemoryRelation
+    leaf: same rows through self-join fan-out, but the analyzed plan
+    below the cache point is a single leaf node (the plan-analysis
+    saving the crawl pipeline's tier boundary relies on); unpersisted
+    and ordered-cache frames fall back to the plain frame."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from deltalake2db_spark.operators.parallel import cached_leaf
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "rec_id": pdf["id"].astype("int64"),
+                    "text": [f"tok{int(i) % 7} body" for i in pdf["id"]],
+                }
+            )
+
+    base = spark.range(500).mapInPandas(gen, schema="rec_id long, text string")
+    quality = base.filter(F.length("text") > 3).persist()
+    try:
+        q = cached_leaf(quality)
+        assert q is not quality
+        # the downstream logical plan must NOT embed the ingest chain
+        assert "mapInPandas" not in q._jdf.queryExecution().analyzed().toString()
+        # pipeline fan-out shape: winners semi-join + anti-join, both
+        # self-references through the leaf
+        winners = q.groupBy("text").agg(F.min("rec_id").alias("rec_id"))
+        uniq = q.join(winners.select("rec_id"), "rec_id", "left_semi")
+        losers = uniq.filter(F.col("rec_id") % 3 == 0).select("rec_id")
+        surv = sorted(
+            r["rec_id"]
+            for r in uniq.join(losers, "rec_id", "left_anti").collect()
+        )
+        winners2 = quality.groupBy("text").agg(F.min("rec_id").alias("rec_id"))
+        uniq2 = quality.join(winners2.select("rec_id"), "rec_id", "left_semi")
+        losers2 = uniq2.filter(F.col("rec_id") % 3 == 0).select("rec_id")
+        surv2 = sorted(
+            r["rec_id"]
+            for r in uniq2.join(losers2, "rec_id", "left_anti").collect()
+        )
+        assert surv == surv2 and surv
+    finally:
+        quality.unpersist()
+    # not persisted -> unchanged frame
+    plain = base.filter(F.length("text") > 3)
+    assert cached_leaf(plain) is plain
+    # ordered cached plan (sorted range) -> fallback, still correct
+    ordered = spark.range(100).select(F.col("id")).persist()
+    try:
+        o = cached_leaf(ordered)
+        assert o is ordered  # ordering guard takes the fallback
+        assert o.count() == 100
+    finally:
+        ordered.unpersist()
+
+
 def test_sniff_decode_charsets(spark):
     """Browser-order charset resolution: BOM > header charset= > meta
     tag > strict UTF-8 with cp1252 fallback for mislabeled pages."""

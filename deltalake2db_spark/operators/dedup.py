@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import doc_fingerprint
 
+# The LSH verify stage aggregates per-doc shingle arrays that both pair
+# sides join against; materializing that (tiny, candidate-restricted)
+# frame saves the second corpus re-scan under it.  Module-level so the
+# measurement harness can A/B the un-materialized plan.
+_VERIFY_PERSIST = True
+
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per distinct normalized text: (keep_id, n_copies).
@@ -527,6 +533,18 @@ def verify_jaccard_pairs_from_shingles(
     fall out of the arrays for free.
     """
     arrs = sh.groupBy(id_col).agg(F.collect_list("sh").alias("__shs"))
+    if _VERIFY_PERSIST:
+        # arrs is referenced for BOTH pair sides below; without a
+        # materialization the whole subtree UNDER it — including the
+        # candidate-restricted corpus re-scan feeding ``sh`` — executes
+        # once per side.  At crawl scale that is an extra full corpus
+        # read in the verify stage; arrs itself is tiny (candidate docs
+        # only, one array of longs each), the cheapest possible cut
+        # point.  cached_leaf additionally stops the twin joins from
+        # re-analyzing the subtree per reference.
+        from .parallel import cached_leaf
+
+        arrs = cached_leaf(arrs.persist())
     a = arrs.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa"))
     b = arrs.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__sb"))
     return (
@@ -1137,6 +1155,13 @@ def minhash_lsh_pairs_cross(
     sub = tagged.join(cids, ["__side", id_col], "left_semi")
     tsh = shingled(sub, id_col, text_col, n, group_cols=("__side",), distinct=True)
     arrs = tsh.groupBy("__side", id_col).agg(F.collect_list("sh").alias("__shs"))
+    if _VERIFY_PERSIST:
+        # same dual-reference cut as verify_jaccard_pairs_from_shingles:
+        # aa and bb below otherwise re-execute the tagged corpus re-scan
+        # + shingle window once per side
+        from .parallel import cached_leaf
+
+        arrs = cached_leaf(arrs.persist())
     aa = arrs.filter(F.col("__side") == 0).select(
         F.col(id_col).alias("id_a"), F.col("__shs").alias("__sa")
     )

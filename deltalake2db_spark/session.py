@@ -92,6 +92,16 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=1g -XX:TypeProfileWidth=8"
             " -XX:-DontCompileHugeMethods",
         )
+        # PySpark 4 wraps every DataFrame API call to capture a Python
+        # call site for error enrichment: 2 extra Py4J round trips
+        # (conf.get + PySparkCurrentOrigin.set) plus a stack walk PER
+        # CALL.  Driver-side plan construction is a measured 25-75% of
+        # the expression-heavy gates (minhash builds 64 hash trees),
+        # and this flag alone cut q_minhash_lsh 1.97->1.57 s and
+        # q_cross_dedup 2.01->1.77 s at sf0.1 (paired A/B, fresh JVMs).
+        # Static conf - only settable here.  Costs nothing but
+        # call-site lines in error messages.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # delta-ecosystem convention: data files carry INT64 micros, not

@@ -638,19 +638,27 @@ def _minhash_agg(
     tok: DataFrame, id_col: str, params: list[tuple[int, int]],
     with_sizes: bool = False, group_cols: list[str] | None = None,
 ) -> DataFrame:
+    # One spark.sql() parse instead of K Column trees: building
+    # min(pmod(a*x+b, M)) per hash function through the Python Column
+    # API costs ~6 Py4J round trips per hash — ~400 driver round trips
+    # for K=64, a measured 0.28 s of the minhash gates' per-sample
+    # build.  The SQL string parses JVM-side in one round trip and
+    # yields the IDENTICAL analyzed expressions (int literals promote
+    # the same way; pmod/min are the same functions).
     group_cols = group_cols or [id_col]
-    mins = [
-        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MERSENNE))).alias(f"h{i}")
+    grp = ", ".join(f"`{c}`" for c in group_cols)
+    mins = ", ".join(
+        f"min(pmod({a} * x + {b}, {MERSENNE})) AS h{i}"
         for i, (a, b) in enumerate(params)
-    ]
+    )
     if with_sizes:
-        mins.append(F.count(F.lit(1)).alias("n_sh"))
-    sig = tok.groupBy(*group_cols).agg(*mins)
-    extra = ["n_sh"] if with_sizes else []
-    return sig.select(
-        *group_cols,
-        F.array(*[f"h{i}" for i in range(len(params))]).alias("sig"),
-        *extra,
+        mins += ", count(1) AS n_sh"
+    arr = ", ".join(f"h{i}" for i in range(len(params)))
+    extra = ", n_sh" if with_sizes else ""
+    return tok.sparkSession.sql(
+        f"SELECT {grp}, array({arr}) AS sig{extra} FROM "
+        f"(SELECT {grp}, {mins} FROM {{tok}} GROUP BY {grp})",
+        tok=tok,
     )
 
 
@@ -673,19 +681,21 @@ def _band_hashes(sig: DataFrame, id_col: str, out_id: str,
     function is free to change.
     """
     rows_per_band = num_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.xxhash64(
-                F.slice("sig", i * rows_per_band + 1, rows_per_band),
-                F.lit(i),
-            ).alias("bh"),
-        )
+    # single spark.sql() parse for the same reason as _minhash_agg:
+    # `bands` struct(lit, xxhash64(slice(...)))` trees through the
+    # Column API are ~50 Py4J round trips of pure driver latency
+    elems = ", ".join(
+        f"named_struct('band', {i}, 'bh', "
+        f"xxhash64(slice(sig, {i * rows_per_band + 1}, {rows_per_band}),"
+        f" {i}))"
         for i in range(bands)
-    ]
-    return sig.select(
-        F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("b")
-    ).select(out_id, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    )
+    return sig.sparkSession.sql(
+        f"SELECT `{out_id}`, b.band AS band, b.bh AS bh FROM "
+        f"(SELECT `{id_col}` AS `{out_id}`, explode(array({elems})) AS b "
+        f"FROM {{sig}})",
+        sig=sig,
+    )
 
 
 def _cut_lineage_pairs(

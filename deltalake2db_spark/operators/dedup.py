@@ -856,23 +856,29 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # for wall-clock: at bench scale the 64-agg plan spent more time in
     # Catalyst analysis (eager, re-run per transform, duplicated across
     # the old self-join) than in execution.
-    lane_mask = F.lit((1 << 32) | 1)
-    votes = tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.shiftrightunsigned("h", j).bitwiseAND(lane_mask)).alias(f"p{j}")
-            for j in range(32)
-        ],
+    # One spark.sql() parse for the whole vote pipeline (same rationale
+    # as _minhash_agg): the 32 lane-sum aggregates built through the
+    # Column API cost ~5 Py4J round trips each — ~160 driver round
+    # trips of per-sample build latency.  The SQL string parses
+    # JVM-side in one call and analyzes to the identical plan.
+    lane_mask = (1 << 32) | 1
+    sums = ", ".join(
+        f"sum(shiftrightunsigned(h, {j}) & {lane_mask}) AS p{j}"
+        for j in range(32)
     )
-    # one parsed expression instead of a 64-deep Column OR-chain
     terms = []
     for i in range(bits):
         j, lane = i % 32, i // 32
         cnt = f"((p{j} >> 32) & 4294967295)" if lane else f"(p{j} & 4294967295)"
         m = f"{1 << i}L" if i < 63 else "(-9223372036854775807L - 1L)"
         terms.append(f"(CASE WHEN 2 * {cnt} > n THEN {m} ELSE 0L END)")
-    fp = F.expr("(" + " | ".join(terms) + ")").cast("long")
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+    fp = " | ".join(terms)
+    return tok.sparkSession.sql(
+        f"SELECT `{id_col}`, CAST(({fp}) AS BIGINT) AS simhash FROM "
+        f"(SELECT `{id_col}`, count(1) AS n, {sums} FROM {{tok}} "
+        f"GROUP BY `{id_col}`)",
+        tok=tok,
+    )
 
 
 def simhash_pairs(

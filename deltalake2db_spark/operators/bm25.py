@@ -110,10 +110,22 @@ def bm25_topk(
     # read once, not once for tf and again for stats (r11 — at corpus
     # scale the second full read of the text column dwarfed the one
     # extra row per doc this adds to the pruned shuffle).
+    # The token ARRAY is materialized in its own projection BELOW the
+    # posexplode: putting size(words) in the same select as the
+    # generator lets the analyzer (ExtractGenerator) hoist it into the
+    # Project ABOVE the Generate, where `size(split(text))` re-splits
+    # the whole document ONCE PER TOKEN ROW — O(n²) regex work per doc
+    # (measured: this subtree alone 2.5 s -> 0.27 s at sf0.1 with the
+    # two-step select; guide §1.2/§4 — fix the per-task work).  With
+    # __arr a real child column, the Generate explodes a column
+    # reference and size(__arr) above it is O(1) numElements.
     toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.size(words).alias("__dl"),
-        F.posexplode(words).alias("__pos", "__ws"),
+        words.alias("__arr"),
+    ).select(
+        id_col,
+        F.size("__arr").alias("__dl"),
+        F.posexplode("__arr").alias("__pos", "__ws"),
     ).select(
         id_col,
         "__dl",

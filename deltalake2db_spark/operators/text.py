@@ -331,16 +331,25 @@ def sliding_chunks(
         raise ValueError("chunk_words and stride_words must be >= 1")
     w, s = F.lit(chunk_words), F.lit(stride_words)
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words)
+    # Materialize the word array in its OWN projection below the
+    # posexplode: aliasing it in the same select as the generator lets
+    # the analyzer (ExtractGenerator) hoist the alias into the Project
+    # ABOVE the Generate, where split(trim(text)) re-runs once per
+    # CHUNK ROW instead of once per document (the shipped r15 plan had
+    # exactly that shape — `__ws = split(...)` in operator (5) above
+    # the Generate).  Two-step select keeps it a child column; the
+    # Generate then carries an array reference, O(1) per output row.
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(id_col, words.alias("__ws"))
+    n = F.size(F.col("__ws"))
     n_starts = (
         F.lit(1)
         + F.ceil(F.greatest(n - w, F.lit(0)) / s).cast("int")
     )
-    out = df.filter(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    ).select(
+    out = base.select(
         id_col,
-        words.alias("__ws"),
+        "__ws",
         F.posexplode(F.sequence(F.lit(0), n_starts - F.lit(1))).alias(
             "chunk_idx", "__i"
         ),
@@ -348,11 +357,19 @@ def sliding_chunks(
     chunk = F.array_join(
         F.slice(F.col("__ws"), F.col("__i") * s + F.lit(1), w), " "
     )
+    # n_words by arithmetic on the carried array instead of
+    # size(split(chunk)) — re-splitting the assembled window doubled
+    # the per-chunk string work.  The slice holds
+    # min(w, n - start) elements; the greatest(..., 1) guard matches
+    # split("", " ", -1) == [""] on the degenerate stride>chunk case
+    # where a start can lie past the last word (empty slice).
     return out.select(
         id_col,
         "chunk_idx",
         (F.col("chunk_idx") * s).alias("start_word"),
-        F.size(F.split(chunk, " ", -1)).alias("n_words"),
+        F.greatest(
+            F.least(w, n - F.col("__i") * s), F.lit(1)
+        ).alias("n_words"),
         chunk.alias("chunk"),
     )
 

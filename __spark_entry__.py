@@ -67,6 +67,8 @@ def _repacked_embeddings(sf_dir: str) -> str:
     import pyarrow.parquet as _pq
 
     src = f"{sf_dir}/embeddings.parquet"
+    if os.environ.get("SPARK_GRAFT_NO_REPACK") == "1":
+        return src  # kill-switch: always scan the original fixture
     f = _pq.ParquetFile(src)
     if f.num_row_groups >= 8:
         return src

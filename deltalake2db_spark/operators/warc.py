@@ -70,11 +70,16 @@ def _gunzip_members(
     truncated = False
     pos = 0
     n = len(payload)
-    while pos < n and len(out) < max_total:
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
         # bounded inflate: never request more than the remaining
         # budget (+1 so exhaustion is detectable), letting zlib stop
-        # mid-member instead of materializing the whole bomb
+        # mid-member instead of materializing the whole bomb.  The loop
+        # keeps draining members even at room == 0 so that trailing
+        # members that inflate to ZERO bytes do not flip the flag: the
+        # flag must be exactly "the budget clipped at least one byte"
+        # (the r15 boundary rule over-reported on [16, 0]-byte members
+        # under a 16-byte budget — out == full yet truncated=True)
         room = max_total - len(out)
         out += d.decompress(payload[pos:], room + 1)
         if len(out) > max_total or d.unconsumed_tail:
@@ -88,12 +93,6 @@ def _gunzip_members(
         if used <= 0:
             break
         pos += used
-    if pos < n and len(out) >= max_total:
-        # budget landed EXACTLY on a member boundary: the loop exits
-        # with compressed members still unread — that is a clip too
-        # (found by the r15 hypothesis property: [16, 5]-byte members
-        # under a 16-byte budget dropped the tail with truncated=False)
-        truncated = True
     return bytes(out), truncated
 
 

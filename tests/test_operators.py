@@ -2393,8 +2393,15 @@ def test_cached_leaf_lineage_cut(spark):
     try:
         q = cached_leaf(quality)
         assert q is not quality
+        # the fast path must actually ENGAGE on the pinned Spark
+        # version (not merely fall back harmlessly): the returned
+        # frame's logical plan IS the InMemoryRelation leaf itself,
+        # so a Spark-internals drift that silently disables the
+        # optimization fails loudly here (r15 verdict item 7)
+        analyzed = q._jdf.queryExecution().analyzed()
+        assert analyzed.nodeName() == "InMemoryRelation"
         # the downstream logical plan must NOT embed the ingest chain
-        assert "mapInPandas" not in q._jdf.queryExecution().analyzed().toString()
+        assert "mapInPandas" not in analyzed.toString()
         # pipeline fan-out shape: winners semi-join + anti-join, both
         # self-references through the leaf
         winners = q.groupBy("text").agg(F.min("rec_id").alias("rec_id"))

@@ -889,3 +889,29 @@ def test_knn_classify_null_seeds_and_empty_batch(spark):
         [(20, None)], "vec_id long, embedding array<double>"
     )
     assert knn_classify(none_items, seeds, k=1).count() == 0
+
+
+# ------------------------------------------------------- fixture repack
+
+def test_embeddings_repack_kill_switch(monkeypatch):
+    """SPARK_GRAFT_NO_REPACK=1 makes _repacked_embeddings return the
+    ORIGINAL fixture path untouched; without it, a single-row-group
+    fixture is re-split into 8 files carrying identical rows
+    (disclosure row in TESTDATA.md)."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    src = os.path.join(SF_DIR, "embeddings.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_NO_REPACK", "1")
+    assert entry._repacked_embeddings(SF_DIR) == src
+
+    monkeypatch.delenv("SPARK_GRAFT_NO_REPACK")
+    out = entry._repacked_embeddings(SF_DIR)
+    n_src = pq.ParquetFile(src).metadata.num_rows
+    if out == src:  # fixture already >=8 row groups: repack is a no-op
+        assert pq.ParquetFile(src).num_row_groups >= 8
+    else:
+        ds = pq.ParquetDataset(out)
+        assert ds.read().num_rows == n_src
+        assert len(ds.files) == 8

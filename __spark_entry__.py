@@ -22,6 +22,7 @@ from deltalake2db_spark.operators import dedup as D
 from deltalake2db_spark.operators import similarity as S
 from deltalake2db_spark.operators import text as X
 from deltalake2db_spark.operators.asof import asof_join_union
+from deltalake2db_spark.operators.parallel import fusable_map, kernel_map
 from deltalake2db_spark import scan_delta
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -1466,7 +1467,7 @@ def q_media_mp4_meta(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(100).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(100), gen, M.MEDIA_SCHEMA)
     return M.extract_video_meta(media).select(
         "media_id", "duration_ms", "width", "height", "n_tracks", "codecs"
     )
@@ -1597,7 +1598,7 @@ def q_media_frame_sample(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(100).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(100), gen, M.MEDIA_SCHEMA)
     sampled = M.sample_video_frames(media, every_n=5)
 
     def bsum(it):
@@ -1606,8 +1607,8 @@ def q_media_frame_sample(spark, sf_dir):
             pdf["bsum"] = [int(sum(bytes(b))) for b in pdf["frame"]]
             yield pdf[["media_id", "frame_idx", "pts_ms", "nbytes", "bsum"]]
 
-    return sampled.mapInPandas(
-        bsum,
+    return kernel_map(
+        sampled, bsum,
         "media_id long, frame_idx int, pts_ms long, nbytes int, bsum long",
     )
 
@@ -1654,7 +1655,7 @@ def q_media_video_decode(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(50), gen, M.MEDIA_SCHEMA)
     return M.decode_video_frames(media, every_n=2)
 
 
@@ -1699,7 +1700,7 @@ def q_media_anim_frames(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(50), gen, M.MEDIA_SCHEMA)
     return M.webp_anim_frame_stats(media)
 
 
@@ -1753,7 +1754,7 @@ def q_media_gif_frames(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(50), gen, M.MEDIA_SCHEMA)
     return G.gif_frame_stats(media)
 
 
@@ -1791,8 +1792,8 @@ def q_svg_meta(spark, sf_dir):
                 rows.append((i, doc.encode()))
             yield _pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    svgs = spark.range(90).mapInPandas(
-        gen, schema="media_id long, payload binary"
+    svgs = fusable_map(
+        spark.range(90), gen, "media_id long, payload binary"
     )
     return SV.svg_meta_stats(svgs)
 
@@ -1839,7 +1840,7 @@ def q_media_ogg_meta(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(80).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(80), gen, M.MEDIA_SCHEMA)
     return O.ogg_meta_stats(media)
 
 
@@ -1868,8 +1869,8 @@ def q_subtitle_cues(spark, sf_dir):
                 rows.append((i, enc(cues).encode()))
             yield _pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    subs = spark.range(80).mapInPandas(
-        gen, schema="media_id long, payload binary"
+    subs = fusable_map(
+        spark.range(80), gen, "media_id long, payload binary"
     )
     return S.subtitle_cues(subs)
 
@@ -1911,7 +1912,7 @@ def q_media_decode_tiff(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(80).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(80), gen, M.MEDIA_SCHEMA)
     feats = M.extract_image_features(media)
     return feats.select(
         "media_id",
@@ -1977,7 +1978,7 @@ def q_media_ico(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(60), gen, M.MEDIA_SCHEMA)
     return I.ico_entry_stats(media)
 
 
@@ -2016,7 +2017,7 @@ def q_media_mp3_meta(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(60), gen, M.MEDIA_SCHEMA)
     return M3.mp3_meta_stats(media)
 
 
@@ -2107,7 +2108,7 @@ def q_warc_ingest(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(60), gen, M.MEDIA_SCHEMA)
     return W.warc_records(media)
 
 
@@ -2164,7 +2165,7 @@ def q_warc_truncation(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(40).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(40), gen, M.MEDIA_SCHEMA)
     return W.warc_records(media, max_inflated_bytes=8192)
 
 
@@ -2281,7 +2282,7 @@ def q_pdf_extract(spark, sf_dir):
                 rows.append((int(did), P.encode_pdf(pages)))
             yield _pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    pdfs = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    pdfs = fusable_map(docs, gen, "media_id long, payload binary")
     out = P.extract_pdf_pages(pdfs)
     return out.select(
         F.col("media_id").alias("doc_id"),
@@ -2385,8 +2386,8 @@ def q_sitemap_entries(spark, sf_dir):
                 rows.append((i, payload))
             yield _pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    maps = spark.range(60).mapInPandas(
-        gen, schema="media_id long, payload binary"
+    maps = fusable_map(
+        spark.range(60), gen, "media_id long, payload binary"
     )
     return SM.sitemap_entries(maps)
 
@@ -2677,7 +2678,7 @@ def q_pipeline_e2e(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = docs.mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(docs, gen, M.MEDIA_SCHEMA)
     pages = W.warc_records(media, decode="sniff").select(
         (F.col("media_id") * 4 + F.col("record_idx")).alias("rec_id"),
         "url",
@@ -2785,7 +2786,7 @@ def q_wet_ingest(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(60), gen, M.MEDIA_SCHEMA)
     return W.warc_records(media, record_types=("conversion",))
 
 
@@ -2864,7 +2865,7 @@ def q_wat_ingest(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(60), gen, M.MEDIA_SCHEMA)
     recs = W.warc_records(media, record_types=("metadata",))
 
     s = T.StructType
@@ -3021,8 +3022,8 @@ def q_archive_ingest(spark, sf_dir):
                 rows.append((i, payload))
             yield _pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    archives = spark.range(60).mapInPandas(
-        gen, schema="media_id long, payload binary"
+    archives = fusable_map(
+        spark.range(60), gen, "media_id long, payload binary"
     )
     return A.archive_members(archives)
 
@@ -3113,7 +3114,7 @@ def q_media_flac(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(60).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(60), gen, M.MEDIA_SCHEMA)
     feats = M.extract_audio_features(media)
     return feats.select(
         "media_id", "n_samples", "sample_rate", "duration_ms",
@@ -3172,7 +3173,7 @@ def q_media_exif(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(50), gen, M.MEDIA_SCHEMA)
     pre = E.exif_stats(media)
     post = E.exif_stats(E.scrub_gps(media)).select(
         "media_id",
@@ -3229,7 +3230,7 @@ def q_media_orientation(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(80).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(80), gen, M.MEDIA_SCHEMA)
     return M.oriented_image_stats(media)
 
 
@@ -3286,18 +3287,27 @@ def q_media_exif_scrub(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
     # carry the ORIGINAL payload through the scrub as a column
     # (scrub_gps preserves its input schema): the pre/post pixel
     # compare then needs no self-join back to the synthesis lineage.
+    # p0 is added INSIDE the synthesis kernel (not via withColumn,
+    # which would sit between the two Python kernels and block their
+    # fusion into one mapInPandas stage — r16).
     # persist the 50-row scrubbed frame so the fixture synthesis runs
     # ONCE for both consumers (stats re-parse + pixel compare) — §7s
     # floor decomposition measured the old shape as 3 redundant
     # synthesis stages + 2 shuffle joins stacking to ~0.96 s of pure
     # plan floor over ~0.04 s of codec CPU.
-    scrubbed = E.scrub_gps(
-        media.withColumn("p0", F.col("payload"))
-    ).persist()
+    def gen_p0(it, _gen=gen):
+        for pdf in _gen(it):
+            pdf = pdf.copy()
+            pdf["p0"] = pdf["payload"]
+            yield pdf
+
+    media = fusable_map(
+        spark.range(50), gen_p0, M.MEDIA_SCHEMA.add("p0", "binary")
+    )
+    scrubbed = E.scrub_gps(media).persist()
     post = E.exif_stats(scrubbed)
 
     def pixcmp(it):
@@ -3367,7 +3377,7 @@ def q_media_webm_frames(spark, sf_dir):
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    media = spark.range(50).mapInPandas(gen, schema=M.MEDIA_SCHEMA)
+    media = fusable_map(spark.range(50), gen, M.MEDIA_SCHEMA)
     return W.webm_frame_stats(media, every_n=2)
 
 

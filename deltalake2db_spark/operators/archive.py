@@ -274,6 +274,6 @@ def archive_members(
                          "text", "truncated"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        batches, schema=out_schema
-    )
+    from .parallel import kernel_map
+
+    return kernel_map(df, batches, out_schema, cols=(id_col, payload_col))

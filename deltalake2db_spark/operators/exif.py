@@ -376,8 +376,10 @@ def exif_stats(df: DataFrame) -> DataFrame:
                          "gps_lat", "gps_lon"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )
 
 
@@ -396,4 +398,6 @@ def scrub_gps(df: DataFrame) -> DataFrame:
             ]
             yield pdf
 
-    return df.mapInPandas(batches, schema=schema)
+    from .parallel import kernel_map
+
+    return kernel_map(df, batches, schema)

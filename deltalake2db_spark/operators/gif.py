@@ -523,6 +523,8 @@ def gif_frame_stats(df: DataFrame) -> DataFrame:
                          "r_sum", "g_sum", "b_sum"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )

@@ -142,9 +142,9 @@ def extract_html(
                          "n_blocks_total"],
             )
 
-    return df.select(id_col, html_col).mapInPandas(
-        batches, schema=out_schema
-    )
+    from .parallel import kernel_map
+
+    return kernel_map(df, batches, out_schema, cols=(id_col, html_col))
 
 
 def warc_html_texts(
@@ -192,4 +192,6 @@ def warc_html_texts(
                          "n_blocks_total"],
             )
 
-    return recs.mapInPandas(batches, schema=out_schema)
+    from .parallel import kernel_map
+
+    return kernel_map(recs, batches, out_schema)

@@ -215,6 +215,8 @@ def ico_entry_stats(df: DataFrame) -> DataFrame:
                          "a_sum"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )

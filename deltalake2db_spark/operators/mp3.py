@@ -185,6 +185,8 @@ def mp3_meta_stats(df: DataFrame) -> DataFrame:
                          "duration_ms"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )

@@ -599,8 +599,10 @@ def oriented_image_stats(df: DataFrame) -> DataFrame:
                          "tl", "tr", "bl", "br"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )
 
 
@@ -641,8 +643,11 @@ def extract_image_features(df: DataFrame, batch_hint: int | None = None) -> Data
                 rows, columns=["media_id", "mean_px", "fill_ratio", "n_px"]
             )
 
-    return df.select("media_id", "kind", "payload", "meta").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema,
+        cols=("media_id", "kind", "payload", "meta"),
     )
 
 
@@ -822,8 +827,10 @@ def webp_anim_frame_stats(df: DataFrame) -> DataFrame:
                          "height", "width", "y_sum", "u_sum", "v_sum"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )
 
 
@@ -862,8 +869,10 @@ def webp_lossy_plane_sums(df: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "y_sum", "u_sum", "v_sum"]
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )
 
 
@@ -914,8 +923,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                          "duration_ms", "mean_abs", "rms"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )
 
 
@@ -1280,8 +1291,10 @@ def sample_video_frames(
                          "frame"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )
 
 
@@ -1350,8 +1363,10 @@ def decode_video_frames(
                          "width", "y_sum", "u_sum", "v_sum"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )
 
 
@@ -1473,8 +1488,10 @@ def extract_video_meta(df: DataFrame) -> DataFrame:
                          "width", "height", "n_tracks", "codecs"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )
 
 
@@ -1630,7 +1647,9 @@ def make_real_media(
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    from .parallel import fusable_map
+
+    return fusable_map(spark.range(n), gen, MEDIA_SCHEMA)
 
 
 def make_fake_media(spark, n: int = 100) -> DataFrame:

@@ -195,6 +195,8 @@ def ogg_meta_stats(df: DataFrame) -> DataFrame:
                          "sample_rate", "n_pages", "duration_ms"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )

@@ -73,6 +73,56 @@ def spread_scan(
     return df
 
 
+def fusable_map(df: DataFrame, fn, schema) -> DataFrame:
+    """``df.mapInPandas(fn, schema)`` that additionally records the
+    ``(child, fn)`` pair on the result, so a DIRECTLY-downstream
+    Python kernel built through ``kernel_map`` can FUSE with it into
+    one ``mapInPandas`` stage.
+
+    Why fuse (guide §4.1/§4.2): every Python kernel pays a full
+    JVM -> Arrow -> worker -> Arrow -> JVM round trip of ALL the bytes
+    it emits, plus a per-kernel worker/serializer setup — for a
+    synthesize -> parse pair the entire intermediate payload column
+    crosses the boundary twice for no reason.  Composing the two
+    functions inside ONE ``mapInPandas`` hands the producer's pandas
+    batches straight to the consumer in the same worker process: the
+    intermediate never leaves Python.  Semantics are identical
+    (``mapInPandas`` is per-partition; chaining two per-partition
+    iterator transforms equals applying them in sequence), and any
+    transformation BETWEEN the kernels returns a fresh DataFrame
+    without the recorded handle, so fusion silently degrades to the
+    conventional two-stage plan whenever the frames are not directly
+    adjacent.  ``SPARK_GRAFT_NO_FUSE=1`` disables fusion globally.
+    """
+    out = df.mapInPandas(fn, schema=schema)
+    out._dl2db_kernel = (df, fn)
+    return out
+
+
+def kernel_map(df: DataFrame, fn, schema, cols=None) -> DataFrame:
+    """Apply a per-partition pandas kernel to ``df`` —
+    ``df.select(*cols).mapInPandas(fn, schema)`` — fusing with an
+    immediately-upstream ``fusable_map`` kernel when one is recorded
+    (see ``fusable_map``).  ``cols`` prunes the JVM->Python transfer
+    on the UNFUSED path (guide §4.1: pass only the columns the
+    function needs); on the fused path the producer's batches are
+    already in-process, so pruning is moot and ``fn`` simply reads
+    the columns it wants."""
+    import os
+
+    k = getattr(df, "_dl2db_kernel", None)
+    if k is not None and os.environ.get("SPARK_GRAFT_NO_FUSE") != "1":
+        child, prev = k
+
+        def fused(it, _prev=prev, _fn=fn):
+            return _fn(_prev(it))
+
+        return fusable_map(child, fused, schema)
+    if cols is not None:
+        df = df.select(*cols)
+    return fusable_map(df, fn, schema)
+
+
 def cached_leaf(df: DataFrame) -> DataFrame:
     """Return a DataFrame whose LOGICAL plan is the persisted cache
     entry of ``df`` itself (the ``InMemoryRelation`` leaf), with the

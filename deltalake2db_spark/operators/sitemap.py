@@ -118,9 +118,9 @@ def sitemap_entries(
                          "lastmod", "changefreq", "priority"],
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        batches, schema=out_schema
-    )
+    from .parallel import kernel_map
+
+    return kernel_map(df, batches, out_schema, cols=(id_col, payload_col))
 
 
 def encode_sitemap(

@@ -335,9 +335,9 @@ def warc_records(
                          "truncated"],
             )
 
-    return df.select("media_id", "payload").mapInPandas(
-        batches, schema=out_schema
-    )
+    from .parallel import kernel_map
+
+    return kernel_map(df, batches, out_schema, cols=("media_id", "payload"))
 
 
 # ------------------------------------------------------------- writer

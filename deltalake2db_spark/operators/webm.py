@@ -274,8 +274,10 @@ def webm_frame_stats(
                          "height", "width", "y_sum", "u_sum", "v_sum"],
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        batches, schema=out_schema
+    from .parallel import kernel_map
+
+    return kernel_map(
+        df, batches, out_schema, cols=("media_id", "kind", "payload")
     )
 
 

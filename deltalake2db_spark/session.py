@@ -87,10 +87,19 @@ def get_spark(
         # mins) generate >8KB-bytecode methods HotSpot otherwise
         # refuses to JIT — they ran interpreted forever in some
         # sessions (measured bimodal 1.7s vs 5.4s for the same query)
+        # SPARK_GRAFT_EXTRA_JAVA_OPTS appends measurement flags (GC /
+        # JIT logging for diagnosing whole-JVM bad modes) without
+        # editing this file; empty by default, so production sessions
+        # are unchanged.
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:TypeProfileWidth=8"
-            " -XX:-DontCompileHugeMethods",
+            " -XX:-DontCompileHugeMethods"
+            + (
+                " " + os.environ["SPARK_GRAFT_EXTRA_JAVA_OPTS"]
+                if os.environ.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+                else ""
+            ),
         )
         # PySpark 4 wraps every DataFrame API call to capture a Python
         # call site for error enrichment: 2 extra Py4J round trips

@@ -2514,3 +2514,82 @@ def test_unicode_normalizers(spark):
     assert got[1] == ("déjà", "déjà")
     assert got[2][1] == "file a x2 strasse"
     assert got[3] == (None, None)
+
+
+def test_kernel_map_fusion(spark):
+    """kernel_map fuses with an immediately-upstream fusable_map
+    kernel: identical rows, but ONE MapInPandas node in the plan
+    instead of two (every Python stage pays a full Arrow round trip
+    of the payload bytes — guide §4.1); any intervening
+    transformation drops the handle and the chain falls back to the
+    plain two-stage plan; SPARK_GRAFT_NO_FUSE=1 disables fusion."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from deltalake2db_spark.operators.parallel import (
+        fusable_map,
+        kernel_map,
+    )
+
+    def synth(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["id"].astype("int64"),
+                    "payload": [b"x" * (int(i) % 7 + 1) for i in pdf["id"]],
+                }
+            )
+
+    def measure(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    src = spark.range(100)
+    media = fusable_map(src, synth, "media_id long, payload binary")
+    out = kernel_map(media, measure, "media_id long, n long",
+                     cols=("media_id", "payload"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1  # fused: one Python stage
+    rows = sorted((r.media_id, r.n) for r in out.collect())
+    assert rows == [(i, i % 7 + 1) for i in range(100)]
+
+    # a transformation between the kernels drops the fusion handle:
+    # two Python stages, same rows
+    filtered = media.filter(F.col("media_id") >= 0)
+    out2 = kernel_map(filtered, measure, "media_id long, n long",
+                      cols=("media_id", "payload"))
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("MapInPandas") == 2
+    assert sorted((r.media_id, r.n) for r in out2.collect()) == rows
+
+    # kill-switch
+    os.environ["SPARK_GRAFT_NO_FUSE"] = "1"
+    try:
+        out3 = kernel_map(media, measure, "media_id long, n long",
+                          cols=("media_id", "payload"))
+        plan3 = out3._jdf.queryExecution().executedPlan().toString()
+        assert plan3.count("MapInPandas") == 2
+        assert sorted((r.media_id, r.n) for r in out3.collect()) == rows
+    finally:
+        del os.environ["SPARK_GRAFT_NO_FUSE"]
+
+    # three-deep chain fuses transitively through kernel_map outputs
+    def tag(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["n"] = pdf["n"] * 2
+            yield pdf
+
+    out4 = kernel_map(out, tag, "media_id long, n long")
+    plan4 = out4._jdf.queryExecution().executedPlan().toString()
+    assert plan4.count("MapInPandas") == 1
+    assert sorted((r.media_id, r.n) for r in out4.collect()) == [
+        (i, 2 * (i % 7 + 1)) for i in range(100)
+    ]

@@ -2591,11 +2591,14 @@ def q_pipeline_e2e(spark, sf_dir):
         "plain ascii tail",
     ]
 
-    # Chain-depth-aware scan width (operators/parallel.py): each task
-    # of the ingest stage pipelines FOUR chained Python kernels
-    # (synthesize, WARC parse, robots eval, HTML extract), so the
-    # scan width is cores ÷ 4 — see spread_scan's docstring for the
-    # measured law.
+    # Chain-depth-aware scan width (operators/parallel.py): after the
+    # r16 kernel fusion the ingest pipelines TWO chained Python
+    # kernels per task (synthesize+WARC-parse fused, robots-eval+HTML-
+    # extract fused).  chain_depth stays 4 (width cores/4): paired
+    # chunk draws at width 16 drew the erratic wide-Python-stage tail
+    # (10.8/20.8 s samples) while width 8 stayed 2.1-2.9 s — the
+    # kernels are heavier post-fusion, so the measured stability law
+    # (spread_scan docstring) still points at width 8 locally.
     from deltalake2db_spark.operators.parallel import spread_scan
 
     docs = spread_scan(

@@ -259,8 +259,12 @@ def one_draw(sf_dir: str) -> dict:
                         times[name] = min(times[name], fresh)
                     break
 
+    # first tier lowered 3.0 -> 2.5 (r16): the heaviest gate's healthy
+    # min is ~2.1-2.9 s, so a 2.5+ chunk min is already suspicious of
+    # the documented host bad mode; one extra fresh JVM is cheap
+    # insurance against recording a mode-inflated draw
     budget = _budget_mode()
-    fresh_remeasure([n for n, t in times.items() if t >= 3.0][: 4 if budget else 8])
+    fresh_remeasure([n for n, t in times.items() if t >= 2.5][: 4 if budget else 8])
     fresh_remeasure([n for n, t in times.items() if t >= 5.0][: 2 if budget else 4])
 
     draw: dict = {"spark_queries": times}

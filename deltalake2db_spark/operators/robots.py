@@ -203,7 +203,23 @@ def filter_by_robots(
             out["allowed"] = verdicts
             yield out
 
-    result = joined.mapInPandas(batches, schema=out_schema)
+    from .parallel import kernel_map
+
     if keep_blocked:
-        return result
-    return result.filter(F.col("allowed")).drop("allowed")
+        return kernel_map(joined, batches, out_schema)
+
+    # default (drop blocked rows): apply the verdict INSIDE the kernel
+    # instead of a JVM filter+drop above it — same rows, but the
+    # returned frame is then a pure kernel output, so a directly-
+    # downstream extraction kernel (the crawl pipeline's HTML extract)
+    # fuses with the robots evaluation into ONE Python stage
+    # (parallel.kernel_map; guide §4.1).
+    def batches_drop(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for out in batches(it):
+            yield out.loc[out["allowed"], base_cols]
+
+    drop_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in urls_df.schema.fields
+    )
+    return kernel_map(joined, batches_drop, drop_schema)

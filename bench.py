@@ -409,9 +409,13 @@ def emit(sf_dir: str, draws: list[dict]) -> None:
     }
     print("# bench-detail " + json.dumps(detail), file=sys.stderr)
     try:
+        # budget-mode (low-core) runs write their own sidecar: the
+        # main sidecar seeds the NEXT full run's drift_median, and an
+        # 8-core detail would poison that comparison
+        name = "BENCH_DETAIL_budget.json" if _budget_mode() else "BENCH_DETAIL.json"
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"), "w"
+                         name), "w"
         ) as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
